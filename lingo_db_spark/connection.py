@@ -1,0 +1,65 @@
+"""Connection facade mirroring the reference Python API shape
+(reference tools/python/lingodb/__init__.py:43-72):
+
+    con = lingodb.connect_to_db(path)   ->  con = lingo_db_spark.connect(sf_dir)
+    con.sql(query) -> arrow table       ->  con.sql(query) -> DataFrame
+    con.sql_stmt(ddl)                   ->  con.sql_stmt(ddl)
+    con.add_table(name, arrow_table)    ->  con.add_table(name, df_or_pandas)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lingo_db_spark import catalog
+from lingo_db_spark.session import build_session
+
+
+class Connection:
+    """A session bound to a directory of parquet tables."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables: dict[str, DataFrame] = {}
+        if sf_dir is not None:
+            self.tables = catalog.register_views(spark, sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run a query; lazy DataFrame result (reference Connection.sql
+        returns a materialized Arrow table; call .toArrow()/.collect())."""
+        return self.spark.sql(query)
+
+    def sql_stmt(self, stmt: str) -> None:
+        """DDL/DML statement with no result."""
+        self.spark.sql(stmt)
+
+    def add_table(self, name: str, data: Any) -> DataFrame:
+        """Register new table from a DataFrame / pandas / list of rows
+        (reference add_table = generated CREATE TABLE + append)."""
+        df = data if isinstance(data, DataFrame) else self.spark.createDataFrame(data)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def explain(self, query: str) -> str:
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.spark.sql(query).explain("formatted")
+        return buf.getvalue()
+
+
+def connect(sf_dir: str | None = None, **session_kwargs) -> Connection:
+    return Connection(build_session(**session_kwargs), sf_dir)
+
+
+def create_in_memory(**session_kwargs) -> Connection:
+    """Reference ``create_in_memory()`` — a connection with no base tables."""
+    return Connection(build_session(**session_kwargs), None)

@@ -1,0 +1,158 @@
+"""Scalar function library — LingoDB's runtime function registry mapped to
+Spark expressions (reference
+src/compiler/Dialect/DB/RuntimeFunctions/RuntimeFunctions.cpp:271-344).
+
+Everything here stays JVM-side (whole-stage codegen) except `erf`, which
+Spark lacks as a builtin and is provided as a vectorized pandas UDF
+(reference FloatRuntime.h:10).
+
+Also hosts the *deterministic aggregation* helpers: sums/avgs over doubles
+are order-dependent in any parallel engine, so cross-engine hash
+comparison (our DuckDB oracle gate) needs exact arithmetic.  We cast to
+decimal(38,10) before SUM — exact and associative — then cast the total
+back to double.  This mirrors the reference's SimplifyAggregations pass,
+which decomposes avg/stddev into sums and counts
+(reference src/compiler/Dialect/RelAlg/Transforms/SimplifyAggregations.cpp:109-179).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,10)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# Deterministic aggregates over doubles (exact decimal accumulation)
+# ---------------------------------------------------------------------------
+
+def dsum(col: Column | str) -> Column:
+    """Order-insensitive SUM for double columns: exact decimal accumulation,
+    result as double rounded to 4 decimals (the decimal->double casts of
+    different engines may differ by 1 ulp; the underlying sum is exact, so
+    rounding at 1e-4 is engine-independent).  Oracle equivalent: SQL_DSUM."""
+    return F.round(F.sum(_c(col).cast(DEC)).cast("double"), 4)
+
+
+def davg(col: Column | str) -> Column:
+    """Order-insensitive AVG: exact decimal sum / count, in double,
+    rounded to 6 decimals (see dsum)."""
+    c = _c(col)
+    return F.round((F.sum(c.cast(DEC)).cast("double") / F.count(c)), 6)
+
+
+def dvar_samp(col: Column | str) -> Column:
+    """var_samp via exact sums: (sum(x^2) - sum(x)^2/n) / (n-1), the same
+    decomposition the reference applies (SimplifyAggregations.cpp:109-146)."""
+    c = _c(col)
+    n = F.count(c).cast("double")
+    sx = F.sum(c.cast(DEC)).cast("double")
+    sxx = F.sum((c * c).cast(DEC)).cast("double")
+    return F.round(F.when(n > 1, (sxx - sx * sx / n) / (n - F.lit(1.0))), 6)
+
+
+def dstddev_samp(col: Column | str) -> Column:
+    return F.round(F.sqrt(dvar_samp(col)), 6)
+
+
+def SQL_DSUM(expr: str) -> str:
+    """DuckDB-side rendering of dsum()."""
+    return f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE), 4)"
+
+
+def SQL_DAVG(expr: str) -> str:
+    return (f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+            f" / COUNT({expr}), 6)")
+
+
+def SQL_DVAR(expr: str) -> str:
+    return (f"ROUND((CASE WHEN COUNT({expr}) > 1 THEN "
+            f"(CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL(38,10))) AS DOUBLE)"
+            f" - CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+            f" * CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+            f" / CAST(COUNT({expr}) AS DOUBLE))"
+            f" / (CAST(COUNT({expr}) AS DOUBLE) - 1.0) END), 6)")
+
+
+def SQL_DSTDDEV(expr: str) -> str:
+    return f"ROUND(SQRT({SQL_DVAR(expr)}), 6)"
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (RuntimeFunctions.cpp registry -> Spark builtins)
+# ---------------------------------------------------------------------------
+
+def substring(col, pos, length=None) -> Column:
+    """1-based substring, identical semantics to reference
+    StringRuntime::substr (RuntimeFunctions.cpp:276)."""
+    c = _c(col)
+    return F.substring(c, pos, length) if length is not None else F.expr(
+        f"substring({c._jc.toString()}, {pos})")
+
+
+def string_find(col, needle) -> Column:
+    """Reference StringFind (RuntimeFunctions.cpp:277): 0-based find, -1 if
+    absent (Spark locate is 1-based, 0 if absent)."""
+    return (F.locate(needle, _c(col)) - 1)
+
+
+def string_split(col, sep) -> Column:
+    """Reference StringSplit (RuntimeFunctions.cpp:279) -> list<string>.
+    LingoDB splits on a literal separator; F.split takes a regex, so quote."""
+    import re
+    return F.split(_c(col), re.escape(sep))
+
+
+def ord_(col) -> Column:
+    return F.ascii(_c(col))           # reference Ord (RuntimeFunctions.cpp:280)
+
+
+def round_half_up(col, scale: int = 0) -> Column:
+    """Reference RoundDecimal/RoundInt64 round half away from zero
+    (reference DecimalRuntime.h:6); Spark F.round on doubles is HALF_UP on
+    the decimal representation — matching. Pinned here as the single entry
+    point so semantics live in one place."""
+    return F.round(_c(col), scale)
+
+
+def date_trunc(unit: str, col) -> Column:
+    return F.date_trunc(unit, _c(col))   # reference DateTrunc (DateRuntime.h:18)
+
+
+def date_diff_days(end, start) -> Column:
+    """Reference DateDiffDay (DateRuntime.h:14)."""
+    return F.datediff(_c(end), _c(start))
+
+
+def extract(field: str, col) -> Column:
+    """Reference ExtractFromDate family (DateRuntime.h:6-11)."""
+    return F.expr(f"extract({field} FROM {_c(col)._jc.toString()})")
+
+
+_ERF_UDF = None
+
+
+def erf(col) -> Column:
+    """Gauss error function — reference FloatRuntime::erf
+    (RuntimeFunctions.cpp:339). No Spark builtin; vectorized pandas UDF,
+    created lazily (pandas_udf needs an active session)."""
+    global _ERF_UDF
+    if _ERF_UDF is None:
+        @F.pandas_udf("double")
+        def _erf(x: pd.Series) -> pd.Series:
+            return x.map(math.erf)
+        _ERF_UDF = _erf
+    return _ERF_UDF(_c(col))
+
+
+def hash64(*cols) -> Column:
+    """Reference Hash/CombineHashes (RuntimeFunctions.cpp:341-344)."""
+    return F.xxhash64(*[_c(c) for c in cols])

@@ -1,0 +1,54 @@
+"""Query registry: every implemented operator from SURVEY.md §2 registers a
+(spark builder, DuckDB oracle SQL) pair here.  The driver's verify runs both
+at sf=0.01 and hash-compares results (row-count + schema + value hash).
+
+Registration contract:
+- the Spark callable takes (spark, sf_dir) and returns a lazy DataFrame;
+- oracle SQL runs on DuckDB views named after the parquet tables;
+- column names AND types must match exactly (the compare sorts columns by
+  name before hashing) — alias everything on both sides;
+- double aggregation goes through the exact-decimal helpers in
+  lingo_db_spark.functions so parallel summation order can't flip a hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None          # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+        return fn
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: populates REGISTRY)."""
+    from lingo_db_spark.queries import (  # noqa: F401
+        tpch,
+        relops,
+        scalars,
+        events_q,
+        pipeline_q,
+    )
+    return REGISTRY

@@ -1,0 +1,78 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+The reference runs morsel-driven parallel over all hardware threads
+(reference src/scheduler/Scheduler.cpp:365).  Our equivalent knobs: AQE,
+CBO, Arrow exchange, and shuffle partitions sized to the local core count
+(on a real cluster these come from spark-defaults; everything here is safe
+to override).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs chosen for 100 TB-scale behavior, applied identically in local
+# mode. AQE re-plans shuffles at runtime (coalesce small partitions, split
+# skewed ones, demote/promote join strategies); CBO + join reorder mirrors
+# the reference's DPhyp/GOO join-order optimizer
+# (reference src/compiler/Dialect/RelAlg/Transforms/queryopt/DPhyp.cpp).
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # LingoDB casts are permissive (no runtime errors on overflow); match.
+    "spark.sql.ansi.enabled": "false",
+    # Broadcast threshold: dims like region/nation/customer always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def _local_cores() -> int:
+    n = os.environ.get("SPARK_GRAFT_CPUS")
+    if n:
+        return int(n)
+    return os.cpu_count() or 4
+
+
+def build_session(app_name: str = "lingo_db_spark", master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Create (or get) the engine SparkSession.
+
+    In local mode, shuffle partitions default to the core count — the
+    per-query equivalent of the reference's ``numWorkers =
+    hardware_concurrency`` (reference src/scheduler/Scheduler.cpp:365).
+    On a cluster, leave ``master`` unset and size shuffle partitions to
+    ~2-3x total executor cores (or rely on AQE coalescing from a high
+    initial value).
+    """
+    cores = _local_cores()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cores}]")
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cores)
+    )
+    builder = builder.config("spark.driver.memory",
+                             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

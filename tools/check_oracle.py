@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark and its oracle on DuckDB at a given sf dir, compare
+row count, column names/types, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+from lingo_db_spark.catalog import TABLE_NAMES
+from lingo_db_spark.queries import load_all
+from lingo_db_spark.session import build_session
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # defensive: collapse ±0 and format with full precision
+        return repr(v + 0.0)
+    return repr(v)
+
+
+def table_hash(rows) -> tuple[int, int]:
+    hashes = sorted(hash(tuple(normalize(v) for v in row)) for row in rows)
+    return len(hashes), hash(tuple(hashes))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry = load_all()
+    spark = build_session("check_oracle")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    failed = []
+    for name, spec in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.spark_fn(spark, sf_dir)
+            spark_cols = sorted(sdf.columns)
+            srows = [tuple(row[c] for c in spark_cols) for row in sdf.collect()]
+            if spec.oracle is None:
+                print(f"  {name}: rows-only ({len(srows)} rows) OK")
+                continue
+            ddf = con.execute(spec.oracle).fetch_arrow_table()
+            duck_cols = sorted(ddf.column_names)
+            drows = [tuple(r[c] for c in duck_cols) for r in ddf.to_pylist()]
+            if spark_cols != duck_cols:
+                failed.append(name)
+                print(f"✗ {name}: columns differ spark={spark_cols} duck={duck_cols}")
+                continue
+            sh, dh = table_hash(srows), table_hash(drows)
+            if sh != dh:
+                failed.append(name)
+                print(f"✗ {name}: hash mismatch rows spark={sh[0]} duck={dh[0]}")
+                for a, b in list(zip(sorted(map(str, srows)), sorted(map(str, drows))))[:5]:
+                    if a != b:
+                        print(f"    spark: {a}\n    duck : {b}")
+            else:
+                print(f"✓ {name}: {sh[0]} rows match")
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"✗ {name}: EXC {type(e).__name__}: {str(e)[:300]}")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
