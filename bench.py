@@ -1,0 +1,100 @@
+"""Benchmark harness: per-query wall-clock over the headline queries.
+
+Protocol mirrors the reference's tools/scripts/benchmark.py:24-34
+(warmup runs, then measured runs, per-query wall time); counts are tunable
+via BENCH_WARMUP / BENCH_RUNS because the driver runs this per round under
+a time budget (reference uses 3+10).
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
+All progress chatter goes to stderr so the stdout line stays parseable.
+
+Usage: python bench.py [query ...]    (default: the headline set below)
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default os.cpu_count())
+       BENCH_WARMUP=1 BENCH_RUNS=3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from lingo_db_spark.queries import load_all
+from lingo_db_spark.session import build_session
+
+# Headline set: every TPC-H query plus the flagship pipeline/ANN operators.
+# Anything here that isn't registered (yet) is skipped with a stderr note.
+HEADLINE_EXTRA = [
+    "pipeline_dedup_exact",
+    "pipeline_minhash_neardup",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "text_quality_stats",
+    "window_rank",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    registry = load_all()
+    wanted = sys.argv[1:] or (
+        [n for n in sorted(registry) if n.startswith("tpch_")] + HEADLINE_EXTRA)
+    names = [n for n in wanted if n in registry]
+    for missing in set(wanted) - set(names):
+        log(f"bench: skipping unregistered query {missing}")
+
+    spark = build_session("bench")
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].spark_fn
+        try:
+            # collect(), not count(): count() lets Catalyst prune the agg
+            # expressions entirely; collect materializes the real result
+            # (the reference harness also fetches full results,
+            # sqlite-tester.cpp:36-60). All headline results are small.
+            for _ in range(warmup):
+                fn(spark, sf_dir).collect()
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                n_rows = len(fn(spark, sf_dir).collect())
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+            log(f"bench: {name}: median {timings[name]:.3f}s "
+                f"({n_rows} rows, {runs} runs)")
+        except Exception as e:  # noqa: BLE001 - one bad query must not kill the run
+            log(f"bench: {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "sum_of_per_query_median_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warmup": warmup,
+        "runs": runs,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

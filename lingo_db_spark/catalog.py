@@ -54,7 +54,7 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
         T.StructField("o_custkey", T.LongType(), False),
         T.StructField("o_orderstatus", T.StringType(), False),
         T.StructField("o_totalprice", T.DoubleType(), False),
-        T.StructField("o_orderdate", T.TimestampType(), False),
+        T.StructField("o_orderdate", T.TimestampNTZType(), False),
         T.StructField("o_orderpriority", T.StringType(), False),
     ]),
     "lineitem": T.StructType([
@@ -68,11 +68,11 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
         T.StructField("l_tax", T.DoubleType(), False),
         T.StructField("l_returnflag", T.StringType(), False),
         T.StructField("l_linestatus", T.StringType(), False),
-        T.StructField("l_shipdate", T.TimestampType(), False),
+        T.StructField("l_shipdate", T.TimestampNTZType(), False),
     ]),
     "events": T.StructType([
         T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
         T.StructField("user_id", T.LongType(), False),
         T.StructField("event_type", T.StringType(), False),
         T.StructField("value", T.DoubleType(), False),
@@ -104,11 +104,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Paths whose on-disk schema has already been checked against the declared
+# catalog schema (the reference's fixed-schema contract: no inference, a
+# mismatched file is an error, not a silent cast).
+_VALIDATED_PATHS: set[str] = set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """basetable scan (reference relalg.basetable, RelAlgOps.td:120-130)."""
+    """basetable scan (reference relalg.basetable, RelAlgOps.td:120-130).
+
+    The parquet footer schema is validated against the declared catalog
+    schema (names + types; parquet files are always nullable on read, so
+    nullability is enforced by the writer, not checked here).  Validation
+    runs once per path — a footer read, no data scan."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    if path not in _VALIDATED_PATHS:
+        declared = sorted((f.name, f.dataType.simpleString())
+                          for f in TABLE_SCHEMAS[name].fields)
+        actual = sorted((f.name, f.dataType.simpleString())
+                        for f in df.schema.fields)
+        if declared != actual:
+            raise ValueError(
+                f"schema mismatch for {name}: declared={declared} actual={actual}")
+        _VALIDATED_PATHS.add(path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -92,10 +92,10 @@ def SQL_DSTDDEV(expr: str) -> str:
 
 def substring(col, pos, length=None) -> Column:
     """1-based substring, identical semantics to reference
-    StringRuntime::substr (RuntimeFunctions.cpp:276)."""
+    StringRuntime::substr (RuntimeFunctions.cpp:276).  Open-ended form uses
+    a max-int length (public API only — no JVM internals)."""
     c = _c(col)
-    return F.substring(c, pos, length) if length is not None else F.expr(
-        f"substring({c._jc.toString()}, {pos})")
+    return F.substring(c, pos, length if length is not None else 2147483647)
 
 
 def string_find(col, needle) -> Column:
@@ -132,9 +132,23 @@ def date_diff_days(end, start) -> Column:
     return F.datediff(_c(end), _c(start))
 
 
+_EXTRACT_FIELDS = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth,
+    "hour": F.hour, "minute": F.minute, "second": F.second,
+    "dow": F.dayofweek, "doy": F.dayofyear, "week": F.weekofyear,
+    "quarter": F.quarter,
+}
+
+
 def extract(field: str, col) -> Column:
-    """Reference ExtractFromDate family (DateRuntime.h:6-11)."""
-    return F.expr(f"extract({field} FROM {_c(col)._jc.toString()})")
+    """Reference ExtractFromDate family (DateRuntime.h:6-11), dispatched to
+    the matching Spark builtin (all JVM-side, codegen-friendly)."""
+    try:
+        return _EXTRACT_FIELDS[field.lower()](_c(col))
+    except KeyError:
+        raise ValueError(
+            f"unsupported extract field {field!r}; "
+            f"known: {sorted(_EXTRACT_FIELDS)}") from None
 
 
 _ERF_UDF = None
@@ -156,3 +170,94 @@ def erf(col) -> Column:
 def hash64(*cols) -> Column:
     """Reference Hash/CombineHashes (RuntimeFunctions.cpp:341-344)."""
     return F.xxhash64(*[_c(c) for c in cols])
+
+
+# The rest of the reference runtime registry
+# (RuntimeFunctions.cpp:278-340) maps 1:1 onto Spark builtins; wrapped here
+# so the engine's function surface is complete and each one has a single
+# pinned entry point (semantics tested in tests/test_scalars.py and the
+# scalars_* oracle queries).
+
+def string_length(col) -> Column:
+    return F.length(_c(col))              # StringLength (:278)
+
+
+def to_upper(col) -> Column:
+    return F.upper(_c(col))               # ToUpper (:282)
+
+
+def to_lower(col) -> Column:
+    return F.lower(_c(col))               # ToLower (:283)
+
+
+def contains(col, needle) -> Column:
+    return F.contains(_c(col), F.lit(needle))   # Contains (:284)
+
+
+def concatenate(*cols) -> Column:
+    return F.concat(*[_c(c) for c in cols])     # Concatenate (:285)
+
+
+def replace(col, search: str, repl: str) -> Column:
+    """Literal (non-regex) replace — reference Replace (:288)."""
+    return F.replace(_c(col), F.lit(search), F.lit(repl))
+
+
+def regexp_replace(col, pattern: str, repl: str) -> Column:
+    return F.regexp_replace(_c(col), pattern, repl)   # RegexpReplace (:290)
+
+
+def like(col, pattern: str) -> Column:
+    return _c(col).like(pattern)          # Like/ConstLike (:291-292)
+
+
+def starts_with(col, prefix: str) -> Column:
+    return F.startswith(_c(col), F.lit(prefix))   # StringRuntime.h:15
+
+
+def ends_with(col, suffix: str) -> Column:
+    return F.endswith(_c(col), F.lit(suffix))     # StringRuntime.h:16
+
+
+def abs_(col) -> Column:
+    return F.abs(_c(col))                 # AbsInt/AbsDecimal (:332-333)
+
+
+def sqrt(col) -> Column:
+    return F.sqrt(_c(col))                # FloatRuntime (:334)
+
+
+def sin(col) -> Column:
+    return F.sin(_c(col))
+
+
+def cos(col) -> Column:
+    return F.cos(_c(col))
+
+
+def asin(col) -> Column:
+    return F.asin(_c(col))
+
+
+def log(col) -> Column:
+    """Natural log — reference FloatRuntime::log (:336)."""
+    return F.log(_c(col))
+
+
+def exp(col) -> Column:
+    return F.exp(_c(col))
+
+
+def date_add_days(col, days) -> Column:
+    """Reference DateAdd (RuntimeFunctions.cpp:329, const-foldable)."""
+    return F.date_add(_c(col), days)
+
+
+def date_subtract_days(col, days) -> Column:
+    return F.date_sub(_c(col), days)      # DateSubtract (:330)
+
+
+def random_in_range(lo: int, hi: int) -> Column:
+    """Reference RandomInRange (IntegerRuntime.h:11): uniform int in
+    [lo, hi).  Nondeterministic by design — never used in oracle queries."""
+    return (F.floor(F.rand() * (hi - lo)) + lo).cast("long")

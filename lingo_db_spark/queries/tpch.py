@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from lingo_db_spark.catalog import load_table
 from lingo_db_spark.functions import (
+    DEC,
     SQL_DAVG,
     SQL_DSUM,
     davg,
@@ -93,8 +94,10 @@ LIMIT 10
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: 3-way join -> agg -> top-10.
     Reference resources/sql/tpch/3.sql; relalg.topk (RelAlgOps.td:179-193)
-    plans as TakeOrderedAndProject (no full sort).  customer filter is
-    selective -> broadcast the filtered dim into the fact join."""
+    plans as TakeOrderedAndProject (no full sort).  customer scales with SF,
+    so no forced broadcast hint — AQE's size-based choice broadcasts the
+    filtered side only while it actually fits (a hard-coded hint would OOM
+    at SF100)."""
     cutoff = _ts("1998-03-15 00:00:00")
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
@@ -104,7 +107,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
@@ -164,8 +167,9 @@ ORDER BY revenue DESC
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume: 6-way join with a same-nation constraint.
     Reference resources/sql/tpch/5.sql.  Join order: facts joined first on
-    their shared keys, dims broadcast (region/nation tiny; the filtered
-    supplier set small) — the shape CBO join-reorder picks at scale."""
+    their shared keys.  Only region/nation (fixed-size dims) carry explicit
+    broadcast hints; supplier/customer scale with SF, so their join strategy
+    is left to AQE's size-based decision."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
@@ -176,7 +180,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, (orders.o_custkey == cust.c_custkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -239,20 +243,26 @@ ORDER BY supp_nation, cust_nation, l_year
 @register("tpch_q7", _Q7_ORACLE)
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume shipping: self-joined dimension (nation x2) + disjunctive
-    cross-nation predicate.  Reference resources/sql/tpch/7.sql."""
+    cross-nation predicate.  Reference resources/sql/tpch/7.sql.
+    The two-nation membership filter is pushed into the n1/n2 dimension
+    scans (shrinks both broadcasts and every downstream probe); only the
+    cross-pair disjunction remains a residual filter after the joins."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(_ts("1996-01-01 00:00:00"),
                                     _ts("1997-12-31 00:00:00")))
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    n1 = load_table(spark, sf_dir, "nation").select(
+    nation_pair = ("NATION_1", "NATION_2")
+    n1 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nation_pair)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = load_table(spark, sf_dir, "nation").select(
+    n2 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nation_pair)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
@@ -365,7 +375,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg((F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_revenue"))
     )
 
@@ -376,7 +386,8 @@ SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
     SELECT l_orderkey FROM lineitem
-    GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 300)
   AND c_custkey = o_custkey AND o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
@@ -388,13 +399,13 @@ LIMIT 100
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customer: IN (grouped subquery with HAVING) -> semi
     join.  Reference resources/sql/tpch/18.sql; relalg.in
-    (RelAlgOps.td:523-528).  SUM(l_quantity) here is integral-valued, so
-    plain double sum is already exact — still uses dsum for the projected
-    column to pin the oracle hash."""
+    (RelAlgOps.td:523-528).  The HAVING sum accumulates in exact decimal so
+    the > 300 decision boundary can't flip with summation order."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
            .filter(F.col("q") > 300).select("l_orderkey"))
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
@@ -437,7 +448,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
@@ -451,7 +462,9 @@ FROM (
   FROM customer
   WHERE c_acctbal > (SELECT {SQL_DAVG('c_acctbal')} FROM customer
                      WHERE c_acctbal > 0.0)
-    AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)
+    AND NOT EXISTS (SELECT * FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 ) custsale
 GROUP BY cntrycode
 ORDER BY cntrycode
@@ -460,19 +473,23 @@ ORDER BY cntrycode
 
 @register("tpch_q22", _Q22_ORACLE)
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global sales opportunity: scalar subquery + NOT EXISTS anti join.
+    """Global sales opportunity: scalar subquery + NOT EXISTS anti join
+    (customers above average balance with no *recent* orders — the date
+    restriction keeps the anti join non-vacuous on the driver's synthetic
+    data, where every customer has at least one historical order).
     Reference resources/sql/tpch/22.sql; relalg.getscalar
     (RelAlgOps.td:507-513) + antisemijoin (RelAlgOps.td:307-316).
     The scalar average is computed once and broadcast into the filter —
     Spark's subquery-as-literal via a cross join of a 1-row aggregate."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
     avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
                .agg(davg("c_acctbal").alias("avg_bal")))
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .select((F.col("c_nationkey") % 10).alias("cntrycode"), "c_acctbal")
         .groupBy("cntrycode")
         .agg(F.count(F.lit(1)).alias("numcust"),
