@@ -1,1 +1,239 @@
-"""placeholder — populated later this round."""
+"""Scalar-function correctness queries — pins the semantics of the engine's
+function library (lingo_db_spark.functions) against the DuckDB oracle, the
+analogue of the reference's per-kernel lit tests in test/lit/DB/
+(boolops.mlir, casts.mlir, compare.mlir, dates.mlir, decimalops.mlir,
+nulls.mlir, stringops.mlir) over the runtime registry
+(reference src/compiler/Dialect/DB/RuntimeFunctions/RuntimeFunctions.cpp).
+
+Cross-engine hazards handled here:
+- round() at a .5 boundary of 2-decimal doubles can differ between engines
+  (binary representation): oracle queries round at scale 3 (no boundary);
+  the half-away-from-zero rule itself is pinned on literals in
+  tests/test_scalars.py.
+- transcendentals (sqrt/log/exp) may differ by 1 ulp between libms: results
+  rounded to 6 decimals.
+- EXTRACT returns int32 in Spark, int64 in DuckDB: cast to BIGINT on the
+  Spark side.
+- xxhash64 and DuckDB's hash are different functions: hashes are compared
+  via distinct-count preservation, not value equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lingo_db_spark import functions as lf
+from lingo_db_spark.catalog import load_table
+from lingo_db_spark.queries import register
+
+
+@register("scalars_string", """
+SELECT c_custkey,
+       substr(c_name, 1, 8) AS name8,
+       substr(c_name, 10) AS name_tail,
+       upper(c_mktsegment) AS seg_up,
+       lower(c_name) AS name_lo,
+       length(c_name) AS name_len,
+       strpos(c_name, '1') - 1 AS find_one,
+       c_name || ':' || c_mktsegment AS joined,
+       replace(c_name, 'Customer', 'Cust') AS name_repl,
+       regexp_replace(c_name, '[0-9]+', '#') AS name_nodigit,
+       (c_name LIKE 'Customer%1') AS like_flag,
+       starts_with(c_name, 'Customer') AS sw,
+       ends_with(c_name, '7') AS ew,
+       string_split(c_name, '#')[1] AS first_tok,
+       ascii(c_mktsegment) AS seg_ord
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+""")
+def scalars_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String kernel batch — reference StringRuntime registry rows
+    (RuntimeFunctions.cpp:276-292): Substring (1-based, open-ended form),
+    StringFind (0-based, -1 absent), ToUpper/ToLower, StringLength,
+    Concatenate, Replace, RegexpReplace, Like, startsWith/endsWith,
+    StringSplit, Ord."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    name = F.col("c_name")
+    return (cust.select(
+        "c_custkey",
+        lf.substring(name, 1, 8).alias("name8"),
+        lf.substring(name, 10).alias("name_tail"),
+        lf.to_upper("c_mktsegment").alias("seg_up"),
+        lf.to_lower(name).alias("name_lo"),
+        lf.string_length(name).cast("long").alias("name_len"),
+        lf.string_find(name, "1").cast("long").alias("find_one"),
+        lf.concatenate(name, F.lit(":"), F.col("c_mktsegment")).alias("joined"),
+        lf.replace(name, "Customer", "Cust").alias("name_repl"),
+        lf.regexp_replace(name, "[0-9]+", "#").alias("name_nodigit"),
+        lf.like(name, "Customer%1").alias("like_flag"),
+        lf.starts_with(name, "Customer").alias("sw"),
+        lf.ends_with(name, "7").alias("ew"),
+        lf.string_split(name, "#").getItem(0).alias("first_tok"),
+        lf.ord_("c_mktsegment").cast("long").alias("seg_ord"),
+    ).orderBy("c_custkey"))
+
+
+@register("scalars_math", """
+SELECT c_custkey,
+       abs(c_acctbal) AS abs_bal,
+       round(c_acctbal, 3) AS bal_r3,
+       round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+       round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln,
+       round(exp(c_acctbal / 10000.0), 6) AS bal_exp,
+       round(sin(c_acctbal), 6) AS bal_sin,
+       round(cos(c_acctbal), 6) AS bal_cos,
+       CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+       CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+       c_custkey % 7 AS key_mod
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+""")
+def scalars_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math kernel batch — reference AbsInt/AbsDecimal, RoundDecimal,
+    Sqrt/Log/Exp/Sin/Cos (RuntimeFunctions.cpp:293-340) plus floor/ceil/mod
+    from the db-dialect arithmetic ops (DBOps.td:397-440)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    bal = F.col("c_acctbal")
+    return (cust.select(
+        "c_custkey",
+        lf.abs_(bal).alias("abs_bal"),
+        lf.round_half_up(bal, 3).alias("bal_r3"),
+        F.round(lf.sqrt(lf.abs_(bal)), 6).alias("bal_sqrt"),
+        F.round(lf.log(lf.abs_(bal) + 1.0), 6).alias("bal_ln"),
+        F.round(lf.exp(bal / 10000.0), 6).alias("bal_exp"),
+        F.round(lf.sin(bal), 6).alias("bal_sin"),
+        F.round(lf.cos(bal), 6).alias("bal_cos"),
+        F.floor(bal).cast("long").alias("bal_floor"),
+        F.ceil(bal).cast("long").alias("bal_ceil"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+    ).orderBy("c_custkey"))
+
+
+@register("scalars_datetime", """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+            AS INTEGER) AS days_since,
+       CAST(o_orderdate AS DATE) + 30 AS due_date
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""")
+def scalars_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time kernel batch — reference DateTrunc, ExtractFromDate
+    family, DateDiffDay, DateAdd (RuntimeFunctions.cpp:316-330,
+    DateRuntime.h:6-18)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    od = F.col("o_orderdate")
+    return (orders.select(
+        "o_orderkey",
+        lf.date_trunc("month", od).alias("month_start"),
+        lf.extract("year", od).cast("long").alias("yr"),
+        lf.extract("month", od).cast("long").alias("mo"),
+        lf.extract("day", od).cast("long").alias("dom"),
+        lf.date_diff_days(od, F.lit("1995-01-01").cast("timestamp_ntz"))
+          .alias("days_since"),
+        lf.date_add_days(od, 30).alias("due_date"),
+    ).orderBy("o_orderkey"))
+
+
+@register("scalars_condexpr", """
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+            WHEN o_orderpriority IN ('2-HIGH', '3-MEDIUM') THEN 'warm'
+            ELSE 'cold' END AS heat,
+       coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+       (o_totalprice BETWEEN 100000.0 AND 200000.0) AS mid_range,
+       (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+         OR o_orderpriority = '1-URGENT' AS flagged,
+       NOT (o_orderstatus = 'O') AS closed,
+       (NULLIF(o_orderstatus, 'O') IS NULL) AS was_open
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""")
+def scalars_condexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean / null-handling batch — searched CASE
+    (sql_mlir_translator.cpp:975-1110), db.between (DBOps.td:501-509),
+    db.oneof IN-list (:511-520), three-valued and/or/not (:522-545),
+    db.null/isnull + coalesce (:293-361)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    prio, status, price = (F.col("o_orderpriority"), F.col("o_orderstatus"),
+                           F.col("o_totalprice"))
+    return (orders.select(
+        "o_orderkey",
+        F.when(prio == "1-URGENT", "hot")
+         .when(prio.isin("2-HIGH", "3-MEDIUM"), "warm")
+         .otherwise("cold").alias("heat"),
+        F.coalesce(F.nullif(status, F.lit("O")), F.lit("open"))
+         .alias("status_label"),
+        price.between(100000.0, 200000.0).alias("mid_range"),
+        (((status == "F") & (price > 150000.0)) | (prio == "1-URGENT"))
+         .alias("flagged"),
+        (~(status == "O")).alias("closed"),
+        F.isnull(F.nullif(status, F.lit("O"))).alias("was_open"),
+    ).orderBy("o_orderkey"))
+
+
+@register("scalars_cast", """
+SELECT o_orderkey,
+       CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST('42' AS BIGINT) + o_orderkey AS from_str,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""")
+def scalars_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice batch — db.cast (DBOps.td:547-554) and the
+    string<->number/date cast kernels (StringRuntime.h:17-33).
+    double->int follows the engine's C-style truncation (DuckDB's
+    bare CAST rounds instead, so the oracle spells trunc() explicitly)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return (orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        (F.lit("42").cast("long") + F.col("o_orderkey")).alias("from_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    ).orderBy("o_orderkey"))
+
+
+@register("scalars_hash_distinct", """
+SELECT COUNT(DISTINCT hash(c_name)) AS n_hashes,
+       COUNT(DISTINCT c_name) AS n_names
+FROM customer
+""")
+def scalars_hash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash kernel — reference Hash/CombineHashes
+    (RuntimeFunctions.cpp:341-344).  xxhash64 and DuckDB's hash are
+    different algorithms, so the check is distinct-count preservation
+    (collision-free on this cardinality), not value equality."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.agg(
+        F.countDistinct(lf.hash64("c_name")).alias("n_hashes"),
+        F.countDistinct("c_name").alias("n_names"))
+
+
+@register("scalars_erf", None)  # DuckDB has no erf(): rows-only gate here;
+                                # exact values pinned in tests/test_scalars.py
+def scalars_erf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauss error function — reference FloatRuntime::erf
+    (RuntimeFunctions.cpp:339), the one registry function with no Spark
+    builtin: vectorized (Arrow-batched) pandas UDF, never row-at-a-time."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return (cust.select(
+        "c_custkey",
+        F.round(lf.erf(F.col("c_acctbal") / 10000.0), 6).alias("erf_bal"),
+    ).orderBy("c_custkey"))

@@ -1,0 +1,82 @@
+"""Plan-shape assertions — the analogue of the reference's lit/FileCheck
+golden-plan tests (test/lit/RelAlg/*.mlir): verify that the physical plans
+have the scale-critical properties (pushdown, no forced broadcast of
+SF-scaling tables, codegen, top-k instead of global sort) rather than just
+correct results.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_DIR, explain_str
+
+from lingo_db_spark.queries import load_all
+
+REG = load_all()
+
+
+def plan(spark, name, mode="formatted"):
+    return explain_str(REG[name].spark_fn(spark, SF_DIR), mode)
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    p = plan(spark, "tpch_q6")
+    assert "PushedFilters: [" in p
+    # At least one of the q6 predicates must be pushed into the scan.
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:400] or \
+           "l_discount" in p.split("PushedFilters", 1)[1][:400]
+
+
+def test_q6_scan_prunes_columns(spark):
+    p = plan(spark, "tpch_q6")
+    # ReadSchema must not include columns q6 never touches.
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q1_uses_whole_stage_codegen(spark):
+    # Under AQE the codegen subtrees only materialize in the *final* plan,
+    # so execute first, then inspect the same DataFrame's plan.
+    df = REG["tpch_q1"].spark_fn(spark, SF_DIR)
+    df.collect()
+    p = explain_str(df, "formatted")
+    assert "isFinalPlan=true" in p
+    # Spark 4 formatted mode marks whole-stage-codegen operators with "*".
+    # The scan->filter->project->partial-agg pipeline must be generated.
+    assert "* HashAggregate" in p and "* Filter" in p
+
+
+def test_no_broadcast_hint_on_scaling_tables(spark):
+    # The *optimized logical* plan must not carry broadcast hints for
+    # SF-scaling tables (customer/supplier/part): strategy is AQE's call.
+    # region/nation hints are fine (fixed-size dims, BROADCAST_TABLES).
+    for q in ("tpch_q3", "tpch_q14", "tpch_q19"):
+        p = plan(spark, q, "extended")
+        assert "ResolvedHint" not in p, f"{q} still carries a join hint"
+
+
+def test_topk_plans_take_ordered_not_global_sort(spark):
+    # ORDER BY + LIMIT must plan TakeOrderedAndProject (bounded-heap
+    # top-k, the analogue of the reference's subop.create_heap lowering,
+    # RelAlgToSubOp.cpp:1690-1737) — not a full global sort.
+    p = plan(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_and_anti_joins_planned(spark):
+    assert "LeftSemi" in plan(spark, "tpch_q4")
+    assert "LeftAnti" in plan(spark, "tpch_q22")
+
+
+def test_window_plans_single_shuffle_per_partitioning(spark):
+    p = plan(spark, "window_sum_frame")
+    assert "Window" in p
+    # Tree nodes render as "Exchange (n)"; details as "(n) Exchange".
+    # Expect exactly two shuffles: hash partition for the window, range
+    # partition for the final ORDER BY — nothing extra.
+    assert p.count("Exchange (") <= 2
+
+
+def test_adaptive_execution_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    p = plan(spark, "tpch_q3")
+    assert "AdaptiveSparkPlan" in p

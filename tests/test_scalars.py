@@ -1,0 +1,112 @@
+"""Scalar-function semantics pinned on literals — the analogue of the
+reference's test/lit/DB kernel tests (stringops, dates, decimalops,
+casts), for the cases the DuckDB-oracle queries can't pin (rounding at the
+.5 boundary, erf values, engine-internal hash determinism).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lingo_db_spark import functions as lf
+
+
+def one(spark, *cols):
+    return spark.range(1).select(*cols).collect()[0]
+
+
+def test_round_half_away_from_zero(spark):
+    # Reference RoundDecimal/RoundInt rounds half away from zero
+    # (DecimalRuntime.h:6); Spark F.round on literals agrees.
+    out = one(spark,
+              lf.round_half_up(F.lit(2.5), 0).alias("a"),
+              lf.round_half_up(F.lit(-2.5), 0).alias("b"),
+              lf.round_half_up(F.lit(0.125), 2).alias("c"))
+    assert out.a == 3.0 and out.b == -3.0
+    assert out.c == 0.13
+
+
+def test_substring_is_one_based_and_open_ended(spark):
+    out = one(spark,
+              lf.substring(F.lit("hello world"), 1, 5).alias("a"),
+              lf.substring(F.lit("hello world"), 7).alias("b"))
+    assert (out.a, out.b) == ("hello", "world")
+
+
+def test_string_find_zero_based_minus_one_absent(spark):
+    # Reference StringFind: 0-based index, -1 when absent
+    # (RuntimeFunctions.cpp:277).
+    out = one(spark,
+              lf.string_find(F.lit("hello"), "ll").alias("a"),
+              lf.string_find(F.lit("hello"), "zz").alias("b"))
+    assert (out.a, out.b) == (2, -1)
+
+
+def test_string_split_literal_separator(spark):
+    # Split on a regex metacharacter must treat it literally.
+    out = one(spark, lf.string_split(F.lit("a.b.c"), ".").alias("s"))
+    assert out.s == ["a", "b", "c"]
+
+
+def test_extract_fields(spark):
+    ts = F.lit("1996-03-15 13:45:30").cast("timestamp_ntz")
+    out = one(spark,
+              lf.extract("year", ts).alias("y"), lf.extract("month", ts).alias("m"),
+              lf.extract("day", ts).alias("d"), lf.extract("hour", ts).alias("h"),
+              lf.extract("minute", ts).alias("mi"), lf.extract("second", ts).alias("s"))
+    assert (out.y, out.m, out.d, out.h, out.mi, out.s) == (1996, 3, 15, 13, 45, 30)
+
+
+def test_extract_unknown_field_raises(spark):
+    try:
+        lf.extract("fortnight", F.lit("1996-03-15").cast("date"))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "fortnight" in str(e)
+
+
+def test_erf_matches_math_erf(spark):
+    # Vectorized pandas UDF vs CPython math.erf (same kernel contract as
+    # reference FloatRuntime::erf).
+    df = spark.createDataFrame([(x / 10.0,) for x in range(-20, 21)], "x DOUBLE")
+    got = {r.x: r.e for r in df.select("x", lf.erf("x").alias("e")).collect()}
+    for x, e in got.items():
+        assert abs(e - math.erf(x)) < 1e-12
+
+
+def test_hash64_deterministic_and_distinct(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "s STRING")
+    h = df.select(lf.hash64("s").alias("h")).collect()
+    assert h[0].h == h[2].h and h[0].h != h[1].h
+
+
+def test_date_diff_and_add(spark):
+    d1 = F.lit("1996-01-01").cast("timestamp_ntz")
+    d2 = F.lit("1996-03-15").cast("timestamp_ntz")
+    out = one(spark,
+              lf.date_diff_days(d2, d1).alias("dd"),
+              lf.date_add_days(d1, 74).cast("string").alias("da"),
+              lf.date_subtract_days(d2, 74).cast("string").alias("ds"))
+    assert out.dd == 74
+    assert out.da == "1996-03-15"
+    assert out.ds == "1996-01-01"
+
+
+def test_date_trunc_units(spark):
+    ts = F.lit("1996-03-15 13:45:30").cast("timestamp_ntz")
+    out = one(spark,
+              lf.date_trunc("month", ts).cast("string").alias("m"),
+              lf.date_trunc("year", ts).cast("string").alias("y"),
+              lf.date_trunc("hour", ts).cast("string").alias("h"))
+    assert out.m == "1996-03-01 00:00:00"
+    assert out.y == "1996-01-01 00:00:00"
+    assert out.h == "1996-03-15 13:00:00"
+
+
+def test_random_in_range_bounds(spark):
+    vals = [r.v for r in
+            spark.range(200).select(lf.random_in_range(5, 10).alias("v")).collect()]
+    assert all(5 <= v < 10 for v in vals)
+    assert len(set(vals)) > 1
