@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # The ten engine tables shipped by the driver (TESTDATA.md). Schemas are
@@ -104,6 +105,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# On-disk deviations from the declared logical schema, resolved exactly at
+# load: events.ts is TIMESTAMP(NANOS) in the file, which Spark reads as
+# raw nanos under spark.sql.legacy.parquet.nanosAsLong; integer-divide to
+# micros (exact — no float detour) and cast to the declared NTZ type.
+_RAW_TYPE_OVERRIDES: dict[str, dict[str, str]] = {
+    "events": {"ts": "bigint"},
+}
+
 # Paths whose on-disk schema has already been checked against the declared
 # catalog schema (the reference's fixed-schema contract: no inference, a
 # mismatched file is an error, not a silent cast).
@@ -121,15 +130,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
+    overrides = _RAW_TYPE_OVERRIDES.get(name, {})
     if path not in _VALIDATED_PATHS:
-        declared = sorted((f.name, f.dataType.simpleString())
-                          for f in TABLE_SCHEMAS[name].fields)
+        declared = sorted(
+            (f.name, overrides.get(f.name, f.dataType.simpleString()))
+            for f in TABLE_SCHEMAS[name].fields)
         actual = sorted((f.name, f.dataType.simpleString())
                         for f in df.schema.fields)
         if declared != actual:
             raise ValueError(
                 f"schema mismatch for {name}: declared={declared} actual={actual}")
         _VALIDATED_PATHS.add(path)
+    if name == "events":
+        # nanos -> micros by integer division (exact), then to the
+        # declared NTZ type (session TZ is pinned to UTC).
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
     return df
 
 

@@ -1,0 +1,11 @@
+"""Custom operators beyond plain relational algebra (similarity search,
+and the composition helpers that back them)."""
+
+from lingo_db_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine,
+    dot,
+    lsh_buckets,
+    lsh_topk,
+    norm,
+)

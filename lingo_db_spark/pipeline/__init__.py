@@ -1,0 +1,26 @@
+"""LLM-data-pipeline operators: dedup, text analysis, similarity,
+multimodal plumbing — the Phase-4 extensions from SURVEY.md §7."""
+
+from lingo_db_spark.pipeline.dedup import (  # noqa: F401
+    dedup_exact,
+    hamming64,
+    jaccard,
+    lsh_candidate_pairs,
+    minhash_signature,
+    neardup_minhash,
+    neardup_simhash,
+    simhash,
+)
+from lingo_db_spark.pipeline.text import (  # noqa: F401
+    bpe_token_estimate,
+    digit_ratio,
+    fingerprint,
+    lang_id,
+    normalized_text,
+    punct_ratio,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count,
+    tokens,
+)

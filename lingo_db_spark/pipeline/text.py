@@ -1,0 +1,137 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, shingling, fingerprinting, quality scoring, token-count
+estimation, and a stopword-based language-ID heuristic.
+
+These have no reference counterpart (lingo-db is a pure OLAP engine); they
+are the pipeline extensions SURVEY.md §7 Phase 4 calls for.  Everything
+here is JVM-side (built-in functions + higher-order array functions) so it
+stays inside whole-stage codegen — no Python in the hot path — and every
+operator is a narrow (per-row) transformation: no shuffle, scales linearly
+with input splits at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Normalization: lowercase, collapse any non-alphanumeric run to one space.
+_NON_ALNUM = "[^a-z0-9]+"
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), _NON_ALNUM, " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.filter(F.split(normalized_text(col), " "), lambda t: t != "")
+
+
+def shingles(tokens_col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (array<string>); empty array when the
+    document has fewer than k tokens."""
+    n = F.size(tokens_col)
+    made = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.array_join(F.slice(tokens_col, i, k), " "))
+    return F.when(n >= k, F.array_distinct(made)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    md5 (not xxhash64) so external systems — and the DuckDB oracle — can
+    reproduce it bit-for-bit."""
+    return F.md5(normalized_text(col))
+
+
+# --- quality statistics ----------------------------------------------------
+
+_STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish token-count estimate without a tokenizer model: alphabetic
+    runs count ~1 token per 4 chars (ceil), every digit and every other
+    non-space symbol counts 1 — a cheap, deterministic stand-in with the
+    right order of magnitude for budget accounting."""
+    c = F.col(col) if isinstance(col, str) else col
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    symbols = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    return (F.ceil(alpha_chars / F.lit(4.0)) + digits + symbols).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c), F.lit(1))
+    return F.length(F.regexp_replace(c, "[^.,;:!?'\"()-]", "")) / n
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c), F.lit(1))
+    return F.length(F.regexp_replace(c, "[^0-9]", "")) / n
+
+
+def stopword_ratio(col: Column | str, stopwords=_STOPWORDS_EN) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band, enough
+    tokens, low punctuation/digit noise, some stopword mass (fluent prose).
+    Mirrors the hand-rolled quality filters of public web-scale pipeline
+    recipes (C4-style heuristics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ln = F.length(c)
+    score = (
+        F.when((ln >= 50) & (ln <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(token_count(c) >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(c) <= 0.10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(c) >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+# --- language identification ----------------------------------------------
+
+# Tiny high-frequency marker lexicons; enough to separate the major
+# European languages and CJK on real prose (unit-tested on constructed
+# snippets — the driver's synthetic `documents.lang` labels are metadata,
+# not derivable from the word-soup text).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con"),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Best-guess language code by marker-token hits; 'zh' when CJK
+    codepoints dominate; 'und' when nothing matches.  Pure JVM expression:
+    per-language hit counts -> argmax via array_max over (score, lang)
+    structs (deterministic tie-break: lexicographically greatest lang at
+    equal score, pinned by tests)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(tokens(c))
+    scored = []
+    for lang, markers in LANG_MARKERS.items():
+        lex = F.array(*[F.lit(w) for w in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    cjk = F.length(F.regexp_replace(c, "[^\\u4e00-\\u9fff]", ""))
+    return (F.when(cjk * 2 >= F.length(c), F.lit("zh"))
+            .when(best.getField("score") > 0, best.getField("lang"))
+            .otherwise(F.lit("und")))

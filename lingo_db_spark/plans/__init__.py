@@ -1,0 +1,114 @@
+"""Iterative dataflow helpers — the engine's analogue of the reference's
+subop.loop (SubOperatorOps.td:937-953) and its k-means/PageRank
+sub-operator programs (test/lit/SubOp/kmeans.mlir, pagerank.mlir):
+driver-side iteration over DataFrames with periodic checkpointing to cut
+lineage growth (SURVEY.md §7 hard-parts #6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lingo_db_spark.operators.similarity import dot
+
+
+def iterate(df: DataFrame,
+            step: Callable[[DataFrame, int], DataFrame],
+            max_iters: int,
+            until: Callable[[DataFrame, DataFrame], bool] | None = None,
+            checkpoint_every: int = 5) -> DataFrame:
+    """Run `step` up to max_iters times (subop.loop semantics: loop while
+    condition, bounded).  localCheckpoint every `checkpoint_every` rounds
+    truncates the lineage so plan size stays O(1) instead of O(iters) —
+    without it, iteration 50 recompiles a 50-deep plan."""
+    cur = df
+    for i in range(max_iters):
+        nxt = step(cur, i)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if until is not None and until(cur, nxt):
+            return nxt
+        cur = nxt
+    return cur
+
+
+def kmeans(emb: DataFrame, k: int = 4, iters: int = 5,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over an embedding column, the reference's
+    kmeans.mlir capability re-expressed Spark-first.
+
+    Per round: centroids live driver-side (k rows — the one legitimate
+    collect), assignment is a broadcast of k centroid literals + min_by
+    (no shuffle), centroid update is one partial-aggregated shuffle of
+    k*dim cells.  Deterministic init: the k lowest-id vectors.
+
+    Returns (cluster_id, n, inertia): cluster sizes and summed squared
+    distance."""
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    init = (base.orderBy("_id").limit(k).collect())
+    centroids = [list(map(float, r._v)) for r in init]
+
+    def _sqdist(vec, cent: list[float]):
+        lit = F.array(*[F.lit(c) for c in cent])
+        diff = F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign(df: DataFrame) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(_sqdist(F.col("_v"), c).alias("d"),
+                     F.lit(ci).alias("cid"))
+            for ci, c in enumerate(centroids)])
+        best = F.array_min(pairs)
+        return df.withColumn("cid", best.getField("cid")) \
+                 .withColumn("dist", best.getField("d"))
+
+    for _ in range(iters):
+        assigned = assign(base)
+        # new centroid = elementwise mean: explode dims, partial-agg mean
+        new = (assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+               .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+               .groupBy("cid")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                    .alias("pm"))
+               .select("cid", F.transform("pm", lambda s: s.getField("m"))
+                       .alias("c"))
+               .collect())
+        for r in new:
+            centroids[r.cid] = list(map(float, r.c))
+
+    final = assign(base)
+    return (final.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("dist"), 2).alias("inertia"))
+            .orderBy("cid"))
+
+
+def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """PageRank over an edge list — the reference's pagerank.mlir
+    capability.  Rank updates are join+groupBy rounds under iterate()
+    (checkpointed); dangling mass is redistributed uniformly.
+    Returns (node, rank)."""
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .union(edges.select(F.col(dst_col).alias("node")))
+             .distinct())
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    ranks0 = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contrib = (edges.join(ranks, edges[src_col] == ranks.node)
+                   .join(out_deg, src_col)
+                   .select(F.col(dst_col).alias("node"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        return (nodes.join(summed, "node", "left")
+                .select("node",
+                        (F.lit((1 - damping) / n_nodes)
+                         + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                        .alias("rank")))
+
+    return iterate(ranks0, step, iters, checkpoint_every=3)

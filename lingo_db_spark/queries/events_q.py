@@ -1,1 +1,160 @@
-"""placeholder — populated later this round."""
+"""Event-stream analytics + the extension surfaces: windowed aggregation
+(batch and Structured Streaming variants of the same logic), JSON
+extraction, sessionization, Python-UDF registration, iterative k-means,
+and the multimodal decode plumbing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lingo_db_spark import streaming as st
+from lingo_db_spark.catalog import load_table, register_views
+from lingo_db_spark.functions import dsum
+from lingo_db_spark.functions.udf import register_python_udf
+from lingo_db_spark.pipeline.multimodal import decode_media_meta, synth_media
+from lingo_db_spark.plans import kmeans
+from lingo_db_spark.queries import register
+
+_HOURLY_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4)
+         AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_window_hourly", _HOURLY_ORACLE)
+def events_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the events table (batch execution of
+    the streaming-shared logic in lingo_db_spark.streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (st.windowed_event_counts(ev, "1 hour")
+            .orderBy("window_start", "event_type"))
+
+
+@register("streaming_window_counts", _HOURLY_ORACLE)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hourly aggregation executed as a Structured Streaming
+    query: readStream -> watermark -> windowed agg -> availableNow ->
+    memory sink.  Same oracle as the batch variant — the batch/stream
+    symmetry check."""
+    sdf = st.windowed_event_counts(st.stream_events(spark, sf_dir), "1 hour")
+    out = st.run_stream_to_memory(sdf, "complete")
+    # Stream event time is tz-aware (watermark requirement); surface the
+    # catalog's NTZ convention for the cross-engine compare (UTC session).
+    return (out.withColumn("window_start",
+                           F.col("window_start").cast("timestamp_ntz"))
+            .orderBy("window_start", "event_type"))
+
+
+@register("events_json_extract", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction out of a string
+    column, aggregated (get_json_object stays JVM-side)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(k).alias("k_sum"),
+                 F.max(k).alias("k_max"))
+            .orderBy("event_type"))
+
+
+@register("events_sessionization", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+""")
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-minute gap
+    (lag window + cumulative flag — the pattern behind stateful
+    session_window streaming).  Partitioned by user: scales with user
+    count, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)   # NTZ diff -> day-time interval
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")),
+               F.lit(1)).otherwise(F.lit(0)))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id"))
+
+
+@register("udf_python_scalar", """
+SELECT c_custkey,
+       ROUND(c_acctbal * 2.0 + 1.0, 4) AS affine
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+""")
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION LANGUAGE python equivalent (reference
+    UDFImplementer.cpp:132-254): a vectorized pandas UDF registered under
+    a SQL name and invoked through spark.sql — the oracle recomputes the
+    same affine map natively."""
+    register_python_udf(
+        spark, "engine_affine",
+        lambda s: s * 2.0 + 1.0, "double", vectorized=True)
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql("""
+        SELECT c_custkey, ROUND(engine_affine(c_acctbal), 4) AS affine
+        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")
+
+
+@register("iter_kmeans", None)  # iterative, float-order-dependent:
+                                # rows-only; convergence pinned in tests
+def iter_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embeddings table via the iterate() helper —
+    the reference's kmeans.mlir sub-operator program re-expressed as
+    driver-side iteration (SURVEY.md §2.3 subop.loop)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=4, iters=5)
+
+
+@register("multimodal_decode_meta", """
+SELECT doc_id,
+       CAST(16 * (doc_id % 40) + 16 AS INTEGER) AS width,
+       CAST(16 * (doc_id % 30) + 16 AS INTEGER) AS height,
+       CAST(doc_id % 25 + 1 AS INTEGER) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+FROM documents
+ORDER BY doc_id
+""")
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents -> synthetic binary
+    media column -> Arrow-batched mapInPandas decode -> typed metadata.
+    The oracle recomputes the deterministic header fields arithmetically,
+    so the binary round-trip (pack -> decode) is value-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_meta(synth_media(docs)).orderBy("doc_id")

@@ -1,1 +1,228 @@
-"""placeholder — populated later this round."""
+"""LLM-data-pipeline queries over documents.parquet / embeddings.parquet:
+dedup (exact, fingerprint, MinHash+LSH, SimHash), text analysis, and
+similarity search.  Oracle SQL mirrors the operator semantics in DuckDB
+(list comprehensions + list_intersect/list_distinct give exact shingle
+Jaccard; list_cosine_similarity gives exact cosine), so even the
+"custom" operators are value-checked, not just row-counted — except the
+SimHash and LSH-ANN variants whose algorithms are engine-internal
+(rows-only here, behavior pinned in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lingo_db_spark import operators as ops
+from lingo_db_spark import pipeline as pl
+from lingo_db_spark.catalog import load_table
+from lingo_db_spark.queries import register
+
+# DuckDB rendering of the shared text normalization/token/trigram pipeline.
+_SQL_TOKS = ("string_split_regex(trim(regexp_replace(lower(text), "
+             "'[^a-z0-9]+', ' ', 'g')), ' ')")
+_SQL_TRIGRAMS = (f"list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+                 f"for i in range(1, len(t) - 1)])")
+
+
+@register("pipeline_dedup_exact", """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+ORDER BY doc_id
+""")
+def pipeline_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the raw text, keep the lowest doc_id.  One hash
+    shuffle on the dedup key; keep-first via per-partition row_number (no
+    global sort, no collect) — the shape that survives 100TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (pl.dedup_exact(docs, ["text"], "doc_id")
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id"))
+
+
+@register("pipeline_dedup_fingerprint", """
+SELECT doc_id, fp FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+ORDER BY doc_id
+""")
+def pipeline_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-invariant dedup: md5 fingerprint of the normalized
+    text (md5, not xxhash, so external systems reproduce it).  Catches
+    case/punctuation/whitespace-only edits that exact dedup misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", pl.fingerprint("text").alias("fp"))
+    return pl.dedup_exact(fp, ["fp"], "doc_id").orderBy("doc_id")
+
+
+@register("pipeline_minhash_neardup", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tri AS (
+  SELECT doc_id, {_SQL_TRIGRAMS} AS tris FROM tok WHERE len(t) >= 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+             / len(list_distinct(a.tris || b.tris)), 4) AS jaccard
+FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+      / len(list_distinct(a.tris || b.tris)) >= 0.8
+ORDER BY id_a, id_b
+""")
+def pipeline_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at trigram-Jaccard >= 0.8 via MinHash + LSH
+    banding (64 hashes, 16 bands x 4 rows => recall ~0.9998 at 0.8), exact
+    Jaccard re-scored on candidates only.  The oracle computes the
+    all-pairs ground truth in DuckDB — the LSH path must reproduce it
+    while only ever joining within signature-band buckets (O(n·bucket),
+    no crossJoin; see tests/test_pipeline.py for the plan assertion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (pl.neardup_minhash(docs, "doc_id", "text", threshold=0.8)
+            .orderBy("id_a", "id_b"))
+
+
+@register("pipeline_simhash_neardup", None)  # engine-internal signature;
+                                             # semantics pinned in tests
+def pipeline_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 10 over 64-bit
+    signatures; pigeonhole 16-bit-chunk equi-join generates candidates
+    (4 chunks guarantee recall for distance <= 3; larger distances are
+    best-effort, the standard SimHash trade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (pl.neardup_simhash(docs, "doc_id", "text", max_hamming=10)
+            .orderBy("id_a", "id_b"))
+
+
+@register("text_quality_stats", f"""
+WITH tok AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       CAST(ceil(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0)
+            + len(regexp_replace(text, '[^0-9]', '', 'g'))
+            + len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            AS BIGINT) AS bpe_est,
+       ROUND(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             / greatest(len(text), 1), 6) AS punct_r,
+       ROUND(CAST(len(list_filter(t, x -> x IN
+             ('the','a','of','and','to','in','is','it','on','for'))) AS DOUBLE)
+             / greatest(len(t), 1), 6) AS stopword_r,
+       ROUND(CAST(
+             CASE WHEN len(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END
+           + CASE WHEN len(t) >= 10 THEN 0.25 ELSE 0.0 END
+           + CASE WHEN CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                        AS DOUBLE) / greatest(len(text), 1) <= 0.10
+                  THEN 0.25 ELSE 0.0 END
+           + CASE WHEN CAST(len(list_filter(t, x -> x IN
+                   ('the','a','of','and','to','in','is','it','on','for')))
+                   AS DOUBLE) / greatest(len(t), 1) >= 0.01
+                  THEN 0.25 ELSE 0.0 END AS DOUBLE), 2) AS quality
+FROM tok
+ORDER BY doc_id
+""")
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: token count, BPE-ish token
+    estimate, punctuation ratio, stopword ratio, composite quality score —
+    C4-style heuristics, all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        pl.token_count("text").cast("long").alias("n_tokens"),
+        pl.bpe_token_estimate("text").alias("bpe_est"),
+        F.round(pl.punct_ratio("text"), 6).alias("punct_r"),
+        F.round(pl.stopword_ratio("text"), 6).alias("stopword_r"),
+        F.round(pl.quality_score("text"), 2).alias("quality"),
+    ).orderBy("doc_id"))
+
+
+@register("text_langid_counts", None)  # heuristic is engine-internal;
+                                       # behavior pinned in tests
+def text_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of predicted languages over the corpus (stopword-
+    marker heuristic + CJK codepoint ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(pl.lang_id("text").alias("pred_lang"))
+            .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("pred_lang"))
+
+
+# --- similarity search -----------------------------------------------------
+
+def _query_vectors(emb: DataFrame, n: int = 5) -> DataFrame:
+    return (emb.filter(F.col("vec_id") < n)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+
+
+@register("ann_topk_bruteforce", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, base.vec_id,
+         CAST(list_cosine_similarity(base.embedding, q.q_vec) AS DOUBLE)
+           AS cos_raw
+  FROM base, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — the ANN correctness
+    baseline (O(n·q), q broadcast).  Dot products via zip_with/aggregate,
+    fully JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    out = ops.brute_force_topk(base, _query_vectors(emb), k=10)
+    return (out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+            .orderBy("q_id", "rank"))
+
+
+@register("ann_topk_lsh", None)  # approximate by construction; recall vs
+                                 # brute force asserted in tests
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random-hyperplane buckets,
+    16 tables x 4 bits): the scale path — candidates come only from
+    bucket collisions, exact cosine re-ranks them.  No crossJoin in the
+    plan (asserted in tests/test_pipeline.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    out = ops.lsh_topk(base, _query_vectors(emb), k=10, dim=64,
+                       n_planes=4, n_tables=16)
+    return (out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+            .orderBy("q_id", "rank"))
+
+
+@register("embedding_norms", """
+SELECT label,
+       COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 4)
+         AS avg_norm,
+       ROUND(MIN(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 4)
+         AS min_norm,
+       ROUND(MAX(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 4)
+         AS max_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""")
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm statistics per label: array math (higher-order
+    functions) flowing into a grouped aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = ops.norm(F.col("embedding"))
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(nrm), 4).alias("avg_norm"),
+                 F.round(F.min(nrm), 4).alias("min_norm"),
+                 F.round(F.max(nrm), 4).alias("max_norm"))
+            .orderBy("label"))

@@ -31,6 +31,10 @@ ENGINE_CONFS: dict[str, str] = {
     # Broadcast threshold: dims like region/nation/customer always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which the
+    # parquet reader rejects by default; read as raw nanos (bigint) and
+    # convert exactly in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
 }

@@ -1,0 +1,66 @@
+"""Structured Streaming extensions (beyond reference parity — lingo-db is
+batch-only, SURVEY.md §1.1/§2.7; these are the streaming variants the
+pipeline operators need).
+
+Batch/stream symmetry: the transformations are written against plain
+DataFrames, so the same logic runs over spark.read (batch) and
+spark.readStream (incremental).  Tests and the registered query drive the
+stream with trigger(availableNow=True) — processes all available input
+then stops, giving deterministic, oracle-comparable results.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from lingo_db_spark.catalog import TABLE_SCHEMAS
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (declared schema — streaming
+    sources never infer).  The file stores TIMESTAMP(NANOS): read ts as
+    raw nanos and convert exactly to TimestampType — watermarks require a
+    timezone-aware event-time column (session TZ is pinned UTC)."""
+    raw = T.StructType([
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType,
+                      f.nullable)
+        for f in TABLE_SCHEMAS["events"].fields])
+    df = (spark.readStream
+          .schema(raw)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(events: DataFrame,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sums per event type.  On a stream
+    the watermark bounds state: windows older than (max event time -
+    watermark) are finalized and dropped — the knob that keeps state
+    finite on an unbounded 100TB/day stream."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(38,10)"))
+                         .cast("double"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+
+
+def run_stream_to_memory(sdf: DataFrame, output_mode: str = "complete",
+                         name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into an
+    in-memory sink; returns the result as a batch DataFrame."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,166 @@
+"""Tests for the extension surfaces: streaming batch/stream symmetry,
+multimodal binary plumbing, iterate()/kmeans/pagerank, CSV/JSON ingest
+(COPY FROM), UDF registration, and the Connection facade
+(CREATE TABLE / INSERT / VALUES through spark.sql).
+"""
+
+from __future__ import annotations
+
+import math
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lingo_db_spark import streaming as st
+from lingo_db_spark.catalog import load_table
+from lingo_db_spark.connection import Connection
+from lingo_db_spark.functions.udf import register_python_udf
+from lingo_db_spark.pipeline.multimodal import (
+    byte_histogram_features,
+    decode_media_meta,
+    sample_frames,
+    synth_media,
+)
+from lingo_db_spark.plans import iterate, kmeans, pagerank
+from lingo_db_spark.sources import copy_from_csv, copy_from_json
+
+
+# --- streaming ---------------------------------------------------------------
+
+def test_stream_matches_batch(spark):
+    batch = st.windowed_event_counts(
+        load_table(spark, SF_DIR, "events"), "1 hour")
+    stream = st.windowed_event_counts(
+        st.stream_events(spark, SF_DIR), "1 hour")
+    got_b = {(str(r.window_start), r.event_type): (r.n_events, r.total_value)
+             for r in batch.collect()}
+    got_s = {(str(r.window_start), r.event_type): (r.n_events, r.total_value)
+             for r in st.run_stream_to_memory(stream, "complete").collect()}
+    assert got_b == got_s
+
+
+def test_stream_watermark_is_set(spark):
+    sdf = st.windowed_event_counts(st.stream_events(spark, SF_DIR), "1 hour",
+                                   watermark="2 hours")
+    assert sdf.isStreaming
+
+
+# --- multimodal --------------------------------------------------------------
+
+def test_media_roundtrip_and_features(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = synth_media(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+    meta = decode_media_meta(media)
+    got = {r.doc_id: r for r in meta.collect()}
+    for doc_id, r in got.items():
+        assert r.width == 16 * (doc_id % 40) + 16
+        assert r.n_frames == doc_id % 25 + 1
+        assert r.payload_len > 0
+    feats = byte_histogram_features(media).collect()
+    for r in feats:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_decode_real_codec_is_stubbed(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    try:
+        decode_media_meta(synth_media(docs), real_codec=True)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_frame_sampling(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    meta = decode_media_meta(synth_media(docs))
+    frames = sample_frames(meta, every_n=5)
+    got = {r.doc_id: [] for r in frames.collect()}
+    for r in frames.collect():
+        got[r.doc_id].append(r.frame_idx)
+    for doc_id, idxs in got.items():
+        n = doc_id % 25 + 1
+        assert sorted(idxs) == list(range(0, n, 5))
+
+
+# --- iterative ---------------------------------------------------------------
+
+def test_iterate_until_and_checkpoint(spark):
+    df0 = spark.createDataFrame([(1,)], "x INT")
+    out = iterate(df0, lambda df, i: df.select((F.col("x") * 2).alias("x")),
+                  max_iters=10,
+                  until=lambda prev, new: new.collect()[0].x >= 16,
+                  checkpoint_every=2)
+    assert out.collect()[0].x == 16
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    total = emb.count()
+    out = kmeans(emb, k=4, iters=3).collect()
+    assert len(out) == 4
+    assert sum(r.n for r in out) == total
+    assert all(r.inertia >= 0 for r in out)
+
+
+def test_pagerank_on_known_graph(spark):
+    # star graph: everyone links to 0 -> node 0 gets the highest rank;
+    # ranks sum to ~1.
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src INT, dst INT")
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=15).collect()}
+    assert max(ranks, key=ranks.get) == 0
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-3)
+
+
+# --- sources (COPY FROM) -----------------------------------------------------
+
+def test_copy_from_csv_declared_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    schema = T.StructType([T.StructField("a", T.IntegerType()),
+                           T.StructField("b", T.StringType())])
+    df = copy_from_csv(spark, str(p), schema, view_name="csv_in")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["int", "string"]
+    assert spark.sql("SELECT SUM(a) s FROM csv_in").collect()[0].s == 3
+
+
+def test_copy_from_json(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    schema = T.StructType([T.StructField("a", T.LongType()),
+                           T.StructField("b", T.StringType())])
+    df = copy_from_json(spark, str(p), schema)
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+# --- UDF + Connection/DDL ----------------------------------------------------
+
+def test_register_row_udf(spark):
+    register_python_udf(spark, "plus_one_slow", lambda x: x + 1, "long",
+                        vectorized=False)
+    assert spark.sql("SELECT plus_one_slow(41) v").collect()[0].v == 42
+
+
+def test_connection_add_table_and_sql(spark):
+    con = Connection(spark)
+    con.add_table("conn_t", [(1, "a"), (2, "b")])
+    out = con.sql("SELECT COUNT(*) n FROM conn_t").collect()[0].n
+    assert out == 2
+    assert "conn_t" in con.tables
+
+
+def test_connection_create_insert_values(spark, tmp_path):
+    con = Connection(spark)
+    loc = tmp_path / "tbl"
+    con.sql_stmt(f"""
+        CREATE TABLE ddl_t (k INT, v STRING)
+        USING parquet LOCATION '{loc}'""")
+    con.sql_stmt("INSERT INTO ddl_t VALUES (1, 'x'), (2, 'y')")
+    got = sorted((r.k, r.v) for r in con.sql("SELECT * FROM ddl_t").collect())
+    assert got == [(1, "x"), (2, "y")]
+    inline = con.sql("SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, v)")
+    assert inline.count() == 2
+    con.sql_stmt("DROP TABLE ddl_t")

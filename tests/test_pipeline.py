@@ -1,0 +1,174 @@
+"""Tests for the LLM-pipeline operators: dedup semantics, MinHash/SimHash
+behavior, LSH-ANN recall vs brute force, language-ID on constructed
+snippets, and the scale-critical plan shapes (no cartesian products in
+any candidate-generation path).
+"""
+
+from __future__ import annotations
+
+from conftest import SF_DIR, explain_str
+from pyspark.sql import functions as F
+
+from lingo_db_spark import operators as ops
+from lingo_db_spark import pipeline as pl
+from lingo_db_spark.catalog import load_table
+
+
+# --- dedup -----------------------------------------------------------------
+
+def test_dedup_exact_keeps_lowest_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id INT, t STRING")
+    out = sorted(r.id for r in pl.dedup_exact(df, ["t"], "id").collect())
+    assert out == [1, 3]
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("different text",)],
+        "t STRING")
+    fps = [r.fp for r in df.select(pl.fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_minhash_finds_neardup_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely unrelated content about spark shuffles and joins " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id INT, text STRING")
+    pairs = {(r.id_a, r.id_b) for r in
+             pl.neardup_minhash(df, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_plan_has_no_cartesian_product(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = explain_str(pl.neardup_minhash(docs, "doc_id", "text"), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidates_far_below_all_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    sigs = pl.minhash_signature(docs, "doc_id", "text")
+    n_cand = pl.lsh_candidate_pairs(sigs, "doc_id").count()
+    assert n_cand < n * (n - 1) / 2 * 0.2, (
+        f"{n_cand} candidate pairs vs {n*(n-1)//2} total — banding not selective")
+
+
+def test_simhash_deterministic_and_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy")
+    far = "totally different words everywhere in this one honestly " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "id INT, t STRING")
+    out = {r.id: r.sh for r in
+           df.select("id", pl.simhash(pl.tokens("t")).alias("sh")).collect()}
+    assert out[1] == out[2]                      # deterministic
+    ham = df.select(
+        pl.hamming64(F.lit(out[1]), F.lit(out[3])).alias("near"),
+        pl.hamming64(F.lit(out[1]), F.lit(out[4])).alias("far")).collect()[0]
+    assert ham.near < ham.far                    # locality-sensitive
+
+
+def test_simhash_chunk_join_complete_for_small_distance(spark):
+    # Pigeonhole guarantee: distance <= 3 pairs always share a 16-bit chunk.
+    docs = load_table(spark, SF_DIR, "documents").limit(80)
+    sh = docs.select("doc_id", pl.simhash(pl.tokens("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .filter(pl.hamming64(F.col("sa"), F.col("sb")) <= 3).collect()}
+    banded = {(r.id_a, r.id_b) for r in
+              pl.neardup_simhash(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert brute == banded
+
+
+# --- text analysis ----------------------------------------------------------
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("Hello, World! Foo bar",)], "t STRING")
+    out = df.select(
+        pl.tokens("t").alias("toks"),
+        pl.shingles(pl.tokens("t"), 3).alias("sh3"),
+        pl.shingles(pl.tokens("t"), 9).alias("sh9")).collect()[0]
+    assert out.toks == ["hello", "world", "foo", "bar"]
+    assert out.sh3 == ["hello world foo", "world foo bar"]
+    assert out.sh9 == []                      # shorter than k -> empty
+
+
+def test_quality_score_bands(spark):
+    good = ("this is a long and fluent paragraph about the engine and its "
+            "operators which keeps going for quite a while to pass length ")
+    bad = "x!!!???;;;"
+    df = spark.createDataFrame([(good,), (bad,)], "t STRING")
+    out = [r.q for r in df.select(pl.quality_score("t").alias("q")).collect()]
+    assert out[0] == 1.0
+    assert out[1] <= 0.25
+
+
+def test_bpe_estimate_order_of_magnitude(spark):
+    df = spark.createDataFrame([("hello world, 42 tokens!",)], "t STRING")
+    est = df.select(pl.bpe_token_estimate("t").alias("e")).collect()[0].e
+    # ceil(15/4 alpha) + 2 digits + 2 symbols = 4 + 2 + 2
+    assert est == 8
+
+
+def test_lang_id_on_constructed_snippets(spark):
+    samples = [
+        ("en", "the cat and the dog sat on the mat and it is warm"),
+        ("de", "der hund und die katze sind nicht mit dem mann"),
+        ("fr", "le chien et la maison est dans les champs pas une fois"),
+        ("es", "el perro y los gatos es una casa que canta por la noche"),
+        ("zh", "我们的数据引擎是很快"),
+        ("und", "zzz qqq www rrr"),
+    ]
+    df = spark.createDataFrame(samples, "want STRING, t STRING")
+    got = {r.want: r.pred for r in
+           df.select("want", pl.lang_id("t").alias("pred")).collect()}
+    assert got == {w: w for w, _ in samples}
+
+
+# --- similarity search -------------------------------------------------------
+
+def _emb_and_queries(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    return base, q
+
+
+def test_lsh_topk_recall_against_brute_force(spark):
+    base, q = _emb_and_queries(spark)
+    k = 10
+    brute = {(r.q_id, r.vec_id) for r in
+             ops.brute_force_topk(base, q, k=k).collect()}
+    approx = {(r.q_id, r.vec_id) for r in
+              ops.lsh_topk(base, q, k=k, dim=64,
+                           n_planes=4, n_tables=16).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+
+
+def test_lsh_topk_plan_has_no_cartesian_product(spark):
+    base, q = _emb_and_queries(spark)
+    plan = explain_str(
+        ops.lsh_topk(base, q, k=10, dim=64, n_planes=4, n_tables=16),
+        "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    out = [round(r.c, 9) for r in
+           df.select(ops.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert out == [1.0, 0.0]
