@@ -61,21 +61,40 @@ def main() -> int:
     for missing in set(wanted) - set(names):
         log(f"bench: skipping unregistered query {missing}")
 
+    per_query_timeout = float(os.environ.get("BENCH_QUERY_TIMEOUT", "150"))
     spark = build_session("bench")
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name].spark_fn
+    sc = spark.sparkContext
+
+    def timed_collect(name: str, run_id: str) -> int | None:
+        """Run one collect under a watchdog: cancel the job group if it
+        exceeds the per-query timeout (guards against rare local-runtime
+        stalls poisoning the whole bench)."""
+        import threading
+        group = f"bench-{name}-{run_id}"
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        timer = threading.Timer(per_query_timeout,
+                                lambda: sc.cancelJobGroup(group))
+        timer.start()
         try:
             # collect(), not count(): count() lets Catalyst prune the agg
             # expressions entirely; collect materializes the real result
             # (the reference harness also fetches full results,
             # sqlite-tester.cpp:36-60). All headline results are small.
-            for _ in range(warmup):
-                fn(spark, sf_dir).collect()
+            return len(registry[name].spark_fn(spark, sf_dir).collect())
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            for i in range(warmup):
+                timed_collect(name, f"w{i}")
             samples = []
-            for _ in range(runs):
+            n_rows = 0
+            for i in range(runs):
                 t0 = time.perf_counter()
-                n_rows = len(fn(spark, sf_dir).collect())
+                n_rows = timed_collect(name, f"m{i}")
                 samples.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(samples), 4)
             log(f"bench: {name}: median {timings[name]:.3f}s "

@@ -19,6 +19,7 @@ aggregate) — no Python in the scoring loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,17 +60,24 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     return rng.normal(size=(n_tables, n_planes, dim)).astype(float)
 
 
-def _bucket(vec: Column, planes) -> Column:
-    """Sign-bit bucket id of `vec` for one table's planes (bigint)."""
-    bits = [
-        (dot(vec, F.array(*[F.lit(float(v)) for v in plane])) > 0)
-        .cast("long") * (1 << i)
-        for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _bucket_udf(planes):
+    """Vectorized bucket computation: all tables' sign bits in ONE numpy
+    matmul per Arrow batch (V @ P.T > 0), packed to per-table bucket ids.
+    A JVM expression tree of n_tables*n_planes separate dot-product
+    aggregates defeats codegen; the matmul is the batch-friendly form."""
+    flat = np.concatenate(planes, axis=0)          # (T*B, dim)
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy())              # (rows, dim)
+        bits = (v @ flat.T) > 0                    # (rows, T*B)
+        bits = bits.reshape(len(v), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2)         # (rows, T)
+        return pd.Series(list(ids))
+
+    return _buckets
 
 
 def lsh_buckets(df: DataFrame, vec_col: str, dim: int,
@@ -79,14 +87,8 @@ def lsh_buckets(df: DataFrame, vec_col: str, dim: int,
     table.  Downstream joins on (table_id, bucket) touch only colliding
     vectors."""
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    per_table = F.array(*[
-        F.struct(F.lit(t).alias("table_id"),
-                 _bucket(F.col(vec_col), planes[t]).alias("bucket"))
-        for t in range(n_tables)])
-    return (df.withColumn("__tb", F.explode(per_table))
-            .withColumn("table_id", F.col("__tb.table_id"))
-            .withColumn("bucket", F.col("__tb.bucket"))
-            .drop("__tb"))
+    buckets = _bucket_udf(planes)(F.col(vec_col))
+    return (df.select("*", F.posexplode(buckets).alias("table_id", "bucket")))
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import struct as _struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -38,47 +39,113 @@ def dedup_exact(df: DataFrame, key_cols: list[str] | tuple[str, ...],
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer splits — CPU-bound per-row work (shingling, signature UDFs)
+    must not run single-threaded just because the source was one small
+    file.  No-op at scale, where scans already produce >= cores splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key_col)
+    return df
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                   shingle_k: int = 3) -> DataFrame:
+    """(id, shs: array<bigint>) — xxhash64 of each distinct k-token
+    shingle.  Hashing once up front makes every downstream step (minhash
+    mins, set intersections) integer work instead of string work; set
+    sizes are preserved with 64-bit collision probability (~n²/2^64).
+
+    Tokenization is materialized in its own projection before shingling:
+    inlining tokens() into the shingle lambda makes Spark re-evaluate the
+    regexp+split per shingle position (no CSE through lambda references) —
+    measured 16x slower."""
+    toked = _spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
+                    id_col)
+    return toked.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col("__toks"), shingle_k),
+                        lambda s: F.xxhash64(s))).alias("shs"))
+
+
+_SIG_UDFS: dict[int, object] = {}
+
+
+def _signature_udf(num_hashes: int):
+    """Vectorized MinHash: per document, min over shingle hashes of H
+    multiply-shift mixes ((odd_A_i * h + B_i) mod 2^64) — one numpy outer
+    product per row.  Replaces a 64-column min-aggregation whose giant
+    codegen was both slow and high-variance; as a narrow per-row op it
+    also needs NO shuffle, which is the shape that wins at 100TB."""
+    if num_hashes in _SIG_UDFS:
+        return _SIG_UDFS[num_hashes]
+    rng = np.random.RandomState(42)
+    A = (rng.randint(0, 2**62, size=num_hashes).astype(np.uint64) * 2 + 1)
+    B = rng.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(shs: pd.Series) -> pd.Series:
+        # One flat computation for the whole Arrow batch (per-row numpy
+        # calls cost ~ms each in overhead): concatenate all shingle
+        # arrays, hash the flat vector, then minimum.reduceat at the
+        # per-document offsets.
+        lens = shs.map(len).to_numpy()
+        if len(lens) == 0 or lens.sum() == 0:
+            return pd.Series([np.zeros(num_hashes, dtype=np.int64)] * len(shs))
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in shs])
+        flat = flat.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            vals = flat[:, None] * A + B         # wraps mod 2^64 (intended)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        mins = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
+        return pd.Series(list(mins))
+
+    _SIG_UDFS[num_hashes] = _sig
+    return _sig
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, shingle_k: int = 3) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signature over distinct k-token
-    shingles.  h_i(doc) = min over shingles of xxhash64(i, shingle); the H
-    mins fold into ONE aggregation over the exploded shingles (map-side
-    partial min => tiny shuffle)."""
-    ex = df.select(F.col(id_col),
-                   F.explode(shingles(tokens(text_col), shingle_k)).alias("__sh"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
-            for i in range(num_hashes)]
-    sig = ex.groupBy(id_col).agg(*mins)
-    return sig.select(id_col,
-                      F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
-                      .alias("sig"))
+    shingles.  Documents with no shingles (< k tokens) are dropped — an
+    empty-set sentinel signature would collide every empty doc into every
+    band bucket (quadratic pair blowup); route empties to exact dedup
+    instead."""
+    sh = (shingle_hashes(df, id_col, text_col, shingle_k)
+          .filter(F.size("shs") > 0))
+    return sh.select(F.col(id_col),
+                     _signature_udf(num_hashes)(F.col("shs")).alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                         bands: int = 16,
-                        max_bucket_size: int | None = 10_000) -> DataFrame:
+                        max_bucket_size: int | None = 10_000,
+                        sig_len: int | None = None) -> DataFrame:
     """(id_a, id_b) candidate pairs: docs whose signatures agree on at
     least one full band.  Self-join restricted to (band_id, band_hash)
     buckets.  max_bucket_size drops degenerate buckets (e.g. the empty-
     document signature) that would otherwise produce quadratic pair blowup
     — the skew guard a 100TB run needs; dropped buckets are by definition
     huge duplicate classes better handled by exact dedup first."""
-    rows_per_band = F.floor(F.size("sig") / bands)
+    if sig_len is None:
+        # Fallback probe (runs a job): prefer passing sig_len explicitly.
+        first = sig_df.select(F.size("sig").alias("n")).head(1)
+        if not first:
+            return (sig_df.select(F.col(id_col).alias("id_a"))
+                    .withColumn("id_b", F.col("id_a")).limit(0))
+        sig_len = first[0].n
+    rows_per_band = sig_len // bands
+    # Band hash = one flat xxhash64 over the band's signature positions —
+    # direct element references, no slice/stringify detour.
+    band_hashes = [
+        F.xxhash64(F.lit(b), *[F.col("sig").getItem(b * rows_per_band + r)
+                               for r in range(rows_per_band)])
+        for b in range(bands)]
     banded = sig_df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.lit("band"), b,
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"),
-                                    (b * rows_per_band + 1).cast("int"),
-                                    rows_per_band.cast("int")),
-                            lambda v: v.cast("string")),
-                        ",")))
-        ).alias("band_id", "band_hash"))
+        F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash"))
     if max_bucket_size is not None:
         wcnt = Window.partitionBy("band_id", "band_hash")
         banded = (banded.withColumn("__bc", F.count(F.lit(1)).over(wcnt))
@@ -107,12 +174,17 @@ def neardup_minhash(df: DataFrame, id_col: str, text_col: str,
     16x4 default gives ~0.9998 at t=0.8 — and exact Jaccard re-scoring on
     candidates removes LSH false positives entirely, so the output equals
     the all-pairs answer with near-certainty at ~O(n) cost."""
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
-    sets_ = df.select(F.col(id_col),
-                      shingles(tokens(text_col), shingle_k).alias("__shs"))
-    a = sets_.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"))
-    b = sets_.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb"))
+    # The shingle sets feed both the signatures and the exact re-score:
+    # persist so the tokenize+shingle+hash pass runs once, not twice.
+    sets_ = shingle_hashes(df, id_col, text_col, shingle_k).persist()
+    sigs = (sets_.filter(F.size("shs") > 0)
+            .select(F.col(id_col),
+                    _signature_udf(num_hashes)(F.col("shs")).alias("sig")))
+    cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_hashes)
+    # Exact Jaccard over hashed shingle sets: same value as over the
+    # string sets (hashing is set-size-preserving), integer comparisons.
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("shs").alias("__sa"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("shs").alias("__sb"))
     return (cands.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
                     F.round(jaccard(F.col("__sa"), F.col("__sb")), 4)

@@ -584,3 +584,91 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (orders.select("o_orderkey", "o_custkey")
             .orderBy("o_orderkey").offset(5).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# GroupJoin / shared materialization / any_value
+# ---------------------------------------------------------------------------
+
+@register("groupjoin_fused", """
+SELECT n_name,
+       COALESCE(n_supp, 0) AS n_supp,
+       ROUND(COALESCE(total_bal, 0.0), 4) AS total_bal
+FROM nation LEFT JOIN (
+  SELECT s_nationkey, COUNT(*) AS n_supp,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS total_bal
+  FROM supplier GROUP BY s_nationkey) g
+ON n_nationkey = g.s_nationkey
+ORDER BY n_name
+""")
+def groupjoin_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relalg.groupjoin (RelAlgOps.td:240-253) in its outer form: nation
+    keys are duplicate-free, supplier aggregates BEFORE the join (eager
+    aggregation, OptimizeImplementations.cpp:671-850) — the raw supplier
+    table is never shuffled, only one row per nation."""
+    from lingo_db_spark.operators.groupjoin import group_join
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    gj = group_join(
+        nation, supp, "n_nationkey", "s_nationkey",
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("s_acctbal").cast(DEC)).cast("double").alias("bal"),
+        behavior="outer")
+    return (gj.select(
+        "n_name",
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.round(F.coalesce("bal", F.lit(0.0)), 4).alias("total_bal"))
+        .orderBy("n_name"))
+
+
+@register("tmp_shared_subtree", """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT 'high' AS bucket, COUNT(*) AS n_custs, MAX(n_orders) AS extreme
+FROM per_cust WHERE n_orders > 12
+UNION ALL
+SELECT 'low' AS bucket, COUNT(*) AS n_custs, MIN(n_orders) AS extreme
+FROM per_cust WHERE n_orders <= 12
+ORDER BY bucket
+""")
+def tmp_shared_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relalg.tmp — shared materialization of a multi-consumer subtree
+    (RelAlgOps.td:499-505; IntroduceTmp.cpp): the per-customer aggregate
+    is computed once (.cache()) and consumed by two branches of a union.
+    Catalyst has no general common-subtree elimination (SURVEY §4.1 row
+    17), so the engine introduces the tmp explicitly."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders"))).cache()
+    high = (per_cust.filter(F.col("n_orders") > 12)
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.max("n_orders").alias("extreme"))
+            .select(F.lit("high").alias("bucket"), "n_custs", "extreme"))
+    low = (per_cust.filter(F.col("n_orders") <= 12)
+           .agg(F.count(F.lit(1)).alias("n_custs"),
+                F.min("n_orders").alias("extreme"))
+           .select(F.lit("low").alias("bucket"), "n_custs", "extreme"))
+    return high.unionAll(low).orderBy("bucket")
+
+
+@register("agg_any_value", """
+SELECT n_nationkey,
+       ANY_VALUE(n_name) AS nation_name,
+       COUNT(*) AS n_custs
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+ORDER BY n_nationkey
+""")
+def agg_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggrfn `any` (RelAlgOps.td:71-85) — the reference uses it to carry
+    functionally-dependent columns through a group-by (ReduceGroupByKeys);
+    deterministic here because n_name is 1:1 with the group key."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_nationkey")
+            .agg(F.any_value("n_name").alias("nation_name"),
+                 F.count(F.lit(1)).alias("n_custs"))
+            .orderBy("n_nationkey"))

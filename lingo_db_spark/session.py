@@ -37,6 +37,18 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
+    # Whole-stage codegen of wide plans (multi-aggregate signatures,
+    # higher-order array expressions) generates enough JIT-compiled code
+    # to exhaust the default 240MB code cache mid-session, after which the
+    # JVM silently falls back to interpreted execution (measured: 5-20x
+    # slowdowns appearing intermittently). Reserve a big segmented cache
+    # and allow flushing, on both driver (local mode) and executors.
+    "spark.driver.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+        "-XX:+SegmentedCodeCache",
+    "spark.executor.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+        "-XX:+SegmentedCodeCache",
 }
 
 

@@ -80,3 +80,21 @@ def test_adaptive_execution_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     p = plan(spark, "tpch_q3")
     assert "AdaptiveSparkPlan" in p
+
+
+def test_observe_tracks_tuples(spark):
+    # relalg.track_tuples (RelAlgOps.td:530-534) -> df.observe metrics.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from lingo_db_spark.catalog import load_table
+    obs = Observation("track")
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    total = df.count()
+    assert obs.get["n_rows"] == total > 0
+
+
+def test_tmp_shared_subtree_uses_cache(spark):
+    p = plan(spark, "tmp_shared_subtree")
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
