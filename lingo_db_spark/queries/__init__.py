@@ -46,6 +46,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: populates REGISTRY)."""
     from lingo_db_spark.queries import (  # noqa: F401
         tpch,
+        tpch2,
         relops,
         scalars,
         events_q,

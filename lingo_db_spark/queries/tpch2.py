@@ -1,0 +1,536 @@
+"""TPC-H queries 2, 8, 9, 11, 12, 15, 16, 17, 20, 21 — the remainder of
+the reference's primary benchmark suite (reference resources/sql/tpch/*.sql;
+correctness gate test/sqlite-datasets/tpchSf1.test), adapted to the
+driver's synthetic schema:
+
+- no ``partsupp`` table -> the part<->supplier relation is derived from
+  ``lineitem`` (``SELECT DISTINCT l_partkey, l_suppkey``), and supply-cost
+  terms use ``p_retailprice`` proxies;
+- no ``l_commitdate``/``l_receiptdate`` -> "late" is expressed as
+  ``l_shipdate > o_orderdate + INTERVAL n DAYS`` (same operator shapes:
+  interval arithmetic + correlated date comparison);
+- no ``c_phone``/``p_container``/``s_comment`` -> equivalent predicates on
+  existing columns.
+
+Together with tpch.py this completes 22/22 query *shapes*.  The semantics
+exercised here and nowhere else: correlated MAX scalar subquery (q2),
+conditional market-share ratio (q8), HAVING against a scalar subquery over
+the same aggregate (q11), per-group correlated AVG threshold (q17,
+the groupjoin pattern), and double-correlated EXISTS / NOT EXISTS
+self-joins (q21, reference RelAlgOps.td:297-316 semijoin/antisemijoin with
+residual inequality predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lingo_db_spark.catalog import load_table
+from lingo_db_spark.functions import DEC, SQL_DSUM, dsum
+from lingo_db_spark.queries import register
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+def _part_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived part<->supplier catalog relation (stands in for
+    partsupp): distinct (l_partkey, l_suppkey) pairs.  At scale this is a
+    map-side-combined distinct on two int columns — one small shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.select(F.col("l_partkey").alias("partkey"),
+                      F.col("l_suppkey").alias("suppkey"))
+            .distinct())
+
+
+_PS_CTE = "SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: max-acctbal European supplier/part)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem),
+eligible AS (
+  SELECT p_partkey, p_type, s_acctbal, s_name, n_name
+  FROM part, ps, supplier, nation, region
+  WHERE p_partkey = partkey AND s_suppkey = suppkey
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE' AND p_type = 'STANDARD'
+    AND p_size IN (5, 15, 25))
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM eligible e
+WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM eligible e2
+                   WHERE e2.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("tpch_q2", _Q2_ORACLE)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best supplier per part: correlated MAX scalar subquery over the
+    same relation (reference resources/sql/tpch/2.sql; relalg.getscalar
+    RelAlgOps.td:507-513).  The engine rewrite: the correlated subquery
+    ranges over the outer relation keyed by p_partkey, so it collapses to
+    a window MAX + equality filter — one pass, no rescan, the same
+    unnesting the reference applies (ImplicitToExplicitJoins +
+    OptimizeImplementations) and strictly better at scale than a
+    re-aggregating self-join."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").isin(5, 15, 25))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    eligible = (
+        _part_supp(spark, sf_dir)
+        .join(part, F.col("partkey") == part.p_partkey)
+        .join(supp, F.col("suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("p_partkey", "p_type", "s_acctbal", "s_name", "n_name"))
+    best = F.max("s_acctbal").over(Window.partitionBy("p_partkey"))
+    return (eligible.withColumn("__best", best)
+            .filter(F.col("s_acctbal") == F.col("__best"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0.0 END
+                           AS DECIMAL(38,10))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("tpch_q8", _Q8_ORACLE)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share: 8-way join + conditional-sum ratio
+    (reference resources/sql/tpch/8.sql).  Filters (region, part type,
+    date range) are pushed into the dimension scans before any join; the
+    CASE'd numerator and denominator fold into ONE aggregation pass."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(_ts("1996-01-01 00:00:00"),
+                                     _ts("1997-12-31 00:00:00")))
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                volume.alias("volume"), "nation"))
+    national = F.when(F.col("nation") == "NATION_1",
+                      F.col("volume")).otherwise(F.lit(0.0))
+    return (joined.groupBy("o_year")
+            .agg(F.round(
+                F.sum(national.cast(DEC)).cast("double")
+                / F.sum(F.col("volume").cast(DEC)).cast("double"), 6)
+                .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (supply cost proxied by p_retailprice)
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {SQL_DSUM('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.4 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("tpch_q9", _Q9_ORACLE)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product profit by nation/year (reference resources/sql/tpch/9.sql;
+    supply cost proxied as 0.4*p_retailprice*l_quantity — the synthetic
+    schema has no partsupp).  The LIKE filter on p_name prunes part before
+    the fact join; profit folds into one exact-decimal aggregation."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year")))
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (revenue concentration, ASIA suppliers)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS val
+  FROM lineitem, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  GROUP BY l_partkey)
+SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 4) AS part_value
+FROM pr
+WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM pr)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("tpch_q11", _Q11_ORACLE)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock: HAVING against a scalar subquery over the SAME
+    aggregate (reference resources/sql/tpch/11.sql) — the relalg.tmp
+    shared-materialization pattern (RelAlgOps.td:499-505): the per-part
+    aggregate is computed once (.cache()), consumed by both the total and
+    the filter; the 1-row total broadcasts into the comparison."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    li = load_table(spark, sf_dir, "lineitem")
+    asia_supp = (supp
+                 .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+                 .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+                 .select("s_suppkey"))
+    pr = (li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
+          .groupBy("l_partkey")
+          .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     .cast(DEC)).alias("val"))).cache()
+    total = pr.agg((F.sum("val").cast("double") * 0.001).alias("threshold"))
+    return (pr.crossJoin(F.broadcast(total))
+            .filter(F.col("val").cast("double") > F.col("threshold"))
+            .select("l_partkey",
+                    F.round(F.col("val").cast("double"), 4).alias("part_value"))
+            .orderBy(F.desc("part_value"), "l_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping lateness vs priority (linestatus stands in for shipmode)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("tpch_q12", _Q12_ORACLE)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late shipments by priority class (reference
+    resources/sql/tpch/12.sql; "late" = shipped >60 days after order —
+    the synthetic schema has no commit/receipt dates).  Exercises interval
+    arithmetic in a join residual + conditional counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(F.count(F.when(high, 1)).alias("high_line_count"),
+             F.count(F.when(~high, 1)).alias("low_line_count"))
+        .orderBy("l_linestatus"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (view + MAX scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(CAST(total AS DOUBLE), 4) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total = (SELECT MAX(total) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("tpch_q15", _Q15_ORACLE)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier: the CREATE VIEW + MAX scalar subquery query
+    (reference resources/sql/tpch/15.sql).  The revenue view is a shared
+    subtree (relalg.tmp): cached once, consumed by the MAX and the
+    equality filter.  Exact-decimal totals make the MAX-equality
+    deterministic (double totals could tie-break differently per engine)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00")))
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                          .cast(DEC)).alias("total"))).cache()
+    best = revenue.agg(F.max("total").alias("best_total"))
+    return (revenue.crossJoin(F.broadcast(best))
+            .filter(F.col("total") == F.col("best_total"))
+            .join(supp, F.col("supplier_no") == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total").cast("double"), 4)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (NOT IN subquery + count-distinct)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = f"""
+WITH ps AS ({_PS_CTE})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+FROM ps, part
+WHERE p_partkey = partkey
+  AND p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16", _Q16_ORACLE)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (reference resources/sql/tpch/16.sql):
+    negated predicates, IN-list, NOT IN subquery (anti join — s_suppkey is
+    non-nullable, so no mark-join null corner here; that corner is pinned
+    by join_mark_notin), DISTINCT aggregate."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _part_supp(spark, sf_dir)
+        .join(part, F.col("partkey") == part.p_partkey)
+        .join(bad_supp, F.col("suppkey") == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG threshold)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#5' AND p_type = 'SMALL'
+  AND l_quantity < (SELECT CAST(0.5 * AVG(CAST(l2.l_quantity AS DECIMAL(38,10)))
+                                AS DOUBLE)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("tpch_q17", _Q17_ORACLE)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (reference resources/sql/tpch/17.sql):
+    the per-part correlated AVG is exactly the groupjoin pattern
+    (relalg.groupjoin, RelAlgOps.td:240-253) — aggregate lineitem per part
+    ONCE, join, filter; never re-scan per outer row.  Brand+type filters
+    prune part before anything joins; the per-part aggregate only runs
+    over lineitems of surviving parts (semi-join pushdown through the
+    aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL"))
+    pkeys = part.select("p_partkey")
+    per_part = (li.join(pkeys, li.l_partkey == pkeys.p_partkey, "left_semi")
+                .groupBy(F.col("l_partkey").alias("avg_key"))
+                .agg((F.lit(0.5) * F.avg(F.col("l_quantity").cast(DEC)))
+                     .cast("double").alias("threshold")))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                     / 7.0, 4).alias("avg_yearly")))
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess-volume suppliers (semi-join chain)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 150)
+  AND s_nationkey = n_nationkey AND n_regionkey = 2
+ORDER BY s_name
+"""
+
+
+@register("tpch_q20", _Q20_ORACLE)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-volume suppliers (reference resources/sql/tpch/20.sql,
+    flattened: the synthetic schema's part<->supplier link IS lineitem, so
+    the nested partsupp IN-chain becomes one grouped semi-join): suppliers
+    who shipped > 150 units of 'red%' parts in 1996, restricted to region
+    2.  IN (grouped HAVING subquery) -> left-semi join; exact-decimal
+    HAVING so the threshold can't flip with summation order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00")))
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")).select("p_partkey")
+    heavy = (li.join(red, li.l_partkey == red.p_partkey, "left_semi")
+             .groupBy("l_suppkey")
+             .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+             .filter(F.col("q") > 150).select("l_suppkey"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 2)
+    return (supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+  AND s_nationkey = n_nationkey AND n_regionkey = 3
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("tpch_q21", _Q21_ORACLE)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (reference
+    resources/sql/tpch/21.sql; "late" = shipped >90 days after order):
+    the sole-late-supplier pattern — EXISTS another supplier on the order,
+    NOT EXISTS another LATE supplier.  Both correlated subqueries become
+    self-joins with residual inequality predicates: left-semi for EXISTS,
+    left-anti for NOT EXISTS (relalg.semijoin/antisemijoin,
+    RelAlgOps.td:297-316).  The late-lines relation is computed once and
+    reused as both the outer stream and the anti side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 3)
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .select("l_orderkey", "l_suppkey", "o_orderstatus")).cache()
+    base = (late.filter(F.col("o_orderstatus") == "F")
+            .select("l_orderkey", "l_suppkey"))
+    others = li.select(F.col("l_orderkey").alias("o2_okey"),
+                       F.col("l_suppkey").alias("o2_skey"))
+    with_other = base.join(
+        others,
+        (base.l_orderkey == F.col("o2_okey"))
+        & (base.l_suppkey != F.col("o2_skey")),
+        "left_semi")
+    late_others = late.select(F.col("l_orderkey").alias("l3_okey"),
+                              F.col("l_suppkey").alias("l3_skey"))
+    sole_late = with_other.join(
+        late_others,
+        (with_other.l_orderkey == F.col("l3_okey"))
+        & (with_other.l_suppkey != F.col("l3_skey")),
+        "left_anti")
+    return (sole_late
+            .join(supp, sole_late.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))
