@@ -91,6 +91,106 @@ def lsh_buckets(df: DataFrame, vec_col: str, dim: int,
     return (df.select("*", F.posexplode(buckets).alias("table_id", "bucket")))
 
 
+def embed_neardup(df: DataFrame, *, dim: int, threshold: float = 0.99,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_planes: int = 4, n_tables: int = 16,
+                  max_bucket_size: int | None = 10_000,
+                  seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) for every
+    pair with cosine >= threshold, id_a < id_b.
+
+    Candidates come ONLY from LSH bucket collisions (self-join on
+    (table_id, bucket)) — no crossJoin; exact cosine re-scores candidates,
+    so precision is exact and recall for a true pair at cosine c is
+    1-(1-p^n_planes)^n_tables with p = 1-arccos(c)/pi (≈1-6e-21 at c=0.999
+    with the defaults — effectively exact for dedup-grade thresholds).
+    max_bucket_size drops degenerate buckets (all-equal vectors) that
+    would blow up quadratically — the same skew guard as MinHash LSH."""
+    b = lsh_buckets(df.select(id_col, vec_col), vec_col, dim,
+                    n_planes, n_tables, seed)
+    if max_bucket_size is not None:
+        wcnt = Window.partitionBy("table_id", "bucket")
+        b = (b.withColumn("__bc", F.count(F.lit(1)).over(wcnt))
+             .filter(F.col("__bc") <= max_bucket_size).drop("__bc"))
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                 "table_id", "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                 "table_id", "bucket")
+    pairs = (a.join(c, ["table_id", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs
+            .select("id_a", "id_b",
+                    cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def _lloyd_train(X: np.ndarray, n_cells: int, iters: int = 10,
+                 seed: int = 42) -> np.ndarray:
+    """Driver-side Lloyd iterations over a (small) training sample — the
+    standard IVF coarse-quantizer training step.  Deterministic."""
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for ci in range(len(cents)):
+            members = X[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return cents
+
+
+def _cell_udf(cents: np.ndarray, n_probe: int = 1):
+    """Vectorized nearest-cell assignment: argmin ||v-c||^2 over the
+    centroid matrix via one matmul per Arrow batch.  Returns the n_probe
+    nearest cell ids (n_probe=1 for base vectors, >1 for query probing)."""
+    C = cents.astype(float)
+    half_norms = 0.5 * (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy())
+        score = v @ C.T - half_norms          # argmax score == argmin dist
+        order = np.argsort(-score, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _cells
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+             dim: int, n_cells: int = 16, n_probe: int = 4,
+             train_sample: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustered alternative
+    to lsh_topk: a coarse k-means quantizer (trained driver-side on a
+    deterministic sample, the standard IVF recipe) partitions vectors into
+    n_cells lists; each query probes only its n_probe nearest cells and
+    exact cosine re-ranks the candidates.  n_probe = n_cells degenerates
+    to exact search (useful for verification).  At scale the cell id is a
+    partitioning column: candidate fetch is partition-pruned I/O, and the
+    training sample stays O(train_sample) regardless of corpus size."""
+    sample = (emb.select(vec_col).orderBy(F.col(id_col))
+              .limit(train_sample).collect())
+    X = np.stack([np.asarray(r[0], dtype=float) for r in sample])
+    cents = _lloyd_train(X, n_cells, seed=seed)
+    base = emb.select(
+        id_col, vec_col,
+        _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"))
+    probes = queries.select(
+        q_id_col, q_vec_col,
+        F.explode(_cell_udf(cents, n_probe)(F.col(q_vec_col))).alias("cell"))
+    cands = base.join(F.broadcast(probes), "cell")
+    scored = cands.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
              dim: int, n_planes: int = 4, n_tables: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -202,6 +202,59 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("q_id", "rank"))
 
 
+_EMBED_NEARDUP_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+jit AS (SELECT vec_id + 100000 AS vec_id, [e[1] + 0.1] || e[2:] AS e
+        FROM base WHERE vec_id < 50),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM jit)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+ORDER BY id_a, id_b
+"""
+
+
+@register("pipeline_embed_neardup", _EMBED_NEARDUP_ORACLE)
+def pipeline_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.99) via
+    random-hyperplane LSH candidates + exact re-score.  The synthetic
+    embeddings are near-orthogonal (max pairwise cos ~0.51), so the query
+    plants 50 deterministic jittered copies (first coordinate +0.1 -> cos
+    ~0.995) with the SAME construction in the oracle: the LSH path must
+    recover exactly the planted pairs, value-checked against DuckDB's
+    all-pairs ground truth.  Recall at cos 0.995 with 16x4-bit tables is
+    1-4e-15 — the oracle equality is not luck.  No crossJoin in the plan
+    (asserted in tests/test_pipeline.py)."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding")))
+    jit = (emb.filter(F.col("vec_id") < 50)
+           .select((F.col("vec_id") + 100000).alias("vec_id"),
+                   F.concat(F.array(F.col("embedding").getItem(0) + 0.1),
+                            F.slice("embedding", 2, 63)).alias("embedding")))
+    aug = emb.unionAll(jit)
+    out = ops.embed_neardup(aug, dim=64, threshold=0.99)
+    return (out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+            .orderBy("id_a", "id_b"))
+
+
+@register("ann_topk_ivf", None)  # approximate by construction; plumbing
+                                 # exactness (n_probe=n_cells) in tests
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: coarse k-means quantizer (16 cells, trained
+    driver-side on a deterministic sample), queries probe their 6 nearest
+    cells, exact cosine re-ranks candidates — the partition-pruned ANN
+    path (at scale `cell` is a partitioning column, so a probe reads 6/16
+    of the corpus instead of all of it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    out = ops.ivf_topk(base, _query_vectors(emb), k=10, dim=64,
+                       n_cells=16, n_probe=6)
+    return (out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+            .orderBy("q_id", "rank"))
+
+
 @register("embedding_norms", """
 SELECT label,
        COUNT(*) AS n,

@@ -229,7 +229,7 @@ WITH pr AS (
   GROUP BY l_partkey)
 SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 4) AS part_value
 FROM pr
-WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM pr)
+WHERE CAST(val AS DOUBLE) > (SELECT CAST(AVG(val) AS DOUBLE) * 2.0 FROM pr)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -239,8 +239,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important stock: HAVING against a scalar subquery over the SAME
     aggregate (reference resources/sql/tpch/11.sql) — the relalg.tmp
     shared-materialization pattern (RelAlgOps.td:499-505): the per-part
-    aggregate is computed once (.cache()), consumed by both the total and
-    the filter; the 1-row total broadcasts into the comparison."""
+    aggregate is computed once (.cache()), consumed by both the threshold
+    and the filter; the 1-row threshold broadcasts into the comparison.
+    The threshold is 2x the mean part value (TPC-H's SUM(...)*fraction/SF
+    made scale-free: the original fraction is itself 0.0001/SF)."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -253,7 +255,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("l_partkey")
           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
                      .cast(DEC)).alias("val"))).cache()
-    total = pr.agg((F.sum("val").cast("double") * 0.001).alias("threshold"))
+    total = pr.agg((F.avg("val").cast("double") * 2.0).alias("threshold"))
     return (pr.crossJoin(F.broadcast(total))
             .filter(F.col("val").cast("double") > F.col("threshold"))
             .select("l_partkey",

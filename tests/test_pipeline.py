@@ -165,6 +165,50 @@ def test_lsh_topk_plan_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embed_neardup_finds_planted_pairs_only(spark):
+    emb = (load_table(spark, SF_DIR, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding")))
+    jit = (emb.filter(F.col("vec_id") < 20)
+           .select((F.col("vec_id") + 100000).alias("vec_id"),
+                   F.concat(F.array(F.col("embedding").getItem(0) + 0.1),
+                            F.slice("embedding", 2, 63)).alias("embedding")))
+    aug = emb.unionAll(jit)
+    out = ops.embed_neardup(aug, dim=64, threshold=0.99)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(i, i + 100000) for i in range(20)}
+    plan = explain_str(out, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    # n_probe == n_cells searches every cell: IVF plumbing must reproduce
+    # the exact result.
+    base, q = _emb_and_queries(spark)
+    brute = [(r.q_id, r.vec_id, r.rank) for r in
+             ops.brute_force_topk(base, q, k=10)
+             .orderBy("q_id", "rank").collect()]
+    full = [(r.q_id, r.vec_id, r.rank) for r in
+            ops.ivf_topk(base, q, k=10, dim=64, n_cells=8, n_probe=8)
+            .orderBy("q_id", "rank").collect()]
+    assert brute == full
+
+
+def test_ivf_partial_probe_returns_k_and_good_scores(spark):
+    base, q = _emb_and_queries(spark)
+    brute = ops.brute_force_topk(base, q, k=10).collect()
+    part = ops.ivf_topk(base, q, k=10, dim=64, n_cells=8, n_probe=4).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.q_id, []).append(r.cos)
+    assert all(len(v) == 10 for v in by_q.values())
+    # Probing half the cells must retain most of the score mass.
+    brute_mean = sum(r.cos for r in brute) / len(brute)
+    part_mean = sum(r.cos for r in part) / len(part)
+    assert part_mean >= 0.8 * brute_mean
+
+
 def test_cosine_known_values(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
