@@ -13,7 +13,7 @@ All progress chatter goes to stderr so the stdout line stays parseable.
 Usage: python bench.py [query ...]    (default: the headline set below)
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default os.cpu_count())
-       BENCH_WARMUP=1 BENCH_RUNS=3
+       BENCH_WARMUP=1 BENCH_RUNS=5
 """
 
 from __future__ import annotations
@@ -36,8 +36,10 @@ from lingo_db_spark.session import build_session
 HEADLINE_EXTRA = [
     "pipeline_dedup_exact",
     "pipeline_minhash_neardup",
+    "pipeline_embed_neardup",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "text_quality_stats",
     "window_rank",
 ]
@@ -50,7 +52,7 @@ def log(msg: str) -> None:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
@@ -87,20 +89,27 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
-        try:
-            for i in range(warmup):
-                timed_collect(name, f"w{i}")
-            samples = []
-            n_rows = 0
-            for i in range(runs):
-                t0 = time.perf_counter()
-                n_rows = timed_collect(name, f"m{i}")
-                samples.append(time.perf_counter() - t0)
+        samples = []
+        n_rows = 0
+        # One cancelled/failed run must not poison the query: record the
+        # timeout as that run's sample and keep going — the median of the
+        # remaining runs still reflects steady-state.
+        for i in range(warmup + runs):
+            run_id = f"w{i}" if i < warmup else f"m{i - warmup}"
+            t0 = time.perf_counter()
+            try:
+                n_rows = timed_collect(name, run_id)
+                elapsed = time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001
+                elapsed = per_query_timeout
+                log(f"bench: {name} run {run_id} failed: "
+                    f"{type(e).__name__}: {str(e)[:160]}")
+            if i >= warmup:
+                samples.append(elapsed)
+        if samples:
             timings[name] = round(statistics.median(samples), 4)
             log(f"bench: {name}: median {timings[name]:.3f}s "
                 f"({n_rows} rows, {runs} runs)")
-        except Exception as e:  # noqa: BLE001 - one bad query must not kill the run
-            log(f"bench: {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "sum_of_per_query_median_wall_sec",

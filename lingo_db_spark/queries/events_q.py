@@ -110,6 +110,37 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("streaming_sessionization", _SESSION_ORACLE)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState: per-user counters + last-seen timestamp as
+    explicit group state) — must produce the same per-user session counts
+    as the batch window-lag formulation, which is exactly what the oracle
+    checks.  The bounded input arrives as one availableNow batch (single
+    parquet file), so update-mode output has one final row per user."""
+    out = st.run_stream_to_memory(
+        st.sessionize_stateful(st.stream_events(spark, sf_dir)), "update")
+    return out.orderBy("user_id")
+
+
 @register("udf_python_scalar", """
 SELECT c_custkey,
        ROUND(c_acctbal * 2.0 + 1.0, 4) AS affine

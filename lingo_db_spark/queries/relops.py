@@ -652,6 +652,58 @@ def tmp_shared_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high.unionAll(low).orderBy("bucket")
 
 
+@register("subquery_all", """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_acctbal > ALL (SELECT s_acctbal FROM supplier WHERE s_nationkey = 0)
+ORDER BY s_suppkey
+""")
+def subquery_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ALL subquery (reference sql_mlir_translator.cpp:540-700
+    translates ALL via aggregated subquery + getscalar).  Spark SQL has no
+    `> ALL` form, so the engine applies the same rewrite the reference
+    does: `x > ALL (S)` == `x > MAX(S)` when S is non-empty and null-free
+    (s_acctbal is NOT NULL; nation 0 always has suppliers) — the 1-row MAX
+    broadcasts into the filter."""
+    supp = load_table(spark, sf_dir, "supplier")
+    bound = (supp.filter(F.col("s_nationkey") == 0)
+             .agg(F.max("s_acctbal").alias("__bound")))
+    return (supp.crossJoin(F.broadcast(bound))
+            .filter(F.col("s_acctbal") > F.col("__bound"))
+            .select("s_suppkey", "s_name", "s_acctbal")
+            .orderBy("s_suppkey"))
+
+
+@register("grouping_sets", f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n,
+       {{dsum}} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+""".format(dsum="ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 4)"))
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind the reference's
+    rollup translation, sql_mlir_translator.cpp:1705-1760 — the reference
+    parses cube/grouping-sets but ships only rollup; Spark supports the
+    general form, so the engine exposes it).  One Expand-based pass, not
+    N+1 unioned scans."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                          AS DOUBLE), 4) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """)
+
+
 @register("agg_any_value", """
 SELECT n_nationkey,
        ANY_VALUE(n_name) AS nation_name,

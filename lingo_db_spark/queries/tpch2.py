@@ -413,14 +413,21 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL"))
     pkeys = part.select("p_partkey")
-    per_part = (li.join(pkeys, li.l_partkey == pkeys.p_partkey, "left_semi")
-                .groupBy(F.col("l_partkey").alias("avg_key"))
-                .agg((F.lit(0.5) * F.avg(F.col("l_quantity").cast(DEC)))
-                     .cast("double").alias("threshold")))
+    # The fused formulation: ONE pass over (semi-filtered) lineitem — a
+    # per-partkey window AVG then the row-level filter — exactly what the
+    # reference's groupjoin fuses into a single pipeline.  The semi-join
+    # keeps whole partkeys, so the window AVG over surviving rows equals
+    # the per-part AVG over all of that part's lineitems.  vs the
+    # agg-then-rejoin shape this halves the lineitem scans; the shuffle
+    # carries only (partkey, quantity, price).
+    threshold = (F.lit(0.5)
+                 * F.avg(F.col("l_quantity").cast(DEC))
+                 .over(Window.partitionBy("l_partkey"))).cast("double")
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(per_part, li.l_partkey == F.col("avg_key"))
-        .filter(F.col("l_quantity") < F.col("threshold"))
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pkeys, li.l_partkey == pkeys.p_partkey, "left_semi")
+        .withColumn("__threshold", threshold)
+        .filter(F.col("l_quantity") < F.col("__threshold"))
         .agg(F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
                      / 7.0, 4).alias("avg_yearly")))
 

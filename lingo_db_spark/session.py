@@ -37,18 +37,29 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
+    # The generated-class cache defaults to 100 entries; a session running
+    # the full query registry generates several hundred codegen sources,
+    # so the LRU thrashes and every re-run re-generates + re-JITs its
+    # classes from scratch (measured: random 10-50x slowdowns on
+    # decimal-heavy aggregation stages whose fresh classes run interpreted
+    # until C2 catches up).  A big cache keeps class identity stable, so
+    # repeated plans reuse already-compiled code.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     # Whole-stage codegen of wide plans (multi-aggregate signatures,
     # higher-order array expressions) generates enough JIT-compiled code
     # to exhaust the default 240MB code cache mid-session, after which the
     # JVM silently falls back to interpreted execution (measured: 5-20x
     # slowdowns appearing intermittently). Reserve a big segmented cache
     # and allow flushing, on both driver (local mode) and executors.
+    # CICompilerCount: more JIT compiler threads drain the compile queue
+    # faster after each new batch of generated classes — shrinks the
+    # window where hot loops run interpreted.
     "spark.driver.extraJavaOptions":
         "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-        "-XX:+SegmentedCodeCache",
+        "-XX:+SegmentedCodeCache -XX:CICompilerCount=8",
     "spark.executor.extraJavaOptions":
         "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-        "-XX:+SegmentedCodeCache",
+        "-XX:+SegmentedCodeCache -XX:CICompilerCount=8",
 }
 
 

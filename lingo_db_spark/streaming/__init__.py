@@ -55,6 +55,45 @@ def windowed_event_counts(events: DataFrame,
                     "event_type", "n_events", "total_value"))
 
 
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: per
+    user, count sessions (a session ends after a gap > gap_minutes) and
+    events, carrying (n_sessions, n_events, last_ts) as explicit group
+    state across micro-batches.  This is the arbitrary-state surface that
+    session_window/windowed aggs can't express (e.g. state that mixes
+    counters with the last-seen timestamp).
+
+    State is O(1) per user — the 100TB/day posture: the stream never
+    retains raw events, only the 3-number state per key.  Emits the
+    current per-user totals each batch (update mode); with a bounded
+    availableNow run the final batch's rows are the complete answer."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = float(gap_minutes) * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        ns, ne, last = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                tt = t.timestamp()
+                if last is None or tt - last > gap_s:
+                    ns += 1
+                ne += 1
+                last = tt
+        state.update((ns, ne, float(last) if last is not None else None))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [ns], "n_events": [ne]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id BIGINT, n_sessions BIGINT, n_events BIGINT",
+        stateStructType="n_sessions BIGINT, n_events BIGINT, last_ts DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_memory(sdf: DataFrame, output_mode: str = "complete",
                          name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into an

@@ -98,3 +98,44 @@ def test_observe_tracks_tuples(spark):
 def test_tmp_shared_subtree_uses_cache(spark):
     p = plan(spark, "tmp_shared_subtree")
     assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+
+
+def test_q2_correlated_max_plans_as_window_not_rejoin(spark):
+    # The correlated MAX scalar subquery must collapse to one Window over
+    # the eligible relation — a re-aggregating self-join would scan and
+    # join the relation twice.
+    p = plan(spark, "tpch_q2")
+    assert "Window" in p
+    # "simple" mode prints each operator once ("formatted" repeats each in
+    # its detail section, doubling counts).
+    ps = plan(spark, "tpch_q2", "simple")
+    joins = ps.count("SortMergeJoin") + ps.count("BroadcastHashJoin") \
+        + ps.count("ShuffledHashJoin")
+    assert joins <= 4, f"q2 plans {joins} joins — subquery not collapsed"
+
+
+def test_q17_single_pass_groupjoin_shape(spark):
+    # The correlated per-part AVG must be computed in ONE pass over
+    # lineitem (window over partkey — the groupjoin fusion), never a
+    # per-outer-row re-scan or an agg + self-rejoin.
+    p = plan(spark, "tpch_q17", "simple")
+    assert p.count("FileScan parquet") <= 2    # lineitem once + part once
+    assert "Window" in p
+
+
+def test_q21_anti_join_planned(spark):
+    p = plan(spark, "tpch_q21")
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_embed_neardup_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from lingo_db_spark import operators as ops
+    from lingo_db_spark.catalog import load_table
+    emb = (load_table(spark, SF_DIR, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding")))
+    p = explain_str(ops.embed_neardup(emb, dim=64), "formatted")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
