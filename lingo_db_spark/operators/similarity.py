@@ -93,7 +93,7 @@ def lsh_buckets(df: DataFrame, vec_col: str, dim: int,
 
 def embed_neardup(df: DataFrame, *, dim: int, threshold: float = 0.99,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  n_planes: int = 4, n_tables: int = 16,
+                  n_planes: int = 12, n_tables: int = 16,
                   max_bucket_size: int | None = 10_000,
                   seed: int = 42) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) for every
@@ -102,24 +102,36 @@ def embed_neardup(df: DataFrame, *, dim: int, threshold: float = 0.99,
     Candidates come ONLY from LSH bucket collisions (self-join on
     (table_id, bucket)) — no crossJoin; exact cosine re-scores candidates,
     so precision is exact and recall for a true pair at cosine c is
-    1-(1-p^n_planes)^n_tables with p = 1-arccos(c)/pi (≈1-6e-21 at c=0.999
-    with the defaults — effectively exact for dedup-grade thresholds).
+    1-(1-p^n_planes)^n_tables with p = 1-arccos(c)/pi (≈1-1.4e-8 at
+    c=0.995 with the defaults).  Codes are LONG (12 bits) because this is
+    a high-threshold operator: a random near-orthogonal pair collides per
+    table with prob ~0.5^n_planes, so 12-bit codes cut false candidates
+    ~300x vs 4-bit at near-zero recall cost — the candidate set, not the
+    bucketing pass, dominates at scale.
+
+    The candidate self-join carries ONLY ids: pairs are deduped as skinny
+    (id_a, id_b) rows and the vectors are re-joined afterwards for the
+    exact re-score — never shuffled through the pair-dedup.
     max_bucket_size drops degenerate buckets (all-equal vectors) that
     would blow up quadratically — the same skew guard as MinHash LSH."""
-    b = lsh_buckets(df.select(id_col, vec_col), vec_col, dim,
-                    n_planes, n_tables, seed)
+    ids = df.select(id_col, vec_col)
+    b = (lsh_buckets(ids, vec_col, dim, n_planes, n_tables, seed)
+         .select(id_col, "table_id", "bucket"))
     if max_bucket_size is not None:
-        wcnt = Window.partitionBy("table_id", "bucket")
-        b = (b.withColumn("__bc", F.count(F.lit(1)).over(wcnt))
-             .filter(F.col("__bc") <= max_bucket_size).drop("__bc"))
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-                 "table_id", "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-                 "table_id", "bucket")
+        counts = (b.groupBy("table_id", "bucket")
+                  .agg(F.count(F.lit(1)).alias("__bc"))
+                  .filter(F.col("__bc") <= max_bucket_size)
+                  .drop("__bc"))
+        b = b.join(F.broadcast(counts), ["table_id", "bucket"])
+    a = b.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
     pairs = (a.join(c, ["table_id", "bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
-    return (pairs
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
                     cosine(F.col("__va"), F.col("__vb")).alias("cos"))
             .filter(F.col("cos") >= threshold))
