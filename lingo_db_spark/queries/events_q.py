@@ -141,6 +141,22 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+@register("streaming_dedup", """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""")
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (dropDuplicatesWithinWatermark): emit each
+    (user_id, event_type) key once — the idempotent-ingestion guard for
+    at-least-once delivery.  The bounded availableNow run must equal batch
+    SELECT DISTINCT, which is exactly what the oracle checks."""
+    out = st.run_stream_to_memory(
+        st.stream_dedup(st.stream_events(spark, sf_dir),
+                        ("user_id", "event_type")), "append")
+    return out.orderBy("user_id", "event_type")
+
+
 @register("udf_python_scalar", """
 SELECT c_custkey,
        ROUND(c_acctbal * 2.0 + 1.0, 4) AS affine

@@ -704,6 +704,25 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("renaming_columns", """
+SELECT n_nationkey AS nation_id, n_name AS nation, r_name AS region
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY nation_id
+""")
+def renaming_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated relalg.renaming query (RelAlgOps.td:207-221): bulk column
+    renames via withColumnsRenamed (not per-expression aliases) flowing
+    through a join — renames must not break the join resolution."""
+    nation = load_table(spark, sf_dir, "nation").withColumnsRenamed(
+        {"n_nationkey": "nation_id", "n_name": "nation"})
+    region = load_table(spark, sf_dir, "region").withColumnsRenamed(
+        {"r_name": "region"})
+    return (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("nation_id", "nation", "region")
+            .orderBy("nation_id"))
+
+
 @register("agg_any_value", """
 SELECT n_nationkey,
        ANY_VALUE(n_name) AS nation_name,

@@ -94,6 +94,23 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_dedup(events: DataFrame, key_cols: tuple[str, ...],
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication — the idempotent-ingestion operator an
+    at-least-once pipeline puts in front of every sink: emit each key the
+    first time it is seen, drop re-deliveries.  The watermark bounds the
+    dedup state (keys older than max-event-time - watermark are evicted),
+    which is what keeps state finite on an unbounded stream; within the
+    watermark horizon the output equals batch SELECT DISTINCT over the
+    keys.  Works identically on a batch DataFrame (plain distinct)."""
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .select("ts", *key_cols)
+                .dropDuplicatesWithinWatermark(list(key_cols))
+                .select(*key_cols))
+    return events.select(*key_cols).dropDuplicates()
+
+
 def run_stream_to_memory(sdf: DataFrame, output_mode: str = "complete",
                          name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into an

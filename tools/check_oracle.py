@@ -8,8 +8,16 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+import time
 from pathlib import Path
+
+# Spark's collect() renders TimestampType in the OS timezone while DuckDB
+# returns naive UTC — pin the process TZ so the compare is host-invariant
+# (must happen before the JVM starts).
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
