@@ -147,6 +147,14 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
         F.col(id_col),
         F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash"))
     if max_bucket_size is not None:
+        # Window count, deliberately: one hash shuffle on (band_id,
+        # band_hash) computes the counts AND leaves the data partitioned
+        # exactly as the candidate self-join needs it (exchange reuse) —
+        # a groupBy-count side table would have ~n*bands/width rows here
+        # (band_hash cardinality grows with n), far too big to broadcast
+        # at scale.  Contrast operators/similarity.embed_neardup, whose
+        # bucket space is bounded, where groupBy+broadcast IS the right
+        # guard.
         wcnt = Window.partitionBy("band_id", "band_hash")
         banded = (banded.withColumn("__bc", F.count(F.lit(1)).over(wcnt))
                   .filter(F.col("__bc") <= max_bucket_size).drop("__bc"))
