@@ -118,6 +118,13 @@ _RAW_TYPE_OVERRIDES: dict[str, dict[str, str]] = {
 # mismatched file is an error, not a silent cast).
 _VALIDATED_PATHS: set[str] = set()
 
+# Resolved base relations, keyed by (application, path).  A DataFrame is an
+# immutable plan, so handing the same object to every query is safe, and it
+# skips the per-read footer fetch + file-index build (~70 ms/table — a
+# 6-table query pays ~0.4 s in pure re-resolution otherwise).  Keyed on
+# applicationId so relations never leak across JVM restarts.
+_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """basetable scan (reference relalg.basetable, RelAlgOps.td:120-130).
@@ -129,6 +136,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = table_path(sf_dir, name)
+    cache_key = (spark.sparkContext.applicationId, path)
+    cached = _RELATION_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(path)
     overrides = _RAW_TYPE_OVERRIDES.get(name, {})
     if path not in _VALIDATED_PATHS:
@@ -146,6 +157,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # declared NTZ type (session TZ is pinned to UTC).
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    _RELATION_CACHE[cache_key] = df
     return df
 
 

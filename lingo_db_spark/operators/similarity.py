@@ -12,8 +12,9 @@ Two paths, per the standard ANN playbook:
   vectors (the hard case); clustered real-world embeddings do much
   better at longer codes.
 
-All dot products are JVM-side higher-order functions (zip_with +
-aggregate) — no Python in the scoring loop.
+Hot-path scoring is Arrow-batched numpy (cosine_batch — one matmul-style
+pass per batch, never row-at-a-time Python); the JVM expression form
+(cosine) stays available for composition inside pure-JVM plans.
 """
 
 from __future__ import annotations
@@ -38,6 +39,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+_COSINE_UDF = None
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine for the hot scoring paths: one numpy pass per
+    batch.  The zip_with/aggregate expression form (cosine above) is
+    evaluated by Spark's *interpreted* expression path (higher-order
+    lambdas are excluded from codegen) — fine in isolation, but in long
+    multi-query sessions its call sites go megamorphic and throughput
+    degrades several-fold (measured: 0.4s -> 1.8s on the same query after
+    ~130 prior query executions).  The vectorized UDF's cost is one Arrow
+    round-trip, invariant to JVM profile state."""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+        @F.pandas_udf("double")
+        def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            if len(xs) == 0:
+                return pd.Series([], dtype=float)
+            A = np.stack(xs.to_numpy())
+            B = np.stack(ys.to_numpy())
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(den > 0, num / den, 0.0)
+            return pd.Series(out)
+        _COSINE_UDF = _cos
+    return _COSINE_UDF(a, b)
+
+
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id", q_vec_col: str = "q_vec",
@@ -48,7 +78,7 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     joined = emb.join(F.broadcast(queries))
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+        cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -133,7 +163,7 @@ def embed_neardup(df: DataFrame, *, dim: int, threshold: float = 0.99,
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (pairs.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
-                    cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+                    cosine_batch(F.col("__va"), F.col("__vb")).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 
@@ -197,7 +227,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     cands = base.join(F.broadcast(probes), "cell")
     scored = cands.select(
         F.col(q_id_col), F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+        cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -221,7 +251,7 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
              .dropDuplicates([q_id_col, id_col]))
     scored = cands.select(
         F.col(q_id_col), F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+        cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -157,6 +157,24 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+@register("streaming_interval_join", """
+SELECT p.event_id AS left_id, c.event_id AS right_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+ORDER BY left_id, right_id
+""")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase <- preceding clicks within 30
+    minutes, same user) executed as a Structured Streaming self-join with
+    watermark-bounded state; the bounded availableNow run must equal the
+    batch interval join, which is what the oracle checks."""
+    out = st.run_stream_to_memory(
+        st.stream_interval_join(st.stream_events(spark, sf_dir)), "append")
+    return out.orderBy("left_id", "right_id")
+
+
 @register("udf_python_scalar", """
 SELECT c_custkey,
        ROUND(c_acctbal * 2.0 + 1.0, 4) AS affine

@@ -94,6 +94,37 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_interval_join(events: DataFrame, *,
+                         left_type: str = "purchase",
+                         right_type: str = "click",
+                         lookback_minutes: int = 30,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: for each LEFT event, every RIGHT event
+    by the same user within the preceding lookback window.  The join-time
+    constraint (r.ts in [l.ts - lookback, l.ts]) plus the watermarks is
+    what lets Structured Streaming BOUND the join state: each side only
+    buffers rows younger than watermark + lookback — without the interval
+    condition a stream-stream join must retain both sides forever, which
+    no 100TB/day stream survives.  Works identically on a batch frame
+    (plain join, no state)."""
+    lb = f"INTERVAL {int(lookback_minutes)} MINUTES"
+    left = events.filter(F.col("event_type") == left_type)
+    right = events.filter(F.col("event_type") == right_type)
+    if events.isStreaming:
+        left = left.withWatermark("ts", watermark)
+        right = right.withWatermark("ts", watermark)
+    l = left.select(F.col("event_id").alias("left_id"),
+                    F.col("user_id").alias("l_user"),
+                    F.col("ts").alias("l_ts"))
+    r = right.select(F.col("event_id").alias("right_id"),
+                     F.col("user_id").alias("r_user"),
+                     F.col("ts").alias("r_ts"))
+    return (l.join(r, (F.col("l_user") == F.col("r_user"))
+                   & (F.col("r_ts") >= F.col("l_ts") - F.expr(lb))
+                   & (F.col("r_ts") <= F.col("l_ts")))
+            .select("left_id", "right_id"))
+
+
 def stream_dedup(events: DataFrame, key_cols: tuple[str, ...],
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming deduplication — the idempotent-ingestion operator an
