@@ -1,9 +1,15 @@
 """Benchmark harness: per-query wall-clock over the headline queries.
 
-Protocol mirrors the reference's tools/scripts/benchmark.py:24-34
-(warmup runs, then measured runs, per-query wall time); counts are tunable
-via BENCH_WARMUP / BENCH_RUNS because the driver runs this per round under
-a time budget (reference uses 3+10).
+Protocol mirrors the reference's tools/scripts/benchmark.py:24-34: the
+reference launches a FRESH PROCESS per benchmarked query (run-sql under
+`for i in $(seq ...)`), then takes warmup + measured runs inside it.  We
+batch queries into fresh Python subprocesses (each with its own JVM) for
+the same reason the reference does: long-lived JVMs accumulate profile
+pollution (megamorphic call sites in shared interpreted-expression code,
+code-cache churn from hundreds of generated classes), and measured medians
+drift 2-3x above steady-state after ~150 prior query executions in the
+same session.  Batching amortizes the ~20 s JVM startup while keeping
+every measurement near steady-state.
 
 Prints exactly ONE JSON line on stdout:
     {"metric": "...", "value": <total sec>, "unit": "sec",
@@ -13,7 +19,7 @@ All progress chatter goes to stderr so the stdout line stays parseable.
 Usage: python bench.py [query ...]    (default: the headline set below)
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default os.cpu_count())
-       BENCH_WARMUP=1 BENCH_RUNS=5
+       BENCH_WARMUP=1 BENCH_RUNS=5 BENCH_BATCH=8
 """
 
 from __future__ import annotations
@@ -22,14 +28,12 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-
-from lingo_db_spark.queries import load_all
-from lingo_db_spark.session import build_session
 
 # Headline set: every TPC-H query plus the flagship pipeline/ANN operators.
 # Anything here that isn't registered (yet) is skipped with a stderr note.
@@ -49,20 +53,13 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
-    runs = int(os.environ.get("BENCH_RUNS", "5"))
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
+def run_worker(names: list[str], sf_dir: str, warmup: int, runs: int) -> dict:
+    """Measure one batch of queries inside this (fresh-JVM) process and
+    return {name: median_sec}."""
+    from lingo_db_spark.queries import load_all
+    from lingo_db_spark.session import build_session
 
     registry = load_all()
-    wanted = sys.argv[1:] or (
-        [n for n in sorted(registry) if n.startswith("tpch_")] + HEADLINE_EXTRA)
-    names = [n for n in wanted if n in registry]
-    for missing in set(wanted) - set(names):
-        log(f"bench: skipping unregistered query {missing}")
-
     per_query_timeout = float(os.environ.get("BENCH_QUERY_TIMEOUT", "150"))
     spark = build_session("bench")
     sc = spark.sparkContext
@@ -110,6 +107,48 @@ def main() -> int:
             timings[name] = round(statistics.median(samples), 4)
             log(f"bench: {name}: median {timings[name]:.3f}s "
                 f"({n_rows} rows, {runs} runs)")
+    return timings
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    batch = max(1, int(os.environ.get("BENCH_BATCH", "8")))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    if os.environ.get("_BENCH_WORKER") == "1":
+        # Child mode: measure the given queries, emit one JSON line.
+        timings = run_worker(sys.argv[1:], sf_dir, warmup, runs)
+        print(json.dumps(timings), flush=True)
+        return 0
+
+    from lingo_db_spark.queries import load_all
+    registry = load_all()
+    wanted = sys.argv[1:] or (
+        [n for n in sorted(registry) if n.startswith("tpch_")] + HEADLINE_EXTRA)
+    names = [n for n in wanted if n in registry]
+    for missing in set(wanted) - set(names):
+        log(f"bench: skipping unregistered query {missing}")
+
+    timings: dict[str, float] = {}
+    env = {**os.environ, "_BENCH_WORKER": "1"}
+    batch_timeout = (warmup + runs) * batch * float(
+        os.environ.get("BENCH_QUERY_TIMEOUT", "150")) + 120
+    for i in range(0, len(names), batch):
+        chunk = names[i:i + batch]
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *chunk],
+                env=env, capture_output=True, text=True,
+                timeout=batch_timeout)
+            sys.stderr.write(proc.stderr[-8000:])
+            last = [l for l in proc.stdout.splitlines() if l.strip()][-1]
+            timings.update(json.loads(last))
+        except Exception as e:  # noqa: BLE001
+            log(f"bench: batch {chunk} failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "sum_of_per_query_median_wall_sec",
