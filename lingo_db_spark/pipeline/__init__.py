@@ -10,6 +10,7 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     neardup_minhash,
     neardup_simhash,
     simhash,
+    spread,
 )
 from lingo_db_spark.pipeline.text import (  # noqa: F401
     bpe_token_estimate,
@@ -19,6 +20,7 @@ from lingo_db_spark.pipeline.text import (  # noqa: F401
     normalized_text,
     punct_ratio,
     quality_score,
+    quality_stats,
     shingles,
     stopword_ratio,
     token_count,

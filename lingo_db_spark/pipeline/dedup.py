@@ -39,7 +39,7 @@ def dedup_exact(df: DataFrame, key_cols: list[str] | tuple[str, ...],
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
-def _spread(df: DataFrame, key_col: str) -> DataFrame:
+def spread(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives
     in fewer splits — CPU-bound per-row work (shingling, signature UDFs)
     must not run single-threaded just because the source was one small
@@ -61,7 +61,7 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     inlining tokens() into the shingle lambda makes Spark re-evaluate the
     regexp+split per shingle position (no CSE through lambda references) —
     measured 16x slower."""
-    toked = _spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
+    toked = spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
                     id_col)
     return toked.select(
         F.col(id_col),

@@ -103,6 +103,43 @@ def quality_score(col: Column | str) -> Column:
     return score
 
 
+def quality_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_tokens, bpe_est, punct_r, stopword_r, quality) in ONE pass:
+    the token array and the punctuation count are materialized in a first
+    projection so the regex+split normalization runs once per row, not once
+    per statistic (Catalyst keeps non-cheap expressions in their own
+    project; verified in the physical plan).  The input is spread to the
+    cluster's parallelism first — a single-file source must not pin this
+    CPU-bound scan to one task (no-op at scale, where scans already
+    produce >= cores splits)."""
+    from lingo_db_spark.pipeline.dedup import spread
+
+    c = F.col(text_col)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS_EN])
+    toked = spread(df.select(id_col, text_col), id_col).select(
+        id_col, text_col,
+        tokens(c).alias("__toks"),
+        F.length(F.regexp_replace(c, "[^.,;:!?'\"()-]", "")).alias("__np"))
+    nt = F.size(F.col("__toks"))
+    ln = F.length(c)
+    punct = F.col("__np") / F.greatest(ln, F.lit(1))
+    swr = (F.size(F.filter(F.col("__toks"),
+                           lambda t: F.array_contains(sw, t)))
+           / F.greatest(nt, F.lit(1)))
+    quality = (
+        F.when((ln >= 50) & (ln <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(nt >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct <= 0.10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(swr >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0)))
+    return toked.select(
+        id_col,
+        nt.cast("long").alias("n_tokens"),
+        bpe_token_estimate(c).alias("bpe_est"),
+        F.round(punct, 6).alias("punct_r"),
+        F.round(swr, 6).alias("stopword_r"),
+        F.round(quality, 2).alias("quality"))
+
+
 # --- language identification ----------------------------------------------
 
 # Tiny high-frequency marker lexicons; enough to separate the major

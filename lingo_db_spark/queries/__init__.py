@@ -32,6 +32,20 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def sorted_result(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally-ordered presentation of a SMALL (driver-facing) result.
+
+    `orderBy` plans a range-partitioned sort whose partitioner SAMPLES the
+    child plan — every narrow stage between the last shuffle and the sort
+    is executed twice (once for the sample pass, once for the real pass).
+    For per-row pipelines (text stats, LSH re-scoring) that doubles the
+    whole query.  When the result is known-small, shuffling it to one
+    partition and sorting there produces the identical ordered output in
+    a single evaluation.  Large results should keep `orderBy` (a single
+    partition is the wrong shape) and accept the sampling pass."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def register(name: str, oracle: str | None):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from lingo_db_spark import operators as ops
 from lingo_db_spark import pipeline as pl
 from lingo_db_spark.catalog import load_table
-from lingo_db_spark.queries import register
+from lingo_db_spark.queries import register, sorted_result
 
 # DuckDB rendering of the shared text normalization/token/trigram pipeline.
 _SQL_TOKS = ("string_split_regex(trim(regexp_replace(lower(text), "
@@ -83,8 +83,9 @@ def pipeline_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     while only ever joining within signature-band buckets (O(n·bucket),
     no crossJoin; see tests/test_pipeline.py for the plan assertion)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (pl.neardup_minhash(docs, "doc_id", "text", threshold=0.8)
-            .orderBy("id_a", "id_b"))
+    return sorted_result(
+        pl.neardup_minhash(docs, "doc_id", "text", threshold=0.8),
+        "id_a", "id_b")
 
 
 @register("pipeline_simhash_neardup", None)  # engine-internal signature;
@@ -95,8 +96,9 @@ def pipeline_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 chunks guarantee recall for distance <= 3; larger distances are
     best-effort, the standard SimHash trade)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (pl.neardup_simhash(docs, "doc_id", "text", max_hamming=10)
-            .orderBy("id_a", "id_b"))
+    return sorted_result(
+        pl.neardup_simhash(docs, "doc_id", "text", max_hamming=10),
+        "id_a", "id_b")
 
 
 @register("text_quality_stats", f"""
@@ -129,16 +131,10 @@ ORDER BY doc_id
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality statistics: token count, BPE-ish token
     estimate, punctuation ratio, stopword ratio, composite quality score —
-    C4-style heuristics, all JVM-side expressions."""
+    C4-style heuristics, all JVM-side expressions, tokenized exactly once
+    per row (pipeline.text.quality_stats)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (docs.select(
-        "doc_id",
-        pl.token_count("text").cast("long").alias("n_tokens"),
-        pl.bpe_token_estimate("text").alias("bpe_est"),
-        F.round(pl.punct_ratio("text"), 6).alias("punct_r"),
-        F.round(pl.stopword_ratio("text"), 6).alias("stopword_r"),
-        F.round(pl.quality_score("text"), 2).alias("quality"),
-    ).orderBy("doc_id"))
+    return sorted_result(pl.quality_stats(docs, "doc_id", "text"), "doc_id")
 
 
 @register("text_langid_counts", None)  # heuristic is engine-internal;
@@ -147,6 +143,7 @@ def text_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of predicted languages over the corpus (stopword-
     marker heuristic + CJK codepoint ratio)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = pl.spread(docs.select("doc_id", "text"), "doc_id")
     return (docs.select(pl.lang_id("text").alias("pred_lang"))
             .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("pred_lang"))
@@ -183,8 +180,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     out = ops.brute_force_topk(base, _query_vectors(emb), k=10)
-    return (out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
-            .orderBy("q_id", "rank"))
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
 
 
 @register("ann_topk_lsh", None)  # approximate by construction; recall vs
@@ -198,8 +196,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     out = ops.lsh_topk(base, _query_vectors(emb), k=10, dim=64,
                        n_planes=4, n_tables=16)
-    return (out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
-            .orderBy("q_id", "rank"))
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
 
 
 _EMBED_NEARDUP_ORACLE = """
@@ -235,8 +234,9 @@ def pipeline_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.slice("embedding", 2, 63)).alias("embedding")))
     aug = emb.unionAll(jit)
     out = ops.embed_neardup(aug, dim=64, threshold=0.99)
-    return (out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
-            .orderBy("id_a", "id_b"))
+    return sorted_result(
+        out.select("id_a", "id_b", F.round("cos", 4).alias("cos")),
+        "id_a", "id_b")
 
 
 @register("ann_topk_ivf", None)  # approximate by construction; plumbing
@@ -251,8 +251,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     out = ops.ivf_topk(base, _query_vectors(emb), k=10, dim=64,
                        n_cells=16, n_probe=6)
-    return (out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
-            .orderBy("q_id", "rank"))
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
 
 
 @register("embedding_norms", """
