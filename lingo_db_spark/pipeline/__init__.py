@@ -7,6 +7,7 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     jaccard,
     lsh_candidate_pairs,
     minhash_signature,
+    neardup_clusters,
     neardup_minhash,
     neardup_simhash,
     simhash,

@@ -200,6 +200,47 @@ def neardup_minhash(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def neardup_clusters(ids: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph, so "keep one document per duplicate cluster"
+    becomes a filter on is_canonical.  Returns (id_col, cluster_id,
+    is_canonical) for EVERY input id (singletons are their own cluster).
+
+    Algorithm: iterative min-label propagation (each round every node
+    takes the min label among itself and its neighbors) under
+    plans.iterate — rounds = component diameter.  Near-dup components are
+    tiny chains, so this converges in a handful of rounds; convergence is
+    detected by the strictly-decreasing label sum, and max_iters bounds
+    pathological graphs.  Per round: one join + one groupBy-min — the
+    standard large-graph CC shape (no driver-side graph, no recursion
+    depth limit)."""
+    from lingo_db_spark.plans import iterate
+
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    labels0 = (ids.select(F.col(id_col).alias("id"))
+               .withColumn("lbl", F.col("id")))
+
+    def label_sum(df: DataFrame) -> int:
+        return df.agg(F.sum("lbl")).first()[0] or 0
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        nbr = (edges.join(labels, edges.src == labels.id)
+               .select(F.col("dst").alias("id"), F.col("lbl")))
+        return (labels.select("id", "lbl").union(nbr)
+                .groupBy("id").agg(F.min("lbl").alias("lbl")))
+
+    out = iterate(labels0, step, max_iters,
+                  until=lambda cur, nxt: label_sum(cur) == label_sum(nxt),
+                  checkpoint_every=3)
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("is_canonical"))
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS = 64

@@ -53,6 +53,34 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start", "event_type"))
 
 
+@register("events_value_quantiles", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       ROUND(MIN(value), 4) AS vmin,
+       ROUND(MAX(value), 4) AS vmax
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile statistics per event type: Spark's `percentile`
+    (exact, linear interpolation — same definition as DuckDB
+    quantile_cont) value-checked against the oracle.  At 100TB you'd swap
+    `percentile` for `approx_percentile` (t-digest sketch, mergeable,
+    single pass) — the exact form is the correctness anchor the sketch is
+    judged against."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5D)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9D)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
+                 F.round(F.min("value"), 4).alias("vmin"),
+                 F.round(F.max("value"), 4).alias("vmax"))
+            .orderBy("event_type"))
+
+
 @register("events_json_extract", """
 SELECT event_type,
        COUNT(*) AS n,

@@ -88,6 +88,40 @@ def pipeline_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b")
 
 
+@register("pipeline_neardup_clusters", f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tri AS (
+  SELECT doc_id, {_SQL_TRIGRAMS} AS tris FROM tok WHERE len(t) >= 3),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+        / len(list_distinct(a.tris || b.tris)) >= 0.8),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, MIN(b) AS cluster_id, (a = MIN(b)) AS is_canonical
+FROM reach GROUP BY a ORDER BY doc_id
+""")
+def pipeline_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: MinHash+LSH pairs -> connected
+    components (iterative min-label propagation, plans.iterate) -> every
+    document labeled with its cluster's min doc_id; `is_canonical` marks
+    the one row to keep per cluster.  The oracle recomputes ground truth
+    in DuckDB with all-pairs Jaccard + a recursive-CTE transitive closure
+    — the distributed label propagation must reproduce it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (pl.neardup_minhash(docs, "doc_id", "text", threshold=0.8)
+             .select("id_a", "id_b"))
+    out = pl.neardup_clusters(docs.select("doc_id"), pairs)
+    return sorted_result(out, "doc_id")
+
+
 @register("pipeline_simhash_neardup", None)  # engine-internal signature;
                                              # semantics pinned in tests
 def pipeline_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -216,3 +216,28 @@ def test_cosine_known_values(spark):
     out = [round(r.c, 9) for r in
            df.select(ops.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert out == [1.0, 0.0]
+
+
+def test_neardup_clusters_components_and_singletons(spark):
+    """Min-label propagation must produce exact connected components:
+    a 3-chain (1-2, 2-3), a 2-cycle-ish pair (10-11), and singletons."""
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 42]],
+                                "doc_id BIGINT")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a BIGINT, id_b BIGINT")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in pl.neardup_clusters(ids, pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   10: (10, True), 11: (10, False), 42: (42, True)}
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    """A 9-node path graph needs several propagation rounds (diameter /
+    doubling); the label-sum convergence test must not stop early."""
+    n = 9
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id BIGINT")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a BIGINT, id_b BIGINT")
+    out = pl.neardup_clusters(ids, pairs).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
