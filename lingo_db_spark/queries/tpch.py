@@ -409,19 +409,28 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customer: IN (grouped subquery with HAVING) -> semi
     join.  Reference resources/sql/tpch/18.sql; relalg.in
     (RelAlgOps.td:523-528).  The HAVING sum accumulates in exact decimal so
-    the > 300 decision boundary can't flip with summation order."""
+    the > 300 decision boundary can't flip with summation order.
+
+    Single-pass form: because the outer query re-groups by o_orderkey
+    (orders/customer are key-unique), the HAVING aggregate IS the output
+    sum_qty — so lineitem is aggregated once, the >300 filter shrinks it
+    to the rare qualifying orders, and only that tiny set joins
+    orders/customer (the same re-aggregation elimination the reference's
+    unnesting applies; at scale this replaces an orders><lineitem fact
+    join with a probe of a few thousand rows)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
-           .filter(F.col("q") > 300).select("l_orderkey"))
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__q"))
+           .filter(F.col("__q") > 300)
+           .select("l_orderkey",
+                   F.round(F.col("__q").cast("double"), 4).alias("sum_qty")))
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
