@@ -11,18 +11,17 @@ from pyspark.sql import functions as F
 
 from lingo_db_spark import streaming as st
 from lingo_db_spark.catalog import load_table, register_views
-from lingo_db_spark.functions import dsum
+from lingo_db_spark.functions import SQL_DSUM
 from lingo_db_spark.functions.udf import register_python_udf
 from lingo_db_spark.pipeline.multimodal import decode_media_meta, synth_media
 from lingo_db_spark.plans import kmeans
 from lingo_db_spark.queries import register
 
-_HOURLY_ORACLE = """
+_HOURLY_ORACLE = f"""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4)
-         AS total_value
+       {SQL_DSUM('value')} AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2

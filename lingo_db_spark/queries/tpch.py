@@ -58,16 +58,12 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # No pre-agg repartition: micro-unit sums are primitive long adds, so
+    # the partial aggregate collapses 600k rows to 6 groups at scan speed
+    # even on few splits — map-side combine + the 6-row final shuffle is
+    # the optimal shape at every scale (measured: a forced spread costs
+    # 2x here).
     flt = li.filter(F.col("l_shipdate") <= _ts("1998-09-02 00:00:00"))
-    # The decimal-exact 8-aggregate pass is the whole query; when the scan
-    # materializes fewer splits than the machine has cores (single-row-
-    # group bench files), spread rows first so the partial agg runs on
-    # every core.  No-op at scale (scans already >= cores splits); join
-    # queries must NOT do this (it would add a second exchange before
-    # their key shuffle).
-    target = spark.sparkContext.defaultParallelism
-    if flt.rdd.getNumPartitions() < target:
-        flt = flt.repartition(target)
     return (
         flt.groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lingo_db_spark.catalog import TABLE_SCHEMAS
+from lingo_db_spark.functions import dsum
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +50,7 @@ def windowed_event_counts(events: DataFrame,
         src = events.withWatermark("ts", watermark)
     return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum(F.col("value").cast("decimal(38,10)"))
-                         .cast("double"), 4).alias("total_value"))
+                 dsum("value").alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n_events", "total_value"))
 
