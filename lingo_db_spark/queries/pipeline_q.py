@@ -171,6 +171,49 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(pl.quality_stats(docs, "doc_id", "text"), "doc_id")
 
 
+@register("pipeline_prepare_corpus", f"""
+WITH tok AS (
+  SELECT doc_id, lang, text, {_SQL_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, lang, text, len(t) AS n_tokens,
+         CASE WHEN len(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN len(t) >= 10 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                    AS DOUBLE) / greatest(len(text), 1) <= 0.10
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN CAST(len(list_filter(t, x -> x IN
+               ('the','a','of','and','to','in','is','it','on','for')))
+               AS DOUBLE) / greatest(len(t), 1) >= 0.01
+              THEN 0.25 ELSE 0.0 END AS q
+  FROM tok),
+kept AS (SELECT * FROM scored WHERE q >= 0.75 AND lang = 'en')
+SELECT doc_id, lang, n_tokens FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ORDER BY doc_id) AS rn
+  FROM kept)
+WHERE rn = 1
+ORDER BY doc_id
+""")
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation — the composition a training-data
+    run actually executes: quality gate (C4-style composite >= 0.75) ->
+    language gate -> normalization-invariant dedup (md5 fingerprint,
+    keep-lowest-id) -> token accounting.  Each stage is one of the
+    engine's pipeline operators; the whole chain is narrow ops + ONE hash
+    shuffle (the dedup), which is the shape that survives 100TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (pl.spread(docs.select("doc_id", "lang", "text"), "doc_id")
+            .filter((pl.quality_score("text") >= 0.75)
+                    & (F.col("lang") == "en")))
+    fp = kept.select(
+        "doc_id", "lang",
+        pl.token_count("text").cast("long").alias("n_tokens"),
+        pl.fingerprint("text").alias("__fp"))
+    out = pl.dedup_exact(fp, ["__fp"], "doc_id").drop("__fp")
+    return sorted_result(out, "doc_id")
+
+
 @register("text_langid_counts", None)  # heuristic is engine-internal;
                                        # behavior pinned in tests
 def text_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,3 +110,31 @@ def test_random_in_range_bounds(spark):
             spark.range(200).select(lf.random_in_range(5, 10).alias("v")).collect()]
     assert all(5 <= v < 10 for v in vals)
     assert len(set(vals)) > 1
+
+
+def test_dsum_invariant_to_partitioning_and_order(spark):
+    """Fixed-point micro-unit sums must be bit-identical under any
+    partitioning / summation order — the property the oracle hash compare
+    relies on.  Doubles with >6 decimals exercise the per-row rounding."""
+    import random
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-1000, 1000), 9) for _ in range(5000)]
+    base = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    results = set()
+    for parts in (1, 3, 32):
+        df = base.repartition(parts)
+        row = df.agg(lf.dsum("v").alias("s"), lf.davg("v").alias("a")).first()
+        results.add((repr(row.s), repr(row.a)))
+    shuffled = spark.createDataFrame(
+        [(v,) for v in sorted(vals)], "v DOUBLE").repartition(8)
+    row = shuffled.agg(lf.dsum("v").alias("s"), lf.davg("v").alias("a")).first()
+    results.add((repr(row.s), repr(row.a)))
+    assert len(results) == 1
+
+
+def test_dsum_exact_on_monetary_decimals(spark):
+    """2-decimal monetary values sum exactly (no float drift): 0.1+0.2
+    style cases land on the true cent total."""
+    df = spark.createDataFrame([(0.1,), (0.2,), (0.3,), (104999.91,)],
+                               "v DOUBLE")
+    assert df.agg(lf.dsum("v").alias("s")).first().s == 105000.51
