@@ -41,10 +41,13 @@ HEADLINE_EXTRA = [
     "pipeline_dedup_exact",
     "pipeline_minhash_neardup",
     "pipeline_embed_neardup",
+    "pipeline_neardup_clusters",
+    "pipeline_prepare_corpus",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "text_quality_stats",
+    "events_value_quantiles",
     "window_rank",
 ]
 
