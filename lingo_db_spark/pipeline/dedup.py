@@ -215,8 +215,6 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
     pathological graphs.  Per round: one join + one groupBy-min — the
     standard large-graph CC shape (no driver-side graph, no recursion
     depth limit)."""
-    from lingo_db_spark.plans import iterate
-
     # Materialize the edge list before iterating: every propagation round
     # joins against it, and without a persist each round would re-execute
     # the entire upstream pair-generation pipeline (for MinHash pairs,
@@ -226,22 +224,31 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
              .persist())
-    labels0 = (ids.select(F.col(id_col).alias("id"))
-               .withColumn("lbl", F.col("id")))
+    cur = (ids.select(F.col(id_col).alias("id"))
+           .withColumn("lbl", F.col("id")))
 
     def label_sum(df: DataFrame) -> int:
         return df.agg(F.sum("lbl")).first()[0] or 0
 
-    def step(labels: DataFrame, _i: int) -> DataFrame:
-        nbr = (edges.join(labels, edges.src == labels.id)
+    # Explicit subop.loop-shaped iteration (cf. plans.iterate) carrying
+    # the previous round's label sum, so convergence costs ONE tiny agg
+    # per round instead of re-summing both frames; labels only decrease,
+    # so equal consecutive sums == fixpoint.  localCheckpoint every 3
+    # rounds truncates the lineage (plan depth stays O(1)).
+    prev_sum = label_sum(cur)
+    for i in range(max_iters):
+        nbr = (edges.join(cur, edges.src == cur.id)
                .select(F.col("dst").alias("id"), F.col("lbl")))
-        return (labels.select("id", "lbl").union(nbr)
-                .groupBy("id").agg(F.min("lbl").alias("lbl")))
-
-    out = iterate(labels0, step, max_iters,
-                  until=lambda cur, nxt: label_sum(cur) == label_sum(nxt),
-                  checkpoint_every=3)
-    return out.select(
+        nxt = (cur.select("id", "lbl").union(nbr)
+               .groupBy("id").agg(F.min("lbl").alias("lbl")))
+        if (i + 1) % 3 == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        cur_sum = label_sum(nxt)
+        cur = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return cur.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).alias("is_canonical"))

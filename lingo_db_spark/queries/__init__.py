@@ -65,5 +65,6 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         events_q,
         pipeline_q,
+        sqlfront,
     )
     return REGISTRY

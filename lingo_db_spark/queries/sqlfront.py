@@ -1,0 +1,77 @@
+"""SQL front-end parity: the reference's primary interface is SQL text
+(`run-sql file.sql db/`, SURVEY.md §3.1).  These queries execute RAW SQL
+through ``spark.sql`` over the registered table views — no DataFrame
+builders — proving a reference user can paste their SQL and run it.
+Monetary sums use the engine's fixed-point micro-unit form spelled
+directly in SQL (functions.SQL_DSUM is valid in both dialects), so the
+hash compare stays bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lingo_db_spark.catalog import register_views
+from lingo_db_spark.functions import SQL_DSUM
+from lingo_db_spark.queries import register
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_tpch_q3", _Q3_SQL)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 as RAW SQL text via spark.sql — the identical string runs
+    on DuckDB as its own oracle (ANSI join/group/order/limit + the
+    micro-unit sum form are dialect-common)."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q3_SQL)
+
+
+_Q6_SQL = f"""
+SELECT {SQL_DSUM('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_tpch_q6", _Q6_SQL)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 as raw SQL text — predicate pushdown comes from Catalyst
+    exactly as in the DataFrame form (same optimized plan)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 2
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+@register("sql_window_topk_per_group", _WINDOW_SQL)
+def sql_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2-orders-per-customer as raw SQL (window RANK + outer filter —
+    the reference's relalg.window/rank surface through the SQL door)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_WINDOW_SQL)
