@@ -10,7 +10,7 @@ SimHash and LSH-ANN variants whose algorithms are engine-internal
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lingo_db_spark import operators as ops
@@ -214,6 +214,40 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(out, "doc_id")
 
 
+@register("pipeline_token_budget", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+counted AS (
+  SELECT doc_id, len(t) AS n_tokens FROM tok),
+running AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM counted)
+SELECT doc_id, n_tokens, cum_tokens
+FROM running WHERE cum_tokens <= 100000
+ORDER BY doc_id
+""")
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing — select a deterministic prefix of the corpus
+    whose cumulative token count fits a training budget (the "cut a 100B
+    -token dataset" operator).  Window cumulative sum over integral token
+    counts; the single-partition window here is the price of a GLOBAL
+    budget — at scale you'd budget per shard (partitionBy on a shard key)
+    and this same shape runs shard-parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = pl.spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", pl.token_count("text").cast("long").alias("n_tokens"))
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return sorted_result(
+        counted.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 100_000),
+        "doc_id")
+
+
 @register("text_langid_counts", None)  # heuristic is engine-internal;
                                        # behavior pinned in tests
 def text_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +362,37 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     out = ops.ivf_topk(base, _query_vectors(emb), k=10, dim=64,
                        n_cells=16, n_probe=6)
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
+
+
+@register("ann_topk_ivf_full", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, base.vec_id,
+         CAST(list_cosine_similarity(base.embedding, q.q_vec) AS DOUBLE)
+           AS cos_raw
+  FROM base, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def ann_topk_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with exhaustive probing (n_probe = n_cells): candidates cover
+    the whole corpus, so the result is EXACT and value-checked against
+    the brute-force oracle — this pins the IVF machinery itself
+    (quantizer assignment, cell routing, re-ranking) rather than just
+    row counts; ann_topk_ivf then only adds the probe-pruning knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    out = ops.ivf_topk(base, _query_vectors(emb), k=10, dim=64,
+                       n_cells=16, n_probe=16)
     return sorted_result(
         out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
         "q_id", "rank")

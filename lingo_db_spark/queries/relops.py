@@ -743,3 +743,37 @@ def agg_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.any_value("n_name").alias("nation_name"),
                  F.count(F.lit(1)).alias("n_custs"))
             .orderBy("n_nationkey"))
+
+
+@register("window_ntile_lag_lead", """
+SELECT o_custkey, o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       LAG(o_orderkey)  OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING)
+         AS last_order
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""")
+def window_ntile_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions — NTILE, LAG, LEAD,
+    FIRST_VALUE (default frame) and LAST_VALUE (whole-partition frame,
+    because the default frame's LAST_VALUE is just the current row).
+    Unique-key ordering keeps every engine's answer identical."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (orders
+            .select("o_custkey", "o_orderkey",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.lag("o_orderkey").over(w).alias("prev_order"),
+                    F.lead("o_orderkey").over(w).alias("next_order"),
+                    F.first("o_orderkey").over(w).alias("first_order"),
+                    F.last("o_orderkey").over(wfull).alias("last_order"))
+            .orderBy("o_custkey", "o_orderkey"))
