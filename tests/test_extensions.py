@@ -164,3 +164,23 @@ def test_connection_create_insert_values(spark, tmp_path):
     inline = con.sql("SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, v)")
     assert inline.count() == 2
     con.sql_stmt("DROP TABLE ddl_t")
+
+
+def test_write_table_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    """Partitioned parquet sink: values survive the round trip and a
+    filter on the partition column prunes at the source (PartitionFilters
+    in the scan — the layout choice that matters at 100TB)."""
+    from conftest import explain_str
+    from lingo_db_spark.sources import write_table
+
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    out = str(tmp_path / "orders_by_prio")
+    write_table(src, out, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    one_prio = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = explain_str(one_prio)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    expect = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert one_prio.count() == expect
