@@ -138,14 +138,20 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
         sig_len = first[0].n
     rows_per_band = sig_len // bands
     # Band hash = one flat xxhash64 over the band's signature positions —
-    # direct element references, no slice/stringify detour.
-    band_hashes = [
-        F.xxhash64(F.lit(b), *[F.col("sig").getItem(b * rows_per_band + r)
-                               for r in range(rows_per_band)])
-        for b in range(bands)]
+    # direct element references, no slice/stringify detour.  Built as ONE
+    # SQL expression string: the per-column API form costs ~100 py4j
+    # round-trips (bands x (seed + rows) calls), ~350 ms of pure plan
+    # construction per query at 16x4 (measured); one expr() parse is
+    # server-side and O(1) round-trips.
+    band_exprs = ", ".join(
+        f"xxhash64({b}, "
+        + ", ".join(f"sig[{b * rows_per_band + r}]"
+                    for r in range(rows_per_band)) + ")"
+        for b in range(bands))
     banded = sig_df.select(
         F.col(id_col),
-        F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash"))
+        F.posexplode(F.expr(f"array({band_exprs})"))
+        .alias("band_id", "band_hash"))
     if max_bucket_size is not None:
         # Window count, deliberately: one hash shuffle on (band_id,
         # band_hash) computes the counts AND leaves the data partitioned

@@ -168,6 +168,42 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+@register("events_session_window_native", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sess_no
+  FROM flagged)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sess_no
+ORDER BY user_id, session_start
+""")
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (gap-merging session aggregation —
+    works identically in batch and streaming).  Semantics pinned against
+    a pure-SQL reconstruction: session_window merges an event into the
+    previous session iff its gap is STRICTLY under the gap duration, so
+    the oracle's new-session condition is `gap >= 30 min`.  Emits one row
+    per (user, session) with the session's start and event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"))
+            .select("user_id", "session_start", "n_events")
+            .orderBy("user_id", "session_start"))
+
+
 @register("streaming_dedup", """
 SELECT DISTINCT user_id, event_type
 FROM events
