@@ -80,6 +80,41 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+@register("events_funnel", """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS clicked,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL
+                      AND first_purchase > first_click THEN 1 ELSE 0 END)
+            AS BIGINT) AS converted
+FROM per_user
+""")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (click -> later purchase) via conditional MIN
+    aggregation — one shuffle on user_id, no self-join: the funnel shape
+    that scales to billions of users (a per-step self-join would shuffle
+    the events table once per step)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "click",
+                                  F.col("ts"))).alias("first_click"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts"))).alias("first_purchase")))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_click").isNotNull(), 1).otherwise(0))
+        .alias("clicked"),
+        F.sum(F.when(F.col("first_click").isNotNull()
+                     & (F.col("first_purchase") > F.col("first_click")), 1)
+              .otherwise(0)).alias("converted"))
+
+
 @register("events_json_extract", """
 SELECT event_type,
        COUNT(*) AS n,
