@@ -139,3 +139,29 @@ def test_embed_neardup_no_cartesian(spark):
     p = explain_str(ops.embed_neardup(emb, dim=64), "formatted")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sql_front_end_plans_same_as_dataframe_form(spark):
+    """The raw-SQL q6 must produce the same optimized plan properties as
+    the DataFrame build: filters pushed into the parquet scan, no shuffle
+    beyond the single-row aggregate exchange."""
+    p = plan(spark, "sql_tpch_q6")
+    assert "PushedFilters: [" in p
+    assert plan(spark, "sql_tpch_q6", "simple").count("Exchange") <= 1
+
+
+def test_funnel_single_shuffle(spark):
+    """The funnel aggregates per user then globally: one hash shuffle on
+    user_id plus the final single-partition agg exchange — a per-step
+    self-join shape would show extra joins/exchanges."""
+    p = plan(spark, "events_funnel", "simple")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2
+
+
+def test_minhash_no_cartesian_and_banded_join(spark):
+    """Candidate generation must stay a bucket equi-join: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    p = plan(spark, "pipeline_minhash_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
