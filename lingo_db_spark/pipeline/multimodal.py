@@ -105,6 +105,46 @@ def byte_histogram_features(media: DataFrame, binary_col: str = "media",
     return media.mapInPandas(_feat, out_schema)
 
 
+def resize_media(media: DataFrame, target_w: int, target_h: int,
+                 binary_col: str = "media",
+                 real_codec: bool = False) -> DataFrame:
+    """Resize operator: binary in -> binary out, Arrow-batched mapInPandas
+    (the batch shape a PIL `Image.resize` / ffmpeg scale filter plugs
+    into; load-library-once-per-worker, vectorized rows).  The stub
+    "resize" rewrites the header to the target dims and scales the
+    payload length proportionally to the pixel-count ratio —
+    deterministic, so tests can pin exact output sizes.  real_codec=True
+    is the seam for the actual library, absent in this container."""
+    if real_codec:
+        raise NotImplementedError(
+            "no image/audio codecs in this environment; wire PIL/av here")
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField(binary_col, T.BinaryType(), True),
+    ])
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                b = bytes(blob)
+                if len(b) < _HEADER_SIZE or b[:4] != _MAGIC:
+                    rows.append((int(doc_id), None))
+                    continue
+                _, w, h, nf = struct.unpack(_HEADER_FMT, b[:_HEADER_SIZE])
+                payload = b[_HEADER_SIZE:]
+                ratio = (target_w * target_h) / max(w * h, 1)
+                new_len = max(int(len(payload) * ratio), 0)
+                resized = (payload * (new_len // max(len(payload), 1) + 1)
+                           )[:new_len] if payload else b""
+                rows.append((int(doc_id),
+                             struct.pack(_HEADER_FMT, _MAGIC, target_w,
+                                         target_h, nf) + resized))
+            yield pd.DataFrame(rows, columns=["doc_id", binary_col])
+
+    return media.mapInPandas(_resize, out_schema)
+
+
 def sample_frames(meta: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame sampling for video rows: one output row per kept frame index
     (JVM-side sequence + explode — sampling itself needs no codec)."""

@@ -184,3 +184,30 @@ def test_write_table_partitioned_roundtrip_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "1-URGENT" in plan
     expect = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert one_prio.count() == expect
+
+
+def test_resize_media_rewrites_dims_and_scales_payload(spark):
+    """Stub resize: header carries the target dims, payload length scales
+    with the pixel-count ratio, n_frames survives; real codec path is an
+    explicit NotImplementedError seam."""
+    import pytest
+    import struct
+    from lingo_db_spark.pipeline.multimodal import (
+        _HEADER_FMT, _HEADER_SIZE, _MAGIC, decode_media_meta, resize_media,
+        synth_media)
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = synth_media(docs)
+    resized = resize_media(media, 32, 32)
+    metas = {r.doc_id: r for r in decode_media_meta(resized).collect()}
+    origs = {r.doc_id: r for r in decode_media_meta(media).collect()}
+    assert metas.keys() == origs.keys()
+    for did, m in metas.items():
+        o = origs[did]
+        assert (m.width, m.height) == (32, 32)
+        assert m.n_frames == o.n_frames
+        ow = 16 * (did % 40) + 16
+        oh = 16 * (did % 30) + 16
+        assert m.payload_len == int(o.payload_len * (32 * 32) / (ow * oh))
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 32, 32, real_codec=True)
