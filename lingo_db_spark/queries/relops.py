@@ -662,14 +662,18 @@ def subquery_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified ALL subquery (reference sql_mlir_translator.cpp:540-700
     translates ALL via aggregated subquery + getscalar).  Spark SQL has no
     `> ALL` form, so the engine applies the same rewrite the reference
-    does: `x > ALL (S)` == `x > MAX(S)` when S is non-empty and null-free
-    (s_acctbal is NOT NULL; nation 0 always has suppliers) — the 1-row MAX
-    broadcasts into the filter."""
+    does: `x > ALL (S)` == `count(S) = 0 OR x > MAX(S)` for null-free S
+    (s_acctbal is NOT NULL) — the empty-set branch is the vacuous-truth
+    corner a bare MAX rewrite gets wrong (MAX of empty is NULL, which
+    would silently drop every row).  The 1-row aggregate broadcasts into
+    the filter."""
     supp = load_table(spark, sf_dir, "supplier")
     bound = (supp.filter(F.col("s_nationkey") == 0)
-             .agg(F.max("s_acctbal").alias("__bound")))
+             .agg(F.max("s_acctbal").alias("__bound"),
+                  F.count(F.lit(1)).alias("__cnt")))
     return (supp.crossJoin(F.broadcast(bound))
-            .filter(F.col("s_acctbal") > F.col("__bound"))
+            .filter((F.col("__cnt") == 0)
+                    | (F.col("s_acctbal") > F.col("__bound")))
             .select("s_suppkey", "s_name", "s_acctbal")
             .orderBy("s_suppkey"))
 
