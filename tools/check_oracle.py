@@ -49,8 +49,11 @@ def main() -> int:
     spark = build_session("check_oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # Driver data is one file per table; scaled copies
+        # (tools/make_scaled_data.py) are directories of part files.
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     failed = []
     for name, spec in sorted(registry.items()):
         if only and name not in only:
