@@ -58,6 +58,35 @@ def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q6_SQL)
 
 
+_DDL_ORACLE = """
+SELECT item_id, name, CAST(price AS DOUBLE) AS price
+FROM (VALUES (1, 'widget', 9.99),
+             (2, 'gadget', 19.5),
+             (3, 'gizmo', 0.25)) AS t(item_id, name, price)
+ORDER BY item_id
+"""
+
+
+@register("sql_ddl_roundtrip", _DDL_ORACLE)
+def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE + INSERT INTO ... VALUES + SELECT — the reference's
+    DDL/DML surface (parser.y:2851-2870, 3247-3260) through Spark's
+    session catalog (managed parquet table in spark.sql.warehouse.dir).
+    The table name is unique per invocation: the in-memory catalog dies
+    with the session but the warehouse directory does not, so a fixed
+    name would hit LOCATION_ALREADY_EXISTS on the next session; the
+    returned frame stays lazy over the table, so it cannot be dropped
+    here."""
+    import uuid
+    name = f"ldb_items_{uuid.uuid4().hex[:12]}"
+    spark.sql(f"""CREATE TABLE {name}
+                  (item_id INT, name STRING, price DOUBLE) USING parquet""")
+    spark.sql(f"""INSERT INTO {name} VALUES
+                  (1, 'widget', 9.99), (2, 'gadget', 19.5),
+                  (3, 'gizmo', 0.25)""")
+    return spark.sql(f"SELECT * FROM {name} ORDER BY item_id")
+
+
 _WINDOW_SQL = """
 SELECT o_custkey, o_orderkey, rnk FROM (
   SELECT o_custkey, o_orderkey,
