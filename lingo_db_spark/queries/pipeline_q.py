@@ -248,11 +248,36 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id")
 
 
-@register("text_langid_counts", None)  # heuristic is engine-internal;
-                                       # behavior pinned in tests
+@register("text_langid_counts", f"""
+WITH tok AS (
+  SELECT doc_id, text, list_distinct({_SQL_TOKS}) AS t FROM documents),
+scored AS (
+  SELECT doc_id, text,
+    len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+    len(list_filter(t, x -> x IN ('le','la','les','et','est','pas','une','dans'))) AS s_fr,
+    len(list_filter(t, x -> x IN ('el','los','las','es','una','que','por','con'))) AS s_es
+  FROM tok),
+best AS (
+  SELECT doc_id, text,
+         list_max([format('{{:02d}}|en', s_en), format('{{:02d}}|de', s_de),
+                   format('{{:02d}}|fr', s_fr), format('{{:02d}}|es', s_es)])
+           AS b
+  FROM scored)
+SELECT CASE WHEN 2 * len(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                 >= len(text) THEN 'zh'
+            WHEN CAST(substr(b, 1, 2) AS INT) = 0 THEN 'und'
+            ELSE substr(b, 4) END AS pred_lang,
+       COUNT(*) AS n_docs
+FROM best GROUP BY 1 ORDER BY 1
+""")
 def text_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of predicted languages over the corpus (stopword-
-    marker heuristic + CJK codepoint ratio)."""
+    marker heuristic + CJK codepoint ratio).  The oracle re-encodes the
+    whole heuristic in DuckDB SQL — marker hit counts, argmax with the
+    same lexicographic-max tie-break (zero-padded 'score|lang' strings),
+    CJK codepoint ratio — so the prediction itself is value-checked, not
+    just row counts."""
     docs = load_table(spark, sf_dir, "documents")
     docs = pl.spread(docs.select("doc_id", "text"), "doc_id")
     return (docs.select(pl.lang_id("text").alias("pred_lang"))
