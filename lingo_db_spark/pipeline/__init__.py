@@ -13,6 +13,10 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     simhash,
     spread,
 )
+from lingo_db_spark.pipeline.sampling import (  # noqa: F401
+    hash_fraction,
+    stratified_sample,
+)
 from lingo_db_spark.pipeline.text import (  # noqa: F401
     bpe_token_estimate,
     digit_ratio,

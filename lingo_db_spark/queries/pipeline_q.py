@@ -214,6 +214,27 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(out, "doc_id")
 
 
+@register("pipeline_stratified_sample", """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296
+      < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END
+ORDER BY doc_id
+""")
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (cap English at 25%, German at
+    50%, keep the rest) — keep/drop is a multiplicative hash of doc_id,
+    so the sample is a pure function of the data: identical under
+    re-runs, re-partitioning, and in the DuckDB oracle (which re-derives
+    the exact row set with the same integer arithmetic).  sampleBy would
+    be seeded-random and unverifiable."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pl.stratified_sample(docs.select("doc_id", "lang"), "lang",
+                               {"en": 0.25, "de": 0.5}, "doc_id",
+                               default_fraction=1.0)
+    return out.orderBy("doc_id")
+
+
 @register("pipeline_token_budget", f"""
 WITH tok AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents),

@@ -241,3 +241,21 @@ def test_neardup_clusters_long_chain_converges(spark):
     out = pl.neardup_clusters(ids, pairs).collect()
     assert all(r.cluster_id == 0 for r in out)
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_stratified_sample_deterministic_under_repartition(spark):
+    """The sample must be a pure function of the data — identical row
+    sets regardless of partitioning (the property seeded rand() lacks)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    frac = {"en": 0.25, "de": 0.5}
+    a = {r.doc_id for r in
+         pl.stratified_sample(docs, "lang", frac, "doc_id", 1.0).collect()}
+    b = {r.doc_id for r in
+         pl.stratified_sample(docs.repartition(13), "lang", frac,
+                              "doc_id", 1.0).collect()}
+    assert a == b and len(a) > 0
+    # strata fractions land near their targets
+    en_total = docs.filter("lang = 'en'").count()
+    en_kept = (pl.stratified_sample(docs, "lang", frac, "doc_id", 1.0)
+               .filter("lang = 'en'").count())
+    assert 0.1 < en_kept / max(en_total, 1) < 0.4
