@@ -87,6 +87,34 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name} ORDER BY item_id")
 
 
+@register("sql_copy_csv_roundtrip", """
+SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+""")
+def sql_copy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO + COPY FROM (CSV) round trip — the reference's COPY
+    surface (parser.y:575, RelationHelper.h:16): export a projection of
+    `documents` to CSV, re-ingest it through sources.copy_from_csv with
+    a DECLARED schema (no inference), and the result must equal the
+    original rows — which is exactly what the oracle checks."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from lingo_db_spark.catalog import load_table
+    from lingo_db_spark.sources import copy_from_csv
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="ldb_copy_") + "/docs_csv"
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    return copy_from_csv(spark, out, schema).orderBy("doc_id")
+
+
 _WINDOW_SQL = """
 SELECT o_custkey, o_orderkey, rnk FROM (
   SELECT o_custkey, o_orderkey,
