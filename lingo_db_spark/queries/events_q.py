@@ -80,6 +80,41 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+@register("events_salted_agg", f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('value')} AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation over a 5-value key (the hot-key shape AQE
+    cannot fix for aggregations): operators.skew.salted_aggregate spreads
+    each key over 32 deterministic salts, combines partials on the bare
+    key, and must produce exactly the plain GROUP BY answer — which is
+    what the oracle checks.  Micro-unit value sums salt losslessly
+    (int64 partials re-sum exactly)."""
+    from lingo_db_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * F.lit(1_000_000.0), 0).cast("long")
+    out = salted_aggregate(
+        ev.withColumn("__vm", micros), ["event_type"],
+        {"n_events": ("count", None),
+         "__sum_m": ("sum", F.col("__vm")),
+         "min_id": ("min", F.col("event_id")),
+         "max_id": ("max", F.col("event_id"))},
+        salt_src="event_id", n_salt=32)
+    return (out.select(
+        "event_type", "n_events",
+        F.round(F.col("__sum_m").cast("double") / F.lit(1_000_000.0), 4)
+        .alias("total_value"), "min_id", "max_id")
+        .orderBy("event_type"))
+
+
 @register("events_funnel", """
 WITH per_user AS (
   SELECT user_id,
@@ -113,6 +148,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("first_click").isNotNull()
                      & (F.col("first_purchase") > F.col("first_click")), 1)
               .otherwise(0)).alias("converted"))
+
+
+@register("events_asof_join", """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, c.click_id AS click_id_asof,
+       CAST(c.click_ts AS TIMESTAMP) AS click_ts_asof
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY p.event_id
+""")
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase aligned with the user's latest click at
+    or before it (operators.asof.asof_join — union + carry-forward
+    window, one shuffle, no row explosion).  The oracle is DuckDB's
+    NATIVE `ASOF LEFT JOIN`, so the operator's semantics — including the
+    no-preceding-click NULLs and equal-timestamp ties — are pinned
+    against an independent implementation."""
+    from lingo_db_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("click_id"))
+         .select("user_id", "ts", "click_id",
+                 F.col("ts").alias("click_ts")))
+    out = asof_join(p, c, on="user_id", ts="ts",
+                    value_cols=["click_id", "click_ts"])
+    return (out.select("event_id", "user_id",
+                       F.col("click_id").alias("click_id_asof"),
+                       F.col("click_ts").alias("click_ts_asof"))
+            .orderBy("event_id"))
 
 
 @register("events_json_extract", """

@@ -211,3 +211,44 @@ def test_resize_media_rewrites_dims_and_scales_payload(spark):
         assert m.payload_len == int(o.payload_len * (32 * 32) / (ow * oh))
     with pytest.raises(NotImplementedError):
         resize_media(media, 32, 32, real_codec=True)
+
+
+def test_asof_join_corners(spark):
+    """As-of corners: no preceding right row -> NULL; equal timestamps
+    match (at-or-before); later rows take the latest predecessor."""
+    from datetime import datetime
+
+    from lingo_db_spark.operators.asof import asof_join
+
+    TS = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(100, 1, TS(5)), (101, 1, TS(10)), (102, 1, TS(25)),
+         (103, 2, TS(30))],
+        "event_id LONG, user_id LONG, ts TIMESTAMP_NTZ")
+    right = spark.createDataFrame(
+        [(1, TS(10), 7), (1, TS(20), 8)],
+        "user_id LONG, ts TIMESTAMP_NTZ, click_id LONG")
+    out = {r.event_id: r.click_id for r in
+           asof_join(left, right, on="user_id", ts="ts",
+                     value_cols=["click_id"]).collect()}
+    assert out == {100: None, 101: 7, 102: 8, 103: None}
+
+
+def test_salted_aggregate_equals_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from lingo_db_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {(r.event_type): (r.n, r.mn, r.mx) for r in
+             ev.groupBy("event_type").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.min("event_id").alias("mn"),
+                 F.max("event_id").alias("mx")).collect()}
+    salted = {(r.event_type): (r.n, r.mn, r.mx) for r in
+              salted_aggregate(ev, ["event_type"],
+                               {"n": ("count", None),
+                                "mn": ("min", F.col("event_id")),
+                                "mx": ("max", F.col("event_id"))},
+                               salt_src="event_id", n_salt=8).collect()}
+    assert plain == salted
