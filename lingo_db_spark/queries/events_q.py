@@ -115,6 +115,61 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type"))
 
 
+@register("events_session_range_join", """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS sess_no
+  FROM flagged),
+sessions AS (
+  SELECT user_id, sess_no, epoch(MIN(ts)) AS lo, epoch(MAX(ts)) AS hi,
+         CAST(MIN(ts) AS TIMESTAMP) AS session_start
+  FROM numbered GROUP BY user_id, sess_no)
+SELECT p.event_id, p.user_id, s.session_start
+FROM (SELECT event_id, user_id, epoch(ts) AS pt FROM events
+      WHERE event_type = 'purchase') p
+JOIN sessions s ON p.user_id = s.user_id AND p.pt BETWEEN s.lo AND s.hi
+ORDER BY p.event_id
+""")
+def events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN: assign each purchase to its user's
+    containing session interval via the bucketized range join
+    (operators.rangejoin — quantized buckets + equi-join + residual
+    BETWEEN; a bare interval-containment join would plan a nested-loop).
+    The oracle recomputes session intervals and the containment join in
+    plain SQL."""
+    from lingo_db_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    numbered = (ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= F.expr("INTERVAL 30 MINUTES")), 1)
+        .otherwise(0))
+        .withColumn("sess_no", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    epoch = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+    sessions = (numbered.groupBy("user_id", "sess_no")
+                .agg(F.min("ts").alias("lo_ts"), F.max("ts").alias("hi_ts"))
+                .select("user_id",
+                        epoch("lo_ts").alias("lo"), epoch("hi_ts").alias("hi"),
+                        F.col("lo_ts").alias("session_start")))
+    points = (ev.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", epoch("ts").alias("pt")))
+    out = range_join(points, sessions, point="pt", lo="lo", hi="hi",
+                     bucket_width=1800.0, keys=["user_id"])
+    return (out.select("event_id", "user_id", "session_start")
+            .orderBy("event_id"))
+
+
 @register("events_funnel", """
 WITH per_user AS (
   SELECT user_id,

@@ -165,3 +165,12 @@ def test_minhash_no_cartesian_and_banded_join(spark):
     p = plan(spark, "pipeline_minhash_neardup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketized range join must plan hash/sort-merge equi-joins —
+    a bare interval-containment join would appear as
+    BroadcastNestedLoopJoin (O(n*m) comparisons)."""
+    p = plan(spark, "events_session_range_join", "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
