@@ -252,3 +252,16 @@ def test_salted_aggregate_equals_plain_groupby(spark):
                                 "mx": ("max", F.col("event_id"))},
                                salt_src="event_id", n_salt=8).collect()}
     assert plain == salted
+
+
+def test_hll_sketch_within_error_of_exact(spark):
+    """approx_count_distinct (HyperLogLog++, mergeable single-pass
+    sketch) stays within its configured relative error of the exact
+    distinct count — the sketch path for 100TB cardinality estimation."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx")).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.06
