@@ -48,6 +48,9 @@ HEADLINE_EXTRA = [
     "ann_topk_ivf",
     "text_quality_stats",
     "events_value_quantiles",
+    "events_asof_join",
+    "events_session_range_join",
+    "events_salted_agg",
     "window_rank",
 ]
 
