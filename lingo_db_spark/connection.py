@@ -32,6 +32,13 @@ class Connection:
         returns a materialized Arrow table; call .toArrow()/.collect())."""
         return self.spark.sql(query)
 
+    def sql_arrow(self, query: str):
+        """Exact reference signature: query -> materialized pyarrow.Table
+        (reference Connection.sql, tools/python/lingodb/__init__.py:50 —
+        its results ARE Arrow tables; Spark 4's df.toArrow() gives the
+        same exchange format)."""
+        return self.spark.sql(query).toArrow()
+
     def sql_stmt(self, stmt: str) -> None:
         """DDL/DML statement with no result."""
         self.spark.sql(stmt)

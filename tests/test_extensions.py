@@ -265,3 +265,13 @@ def test_hll_sketch_within_error_of_exact(spark):
         F.countDistinct("user_id").alias("exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx")).first()
     assert abs(row.approx - row.exact) / row.exact < 0.06
+
+
+def test_connection_sql_arrow_returns_pyarrow(spark):
+    """Reference API parity: Connection.sql returns a pyarrow Table."""
+    import pyarrow as pa
+
+    con = Connection(spark, SF_DIR)
+    t = con.sql_arrow("SELECT n_nationkey, n_name FROM nation ORDER BY 1")
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == 25 and t.column_names == ["n_nationkey", "n_name"]
