@@ -151,3 +151,17 @@ def run_stream_to_memory(sdf: DataFrame, output_mode: str = "complete",
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def run_stream_to_parquet(sdf: DataFrame, path: str, checkpoint: str) -> None:
+    """Execute a streaming DataFrame (availableNow) into a parquet file
+    sink with a checkpoint — the production sink shape.  The checkpoint's
+    offset log + the sink's transaction log (_spark_metadata) give
+    EXACTLY-ONCE file output: re-running over an unchanged source is a
+    no-op, a crash mid-batch replays without duplicating committed
+    files."""
+    q = (sdf.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -275,3 +275,20 @@ def test_connection_sql_arrow_returns_pyarrow(spark):
     t = con.sql_arrow("SELECT n_nationkey, n_name FROM nation ORDER BY 1")
     assert isinstance(t, pa.Table)
     assert t.num_rows == 25 and t.column_names == ["n_nationkey", "n_name"]
+
+
+def test_stream_parquet_sink_exactly_once(spark, tmp_path):
+    """Checkpointed file sink is exactly-once: a second availableNow run
+    over the unchanged source commits nothing new, and the sink equals
+    the batch answer."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda: st.stream_events(spark, SF_DIR).filter(
+        "event_type = 'purchase'").select("event_id", "user_id")
+    st.run_stream_to_parquet(mk(), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    st.run_stream_to_parquet(mk(), out, ckpt)   # restart: no duplicates
+    n2 = spark.read.parquet(out).count()
+    batch = load_table(spark, SF_DIR, "events").filter(
+        "event_type = 'purchase'").count()
+    assert n1 == n2 == batch > 0
