@@ -10,8 +10,10 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     neardup_clusters,
     neardup_minhash,
     neardup_simhash,
+    overlap_pairs,
     simhash,
     spread,
+    winnow_fingerprints,
 )
 from lingo_db_spark.pipeline.sampling import (  # noqa: F401
     hash_fraction,

@@ -122,6 +122,43 @@ def pipeline_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(out, "doc_id")
 
 
+@register("pipeline_winnow_overlap", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          for i in range(1, len(t) - 1)] AS h
+  FROM tok WHERE len(t) >= 6),
+wins AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[i:i+3])
+                        for i in range(1, len(h) - 2)]) AS fps
+  FROM g WHERE len(h) >= 4),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+keep AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 1000),
+pruned AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 8
+ORDER BY id_a, id_b
+""")
+def pipeline_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection via WINNOWING fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): k-gram
+    rolling hashes, per-window minimum selection, bucket self-join on
+    shared fingerprints.  Catches a copied paragraph inside an otherwise
+    new document — the case whole-document dedup misses.  The oracle
+    re-derives the exact fingerprint selection (md5-ordered window mins)
+    and the pair counts in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = pl.winnow_fingerprints(docs, "doc_id", "text",
+                                 shingle_k=3, window=4)
+    out = pl.overlap_pairs(fps, "doc_id", min_shared=8, max_fp_freq=1000)
+    return sorted_result(out, "id_a", "id_b")
+
+
 @register("pipeline_simhash_neardup", None)  # engine-internal signature;
                                              # semantics pinned in tests
 def pipeline_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

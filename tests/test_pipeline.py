@@ -259,3 +259,24 @@ def test_stratified_sample_deterministic_under_repartition(spark):
     en_kept = (pl.stratified_sample(docs, "lang", frac, "doc_id", 1.0)
                .filter("lang = 'en'").count())
     assert 0.1 < en_kept / max(en_total, 1) < 0.4
+
+
+def test_winnow_detects_planted_partial_overlap(spark):
+    """A 20-token run copied between otherwise-unrelated documents must
+    share fingerprints (winnowing guarantee: any shared run of w+k-1
+    tokens shares >= 1 selected fingerprint); unrelated docs share none."""
+    import random
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    shared_run = mk(20)
+    docs = spark.createDataFrame(
+        [(1, mk(40) + " " + shared_run + " " + mk(40)),
+         (2, mk(30) + " " + shared_run + " " + mk(50)),
+         (3, mk(120))],
+        "doc_id BIGINT, text STRING")
+    fps = pl.winnow_fingerprints(docs, "doc_id", "text")
+    pairs = {(r.id_a, r.id_b): r.shared
+             for r in pl.overlap_pairs(fps, "doc_id", min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
