@@ -306,6 +306,42 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id")
 
 
+@register("pipeline_dedup_rollup", """
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       CAST(GROUPING(source) AS BIGINT) AS g_source,
+       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                              ' ', 'g')))) AS n_unique,
+       ROUND(1.0 - CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')))) AS DOUBLE) / COUNT(*), 4)
+         AS dup_rate
+FROM documents
+GROUP BY ROLLUP(source, lang)
+ORDER BY g_source, g_lang, source, lang
+""")
+def pipeline_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation reporting: duplication rate per (source, lang) with
+    ROLLUP subtotals — DISTINCT fingerprint counting under grouping sets
+    in one Expand-based pass (corpus-health dashboards at 100TB run
+    exactly this shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = pl.fingerprint("text")
+    uniq = F.countDistinct(fp)
+    return (docs.rollup("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 uniq.alias("n_unique"),
+                 F.round(F.lit(1.0) - uniq.cast("double")
+                         / F.count(F.lit(1)), 4).alias("dup_rate"),
+                 F.grouping("source").cast("long").alias("g_source"),
+                 F.grouping("lang").cast("long").alias("g_lang"))
+            .select(F.coalesce("source", F.lit("<all>")).alias("source"),
+                    F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    "g_source", "g_lang", "n_docs", "n_unique", "dup_rate")
+            .orderBy("g_source", "g_lang", "source", "lang"))
+
+
 @register("text_langid_counts", f"""
 WITH tok AS (
   SELECT doc_id, text, list_distinct({_SQL_TOKS}) AS t FROM documents),
