@@ -207,7 +207,8 @@ def neardup_minhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def neardup_clusters(ids: DataFrame, pairs: DataFrame,
-                     id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+                     id_col: str = "doc_id", max_iters: int = 20,
+                     driver_max_edges: int = 1_000_000) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     near-dup pair graph, so "keep one document per duplicate cluster"
     becomes a filter on is_canonical.  Returns (id_col, cluster_id,
@@ -221,6 +222,49 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
     pathological graphs.  Per round: one join + one groupBy-min — the
     standard large-graph CC shape (no driver-side graph, no recursion
     depth limit)."""
+    # Iterate ONLY over nodes that appear in some pair: the duplicate
+    # graph is a small fraction of the corpus (that's the point of
+    # dedup), so propagation touches |edges| rows per round, not |corpus|
+    # — singletons are attached at the end with label = own id.
+    #
+    # Strategy switch on graph size (the kmeans-centroid precedent — a
+    # bounded collect is legitimate): below the threshold the skinny
+    # (id_a, id_b) list fits trivially on the driver and union-find
+    # resolves it in one pass, replacing diameter-many join rounds; above
+    # it, distributed min-label propagation takes over.
+    # One materialization of the (expensive) pair-generation pipeline
+    # serves the size probe, the driver collect, and the edge list.
+    pairs = pairs.persist()
+    n_edges = pairs.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs.select("id_a", "id_b").collect():
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min-label so the root IS the cluster id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(x, find(x)) for x in parent]
+        spark = ids.sparkSession
+        cur = spark.createDataFrame(labels or [(None, None)],
+                                    "id BIGINT, lbl BIGINT").filter(
+            F.col("id").isNotNull())
+        everyone = ids.select(F.col(id_col).alias("id"))
+        labeled = (everyone.join(F.broadcast(cur), "id", "left")
+                   .select("id", F.coalesce("lbl", F.col("id")).alias("lbl")))
+        return labeled.select(
+            F.col("id").alias(id_col),
+            F.col("lbl").alias("cluster_id"),
+            (F.col("id") == F.col("lbl")).alias("is_canonical"))
     # Materialize the edge list before iterating: every propagation round
     # joins against it, and without a persist each round would re-execute
     # the entire upstream pair-generation pipeline (for MinHash pairs,
@@ -230,7 +274,7 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
              .persist())
-    cur = (ids.select(F.col(id_col).alias("id"))
+    cur = (edges.select(F.col("src").alias("id")).distinct()
            .withColumn("lbl", F.col("id")))
 
     def label_sum(df: DataFrame) -> int:
@@ -254,7 +298,10 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return cur.select(
+    everyone = ids.select(F.col(id_col).alias("id"))
+    labeled = (everyone.join(cur, "id", "left")
+               .select("id", F.coalesce("lbl", F.col("id")).alias("lbl")))
+    return labeled.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).alias("is_canonical"))

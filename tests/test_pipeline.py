@@ -238,7 +238,9 @@ def test_neardup_clusters_long_chain_converges(spark):
     ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id BIGINT")
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
                                   "id_a BIGINT, id_b BIGINT")
-    out = pl.neardup_clusters(ids, pairs).collect()
+    # driver_max_edges=0 forces the DISTRIBUTED propagation path (the
+    # small-graph default would resolve this on the driver).
+    out = pl.neardup_clusters(ids, pairs, driver_max_edges=0).collect()
     assert all(r.cluster_id == 0 for r in out)
     assert sum(r.is_canonical for r in out) == 1
 
