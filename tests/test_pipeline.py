@@ -282,3 +282,36 @@ def test_winnow_detects_planted_partial_overlap(spark):
              for r in pl.overlap_pairs(fps, "doc_id", min_shared=2).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_int8_quantization_roundtrip_and_recall(spark):
+    """int8 scalar quantization: 4x smaller payload, per-dim error within
+    scale/2, and exact top-10 neighbors survive re-ranking on the
+    dequantized vectors (recall >= 0.9)."""
+    from lingo_db_spark.operators.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = quantize_embeddings(emb)
+    row = q.select(F.length("codes").alias("n")).first()
+    assert row.n == 64                     # 64 dims -> 64 bytes (vs 256+)
+    back = dequantize_embeddings(q)
+    err = (emb.alias("a").join(back.alias("b"), "vec_id")
+           .select(F.aggregate(
+               F.zip_with("a.embedding", "b.embedding",
+                          lambda x, y: F.abs(x - y)),
+               F.lit(0.0), lambda acc, x: F.greatest(acc, x)).alias("e"))
+           .agg(F.max("e")).first()[0])
+    scale_max = q.agg(F.max("vscale")).first()[0]
+    assert err <= scale_max / 2 + 1e-12
+    base = emb.filter("vec_id >= 5")
+    queries = (emb.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    exact = {(r.q_id, r.vec_id) for r in
+             ops.brute_force_topk(base, queries, k=10).collect()}
+    dq = dequantize_embeddings(quantize_embeddings(base))
+    approx = {(r.q_id, r.vec_id) for r in
+              ops.brute_force_topk(dq, queries, k=10).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9
