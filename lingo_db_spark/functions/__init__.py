@@ -64,6 +64,18 @@ def davg(col: Column | str) -> Column:
                    / F.count(c), 6)
 
 
+def dsum_exact(col: Column | str) -> Column:
+    """Unbounded exact accumulation — SUM over DECIMAL(38,10), the
+    reference's widest decimal semantics, returned AS DECIMAL (no
+    rounding, no double cast).  The decision-boundary queries (HAVING
+    thresholds, correlated comparisons) use this form inline; it is the
+    right tool when magnitudes may exceed dsum's 2^63-micro-unit bound or
+    when the caller needs the exact decimal, at the cost of the
+    BigDecimal accumulation path (~100x slower per row than dsum's long
+    adds)."""
+    return F.sum(_c(col).cast(DEC))
+
+
 def dvar_samp(col: Column | str) -> Column:
     """var_samp via exact sums: (sum(x^2) - sum(x)^2/n) / (n-1), the same
     decomposition the reference applies (SimplifyAggregations.cpp:109-146)."""

@@ -138,3 +138,14 @@ def test_dsum_exact_on_monetary_decimals(spark):
     df = spark.createDataFrame([(0.1,), (0.2,), (0.3,), (104999.91,)],
                                "v DOUBLE")
     assert df.agg(lf.dsum("v").alias("s")).first().s == 105000.51
+
+
+def test_dsum_exact_is_exact_decimal(spark):
+    """dsum_exact returns the exact DECIMAL(38,10) sum — no rounding, no
+    double round-trip — for callers beyond the micro-unit bound."""
+    from decimal import Decimal
+    df = spark.createDataFrame([(0.1,), (0.2,)], "v DOUBLE")
+    out = df.agg(lf.dsum_exact("v").alias("s")).first().s
+    assert isinstance(out, Decimal)
+    # cast-of-double captures each double's true expansion at 1e-10
+    assert out == Decimal("0.3000000000")
