@@ -57,14 +57,25 @@ def register(name: str, oracle: str | None):
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: populates REGISTRY)."""
+    """Import every query module (side effect: populates REGISTRY).
+
+    ORDER MATTERS: the driver's correctness gate attests the first ~50
+    registrations only (CORRECTNESS_r02 recorded exactly the first 50 in
+    registration order).  Register the novel / previously-unattested
+    families first — the LLM-pipeline operators, scalar semantics, and the
+    round-3 additions (decimal parity, decorrelation pack, char/interval,
+    range frames) — and put the TPC-H spine last: it is fully attested in
+    CORRECTNESS_r02 and the most redundant thing to re-record.
+    """
     from lingo_db_spark.queries import (  # noqa: F401
-        tpch,
-        tpch2,
-        relops,
-        scalars,
-        events_q,
         pipeline_q,
+        scalars,
+        decimal_q,
+        dsq,
+        events_q,
         sqlfront,
+        relops,
+        tpch2,
+        tpch,
     )
     return REGISTRY

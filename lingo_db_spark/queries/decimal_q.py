@@ -1,0 +1,153 @@
+"""Decimal(p,s) end-to-end parity queries — decimal-typed columns flowing
+through ×, ÷, %, AVG promotion, and SUM overflow widening, typed by the
+reference's inference rules (reference src/compiler/Dialect/DB/
+DBOps.cpp:98-273, src/compiler/frontend/sql_analyzer.cpp:2636-2642) and
+valued by the reference's truncating scaled-integer division
+(src/compiler/Conversion/DBToStd/LowerToStd.cpp:1599-1603).
+
+The driver tables store money as DOUBLE, so each query materializes
+decimal-typed columns with an explicit CAST applied identically on both
+engines (the same IEEE double rounds to the same decimal).  Every output
+column is CAST to the reference-inferred (p,s) on BOTH sides — the gate
+compares schemas and repr()-hashes, and Decimal repr carries scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lingo_db_spark.catalog import load_table
+from lingo_db_spark.functions import decimal as dec
+from lingo_db_spark.queries import register, sorted_result
+
+# Decimal views of the driver's double columns, shared by every query here.
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"   # (12,2)
+_QTY1 = "CAST(l_quantity AS DECIMAL(4,1))"          # (4,1)
+_QTY0 = "CAST(l_quantity AS DECIMAL(19,0))"         # (19,0) int-like
+_DISC = "CAST(1.0 - l_discount AS DECIMAL(4,2))"    # (4,2)
+
+
+def _lineitem_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(4,1)").alias("qty1"),
+        F.col("l_quantity").cast("decimal(19,0)").alias("qty0"),
+        (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)").alias("disc"),
+    )
+
+
+@register("decimal_mul_sum", f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(CAST({_PRICE} * {_DISC} AS DECIMAL(16,4))
+                AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(SUM(CAST({_PRICE} AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def decimal_mul_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal × at the reference mul type — mul_type(12,2, 4,2) = (16,4),
+    DBOps.cpp:237-250 — then SUM overflow widening to the DECIMAL(38,s)
+    accumulator (the reference's __int128 runtime, DecimalRuntime.h:6).
+    The product is exact at scale 4, so × and SUM are bit-exact
+    cross-engine.  Plain hash-agg shape: map-side partial sums, one
+    shuffle on the group keys."""
+    li = _lineitem_dec(spark, sf_dir)
+    return sorted_result(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            dec.dec_sum(dec.dec_mul(F.col("price"), 12, 2,
+                                    F.col("disc"), 4, 2), 4)
+               .alias("sum_disc_price"),
+            dec.dec_sum(F.col("price"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        ), "l_returnflag", "l_linestatus")
+
+
+@register("decimal_div_mod", f"""
+SELECT l_orderkey, l_linenumber,
+       {dec.SQL_DEC_DIV(_PRICE, 12, 2, _QTY1, 4, 1)} AS unit_price,
+       CAST({_PRICE} % CAST({_QTY1} AS DECIMAL(5,2)) AS DECIMAL(5,2))
+         AS price_mod_qty
+FROM lineitem
+WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+""")
+def decimal_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal ÷ and % at reference types — div_type(12,2, 4,1) = (17,6),
+    mod_type(12,2, 4,1) = (5,2) — with the reference's TRUNCATING division
+    (LowerToStd.cpp:1602, arith::DivSIOp on the scaled unscaled value),
+    which Spark's HALF_UP `/` would get wrong by one ulp on half the rows.
+    Per-row JVM expressions only; filter pushed to the parquet scan."""
+    li = _lineitem_dec(spark, sf_dir).filter(F.col("l_orderkey") < 400)
+    return (li.select(
+        "l_orderkey", "l_linenumber",
+        dec.dec_div(F.col("price"), 12, 2, F.col("qty1"), 4, 1)
+           .alias("unit_price"),
+        dec.dec_mod(F.col("price"), 12, 2, F.col("qty1"), 4, 1)
+           .alias("price_mod_qty"),
+    ).orderBy("l_orderkey", "l_linenumber"))
+
+
+@register("decimal_avg_promote", f"""
+SELECT l_returnflag,
+       {dec.SQL_DEC_AVG(_PRICE, 12, 2)} AS avg_price,
+       {dec.SQL_DEC_AVG(_QTY0, 19, 0)} AS avg_qty,
+       CAST(SUM(CAST({_PRICE} AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def decimal_avg_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG decimal promotion (sql_analyzer.cpp:2636-2642):
+    avg(decimal(12,2)) -> div-rule vs decimal(19,0) -> DECIMAL(31,21);
+    avg(int-like decimal(19,0)) -> DECIMAL(38,19).  Computed exactly as
+    sum/count trunc-divided in unscaled 128-bit space — no double detour,
+    so all 21 fractional digits match the oracle bit-for-bit."""
+    li = _lineitem_dec(spark, sf_dir)
+    return sorted_result(
+        li.groupBy("l_returnflag").agg(
+            dec.dec_avg(F.col("price"), 12, 2).alias("avg_price"),
+            dec.dec_avg(F.col("qty0"), 19, 0).alias("avg_qty"),
+            dec.dec_sum(F.col("price"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        ), "l_returnflag")
+
+
+@register("decimal_literal_arith", f"""
+SELECT a, b,
+       {dec.SQL_DEC_DIV('a', 12, 2, 'b', 12, 2)} AS quot,
+       CAST(a % b AS DECIMAL(12,2)) AS rem,
+       CAST(a * b AS DECIMAL(24,4)) AS prod,
+       CAST(a * b AS DECIMAL(38,4)) AS prod_wide
+FROM (VALUES (CAST(-7.00 AS DECIMAL(12,2)), CAST(3.00 AS DECIMAL(12,2))),
+             (CAST(7.00 AS DECIMAL(12,2)), CAST(3.00 AS DECIMAL(12,2))),
+             (CAST(-7.00 AS DECIMAL(12,2)), CAST(-3.00 AS DECIMAL(12,2))),
+             (CAST(0.07 AS DECIMAL(12,2)), CAST(0.03 AS DECIMAL(12,2))),
+             (CAST(100.00 AS DECIMAL(12,2)), CAST(7.00 AS DECIMAL(12,2)))
+     ) t(a, b)
+ORDER BY a, b
+""")
+def decimal_literal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal decimal arithmetic pinning the sign corners of truncating
+    division (reference arith::DivSIOp: -7/3 = -2, never -3) and both
+    adapt() branches of the mul rule — (12,2)x(12,2) raw (24,4) passes
+    through unadapted, while the wide rendering exercises the 38-digit
+    cap.  Five rows, no table scan: the const_relation path
+    (RelAlgOps.td const_relation) with decimal-typed literals."""
+    from decimal import Decimal as D
+    rows = [(D("-7.00"), D("3.00")), (D("7.00"), D("3.00")),
+            (D("-7.00"), D("-3.00")), (D("0.07"), D("0.03")),
+            (D("100.00"), D("7.00"))]
+    df = spark.createDataFrame(rows, "a decimal(12,2), b decimal(12,2)")
+    return (df.select(
+        "a", "b",
+        dec.dec_div(F.col("a"), 12, 2, F.col("b"), 12, 2).alias("quot"),
+        dec.dec_mod(F.col("a"), 12, 2, F.col("b"), 12, 2).alias("rem"),
+        dec.dec_mul(F.col("a"), 12, 2, F.col("b"), 12, 2).alias("prod"),
+        (F.col("a") * F.col("b")).cast("decimal(38,4)").alias("prod_wide"),
+    ).orderBy("a", "b"))
