@@ -106,11 +106,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 # On-disk deviations from the declared logical schema, resolved exactly at
-# load: events.ts is TIMESTAMP(NANOS) in the file, which Spark reads as
-# raw nanos under spark.sql.legacy.parquet.nanosAsLong; integer-divide to
-# micros (exact — no float detour) and cast to the declared NTZ type.
-_RAW_TYPE_OVERRIDES: dict[str, dict[str, str]] = {
-    "events": {"ts": "bigint"},
+# load.  events.ts has shipped as TIMESTAMP(NANOS) (read as raw nanos
+# under spark.sql.legacy.parquet.nanosAsLong) in some testdata drops and
+# as TIMESTAMP(MICROS) (read directly as timestamp_ntz) in others; both
+# are accepted and normalized to the declared NTZ type.
+_RAW_TYPE_ALTERNATES: dict[str, dict[str, tuple[str, ...]]] = {
+    "events": {"ts": ("bigint", "timestamp_ntz")},
 }
 
 # Paths whose on-disk schema has already been checked against the declared
@@ -141,18 +142,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(path)
-    overrides = _RAW_TYPE_OVERRIDES.get(name, {})
+    alternates = _RAW_TYPE_ALTERNATES.get(name, {})
     if path not in _VALIDATED_PATHS:
-        declared = sorted(
-            (f.name, overrides.get(f.name, f.dataType.simpleString()))
-            for f in TABLE_SCHEMAS[name].fields)
-        actual = sorted((f.name, f.dataType.simpleString())
-                        for f in df.schema.fields)
-        if declared != actual:
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        mismatches = []
+        for f in TABLE_SCHEMAS[name].fields:
+            allowed = alternates.get(f.name, (f.dataType.simpleString(),))
+            if actual.get(f.name) not in allowed:
+                mismatches.append(
+                    (f.name, actual.get(f.name), allowed))
+        if mismatches or set(actual) != {f.name for f in
+                                         TABLE_SCHEMAS[name].fields}:
             raise ValueError(
-                f"schema mismatch for {name}: declared={declared} actual={actual}")
+                f"schema mismatch for {name}: {mismatches or actual}")
         _VALIDATED_PATHS.add(path)
-    if name == "events":
+    if name == "events" and dict(df.dtypes)["ts"] == "bigint":
         # nanos -> micros by integer division (exact), then to the
         # declared NTZ type (session TZ is pinned to UTC).
         df = df.withColumn(

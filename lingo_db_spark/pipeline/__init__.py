@@ -15,6 +15,10 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     spread,
     winnow_fingerprints,
 )
+from lingo_db_spark.pipeline.packing import (  # noqa: F401
+    global_running_sum,
+    pack_to_budget,
+)
 from lingo_db_spark.pipeline.sampling import (  # noqa: F401
     hash_fraction,
     stratified_sample,

@@ -10,7 +10,7 @@ SimHash and LSH-ANN variants whose algorithms are engine-internal
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lingo_db_spark import operators as ops
@@ -291,18 +291,17 @@ ORDER BY doc_id
 def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing — select a deterministic prefix of the corpus
     whose cumulative token count fits a training budget (the "cut a 100B
-    -token dataset" operator).  Window cumulative sum over integral token
-    counts; the single-partition window here is the price of a GLOBAL
-    budget — at scale you'd budget per shard (partitionBy on a shard key)
-    and this same shape runs shard-parallel."""
+    -token dataset" operator).  The GLOBAL running sum is a two-phase
+    distributed prefix scan (pipeline/packing.py): range-partitioned
+    per-shard cumulative sums, then an exclusive prefix over the
+    shard-count-sized subtotal frame broadcast back — no data-sized
+    single-partition window anywhere in the plan (asserted by
+    tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
     counted = pl.spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", pl.token_count("text").cast("long").alias("n_tokens"))
-    w = (Window.orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return sorted_result(
-        counted.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 100_000),
+        pl.pack_to_budget(counted, "doc_id", "n_tokens", 100_000),
         "doc_id")
 
 

@@ -24,18 +24,30 @@ from lingo_db_spark.functions import dsum
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (declared schema — streaming
-    sources never infer).  The file stores TIMESTAMP(NANOS): read ts as
-    raw nanos and convert exactly to TimestampType — watermarks require a
-    timezone-aware event-time column (session TZ is pinned UTC)."""
+    sources never infer).  events.ts has shipped both as TIMESTAMP(NANOS)
+    (read as raw nanos, converted exactly) and TIMESTAMP(MICROS) (direct);
+    probe the batch footer once to pick the right declared schema.
+    Watermarks require a timezone-aware event-time column (session TZ is
+    pinned UTC)."""
+    import os
+    from lingo_db_spark.catalog import table_path
+    raw_read = spark.read.parquet(table_path(sf_dir, "events"))
+    nanos = dict(raw_read.dtypes)["ts"] == "bigint"
     raw = T.StructType([
-        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType,
-                      f.nullable)
+        T.StructField(
+            f.name,
+            (T.LongType() if nanos else T.TimestampNTZType())
+            if f.name == "ts" else f.dataType,
+            f.nullable)
         for f in TABLE_SCHEMAS["events"].fields])
     df = (spark.readStream
           .schema(raw)
-          .option("pathGlobFilter", "events.parquet")
+          .option("pathGlobFilter", os.path.basename(
+              os.path.join(sf_dir, "events.parquet")))
           .parquet(sf_dir))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(events: DataFrame,

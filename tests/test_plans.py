@@ -174,3 +174,22 @@ def test_range_join_is_equi_not_nested_loop(spark):
     p = plan(spark, "events_session_range_join", "simple")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_token_budget_no_datasized_global_window(spark):
+    # The global running sum must be the two-phase prefix scan
+    # (pipeline/packing.py): every Window over the full documents data
+    # partitions by shard; the only empty-PARTITION BY window sits above
+    # an Aggregate whose input is the shard-count-sized subtotal frame.
+    df = REG["pipeline_token_budget"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "extended")
+    logical = p.split("== Optimized Logical Plan ==", 1)[1]
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", logical):
+        spec = m.group(1)
+        if spec.split(",")[0].strip().startswith("__shard"):
+            continue  # shard-parallel per-row window
+        # Remaining windows must be the subtotal prefix (ordered by the
+        # shard id, fed by the groupBy(__shard) aggregate), never ordered
+        # by the data key doc_id.
+        assert "doc_id" not in spec, f"data-sized global window: {spec}"
