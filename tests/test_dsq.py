@@ -1,0 +1,79 @@
+"""Plan assertions for the decorrelation pack (queries/dsq.py): Catalyst
+must rewrite every correlated subquery into joins + aggregates — the
+Spark rendering of the reference's unnesting pass
+(src/compiler/Dialect/RelAlg/Transforms/Unnesting.cpp:18-333) — never a
+per-outer-row re-execution, and never a cartesian over scaling tables.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_DIR, explain_str
+
+from lingo_db_spark.queries import load_all
+
+REG = load_all()
+
+
+def _plans(spark, name):
+    df = REG[name].spark_fn(spark, SF_DIR)
+    ext = explain_str(df, "extended")
+    optimized = ext.split("== Optimized Logical Plan ==", 1)[1]
+    physical = optimized.split("== Physical Plan ==", 1)
+    return optimized.split("== Physical Plan ==", 1)[0], ext
+
+
+def test_correlated_avg_threshold_decorrelates_to_join(spark):
+    opt, _ = _plans(spark, "ds_correlated_avg_threshold")
+    # The correlated COUNT/SUM become aggregates joined to the outer CTE:
+    # no correlated predicate survives optimization.
+    assert "Join" in opt and "Aggregate" in opt
+    assert "correlated" not in opt.lower()
+
+
+def test_above_category_avg_single_aggregate_not_rescan(spark):
+    opt, ext = _plans(spark, "ds_above_category_avg")
+    # Decorrelated: part grouped by p_type once, joined back.
+    assert "Aggregate [p_type" in opt
+    assert "correlated" not in opt.lower()
+
+
+def test_exists_under_or_plans_existence_joins(spark):
+    opt, _ = _plans(spark, "ds_exists_under_or")
+    # Disjunctive EXISTS must become mark/existence joins feeding the OR
+    # (the reference's relalg.markjoin), not semi joins (which would
+    # conjoin) and not per-row subqueries.
+    assert opt.count("ExistenceJoin") == 2
+    assert "correlated" not in opt.lower()
+
+
+def test_exists_notexists_plans_semi_and_anti(spark):
+    opt, _ = _plans(spark, "ds_exists_notexists")
+    assert "LeftSemi" in opt and "LeftAnti" in opt
+
+
+def test_year_total_cte_reused_via_cache(spark):
+    df = REG["ds_year_total_cte_reuse"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "simple")
+    # The persisted year_total CTE must serve every consumer from cache:
+    # the customer-join-orders aggregation is computed once.
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+
+
+def test_window_over_join_partitions_by_nation(spark):
+    df = REG["ds_window_over_join"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "formatted")
+    # Both window functions share one partitioning — a single Window
+    # exchange on n_name, never an empty PARTITION BY.
+    assert "Window" in p
+    assert "windowspecdefinition(n_name" in explain_str(df, "extended")
+
+
+def test_no_cartesian_in_pack(spark):
+    # The only broadcast-nested-loop allowed is a 1-row cohort broadcast
+    # (ds_year_total_cte_reuse) — scaling-table cartesians are bugs.
+    for name in ("ds_correlated_avg_threshold", "ds_above_category_avg",
+                 "ds_exists_under_or", "ds_exists_notexists",
+                 "ds_channels_rollup", "ds_intersect_years"):
+        df = REG[name].spark_fn(spark, SF_DIR)
+        p = explain_str(df, "simple")
+        assert "CartesianProduct" not in p, name
