@@ -286,6 +286,51 @@ def date_subtract_days(col, days) -> Column:
     return F.date_sub(_c(col), days)      # DateSubtract (:330)
 
 
+# ---------------------------------------------------------------------------
+# Interval arithmetic — the reference's two-part interval model
+# (DBOps.td:95-105: interval<months> | interval<daytime>), which is
+# exactly Spark's YearMonthIntervalType / DayTimeIntervalType split.
+# DateAdd/DateSubtract are interval-kind-dispatched
+# (RuntimeFunctions.cpp:15-55 dateAddImpl: daytime = raw nanos add,
+# months = DateRuntime::addMonths calendar arithmetic).
+# ---------------------------------------------------------------------------
+
+def interval_months(n: int) -> Column:
+    """interval<months> literal (reference sql_analyzer.cpp:2542-2575
+    binds INTERVAL '<n> months')."""
+    return F.make_ym_interval(F.lit(0), F.lit(n))
+
+
+def interval_years(n: int) -> Column:
+    """INTERVAL '<n> years' — the reference normalizes years to months
+    at bind time (sql_analyzer.cpp:2560-2565, years*12)."""
+    return F.make_ym_interval(F.lit(0), F.lit(n * 12))
+
+
+def interval_daytime(days: int = 0, hours: int = 0, mins: int = 0,
+                     secs: float = 0.0) -> Column:
+    """interval<daytime> literal — a single nanosecond count in the
+    reference (dateAddImpl lowers + to one integer add)."""
+    return F.make_dt_interval(F.lit(days), F.lit(hours), F.lit(mins),
+                              F.lit(secs))
+
+
+def date_add_interval(col, interval: Column) -> Column:
+    """DateAdd over an interval value (RuntimeFunctions.cpp:329).
+    Month intervals use calendar month arithmetic; note the reference's
+    adapted-from-gandiva kernel (src/runtime/DateRuntime.cpp:35-40) lets
+    an invalid day-of-month overflow into the next month, while Spark
+    and DuckDB both clamp to the month's last day (ANSI) — the engines
+    agree with each other, and the divergence from the reference is
+    confined to Jan 29-31 + month-intervals."""
+    return _c(col) + interval
+
+
+def date_subtract_interval(col, interval: Column) -> Column:
+    """DateSubtract over an interval value (RuntimeFunctions.cpp:330)."""
+    return _c(col) - interval
+
+
 def random_in_range(lo: int, hi: int) -> Column:
     """Reference RandomInRange (IntegerRuntime.h:11): uniform int in
     [lo, hi).  Nondeterministic by design — never used in oracle queries."""

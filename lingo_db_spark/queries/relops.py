@@ -781,3 +781,43 @@ def window_ntile_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.first("o_orderkey").over(w).alias("first_order"),
                     F.last("o_orderkey").over(wfull).alias("last_order"))
             .orderBy("o_custkey", "o_orderkey"))
+
+
+@register("window_range_frame", """
+SELECT o_orderkey, o_custkey, price_c,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+       CAST(SUM(price_c) OVER w AS BIGINT) AS sum_near,
+       CAST(SUM(price_c) OVER w2 AS BIGINT) AS sum_below
+FROM (SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_custkey < 300)
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY price_c
+              RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING),
+       w2 AS (PARTITION BY o_custkey ORDER BY price_c
+              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames with CONSTANT VALUE offsets (reference analyzer
+    sql_analyzer.cpp:2424-2492: ROWS/RANGE with `<const> PRECEDING |
+    FOLLOWING`; segment-tree frame evaluation RelAlgToSubOp.cpp:
+    2406-2470): peers are selected by ORDER-BY-value distance, not row
+    position — orders within $50 / $100 of each order's price in the
+    same customer's history.  Money is held in exact integer cents so
+    the frame boundary comparisons are identical across engines;
+    RANGE frames are peer-inclusive, so the result is deterministic
+    even with tied prices."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    priced = orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"))
+    w = (Window.partitionBy("o_custkey").orderBy("price_c")
+         .rangeBetween(-5000, 5000))
+    w2 = (Window.partitionBy("o_custkey").orderBy("price_c")
+          .rangeBetween(-10000, Window.currentRow))
+    return (priced
+            .select("o_orderkey", "o_custkey", "price_c",
+                    F.count(F.lit(1)).over(w).cast("long").alias("n_near"),
+                    F.sum("price_c").over(w).cast("long").alias("sum_near"),
+                    F.sum("price_c").over(w2).cast("long").alias("sum_below"))
+            .orderBy("o_orderkey"))

@@ -237,3 +237,81 @@ def scalars_erf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(lf.erf(F.col("c_acctbal") / 10000.0), 6).alias("erf_bal"),
     ).orderBy("c_custkey"))
+
+
+@register("scalars_char_semantics", """
+SELECT c_custkey,
+       ascii(substr(c_mktsegment, 1, 1)) AS seg_c1_code,
+       substr(c_mktsegment, 1, 4) AS seg_c4,
+       (ascii(substr(c_mktsegment, 1, 1)) = ascii(substr(c_name, 1, 1)))
+         AS eq_char1,
+       (substr(c_mktsegment, 1, 4) = substr(c_name, 1, 4)) AS eq_char4,
+       (substr(c_mktsegment, 1, 2) =
+        rpad(substr(c_mktsegment, 1, 2), 4, ' ')) AS eq_unequal_len
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""")
+def scalars_char_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """char(n) semantics (functions/chartype.py) — the reference's
+    fixed-char model: char(1) stored/compared as i32 codepoint
+    (LowerToStd.cpp:164-166, 384-388), char(n>1) stored as the raw
+    string, and UNEQUAL-length comparison promoting both sides to plain
+    string (sql_analyzer.cpp:2985-2992) — so char(2) 'BU' = char(4)
+    'BU  ' is FALSE (trailing spaces significant), where ANSI padded
+    CHAR comparison would say TRUE.  The oracle spells the same
+    unpadded-compare semantics explicitly."""
+    from lingo_db_spark.functions import chartype as ct
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    seg, name = F.col("c_mktsegment"), F.col("c_name")
+    seg_c2 = ct.char_value(seg, 2)
+    seg_c2_padded4 = F.rpad(ct.char_value(seg, 2), 4, " ")
+    return (cust.select(
+        "c_custkey",
+        ct.char1_code(seg).alias("seg_c1_code"),
+        ct.char_value(seg, 4).alias("seg_c4"),
+        ct.char_eq(seg, 1, name, 1).alias("eq_char1"),
+        ct.char_eq(ct.char_value(seg, 4), 4, ct.char_value(name, 4), 4)
+          .alias("eq_char4"),
+        ct.char_eq(seg_c2, 2, seg_c2_padded4, 4).alias("eq_unequal_len"),
+    ).orderBy("c_custkey"))
+
+
+@register("scalars_interval_arith", """
+SELECT o_orderkey,
+       o_orderdate,
+       o_orderdate + INTERVAL 3 MONTH  AS plus_3mo,
+       o_orderdate + INTERVAL 2 YEAR   AS plus_2yr,
+       o_orderdate - INTERVAL 14 MONTH AS minus_14mo,
+       o_orderdate + INTERVAL 100 DAY  AS plus_100d,
+       o_orderdate + INTERVAL 100 DAY + INTERVAL 36 HOUR AS plus_100d_36h,
+       CAST(year(o_orderdate + INTERVAL 3 MONTH) AS BIGINT) AS yr_rolled
+FROM orders
+WHERE o_orderkey < 400
+ORDER BY o_orderkey
+""")
+def scalars_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-typed arithmetic — the reference's two-part interval
+    model (DBOps.td:95-105): year-month intervals via calendar month
+    arithmetic (DateRuntime.cpp:35-40, years normalized to months at
+    bind time, sql_analyzer.cpp:2560-2565) and day-time intervals as a
+    plain duration add (dateAddImpl, RuntimeFunctions.cpp:15-22).
+    Month-end days clamp identically in Spark and DuckDB.  The day
+    offset is 100 (not 90) because DuckDB's subexpression elimination
+    considers INTERVAL 3 MONTH == INTERVAL 90 DAY (month~30d interval
+    equality) and would fold the two additions into one."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    d = F.col("o_orderdate")
+    return (orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        lf.date_add_interval(d, lf.interval_months(3)).alias("plus_3mo"),
+        lf.date_add_interval(d, lf.interval_years(2)).alias("plus_2yr"),
+        lf.date_subtract_interval(d, lf.interval_months(14)).alias("minus_14mo"),
+        lf.date_add_interval(d, lf.interval_daytime(days=100)).alias("plus_100d"),
+        lf.date_add_interval(
+            lf.date_add_interval(d, lf.interval_daytime(days=100)),
+            lf.interval_daytime(hours=36)).alias("plus_100d_36h"),
+        F.year(lf.date_add_interval(d, lf.interval_months(3)))
+         .cast("long").alias("yr_rolled"),
+    ).orderBy("o_orderkey"))

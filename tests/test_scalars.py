@@ -149,3 +149,64 @@ def test_dsum_exact_is_exact_decimal(spark):
     assert isinstance(out, Decimal)
     # cast-of-double captures each double's true expansion at 1e-10
     assert out == Decimal("0.3000000000")
+
+
+# --- char(n) semantics (functions/chartype.py) -------------------------------
+
+def test_char_unequal_length_promotes_to_string_compare(spark):
+    """Reference sql_analyzer.cpp:2985-2992: unequal-length chars compare
+    as raw strings — trailing spaces significant (ANSI padding would say
+    'BU' == 'BU  ')."""
+    from lingo_db_spark.functions import chartype as ct
+    df = spark.createDataFrame([("BU", "BU  "), ("BU", "BU")], "a string, b string")
+    rows = df.select(ct.char_eq("a", 2, "b", 4).alias("eq")).collect()
+    assert [r.eq for r in rows] == [False, True]
+
+
+def test_char1_codepoint_storage_and_compare(spark):
+    from lingo_db_spark.functions import chartype as ct
+    df = spark.createDataFrame([("Alpha", "Apple"), ("Beta", "Cap")],
+                               "a string, b string")
+    got = df.select(ct.char1_code("a").alias("code"),
+                    ct.char_eq("a", 1, "b", 1).alias("eq")).collect()
+    assert got[0].code == 65 and got[0].eq is True
+    assert got[1].code == 66 and got[1].eq is False
+
+
+def test_char_value_truncates_no_pad(spark):
+    from lingo_db_spark.functions import chartype as ct
+    df = spark.createDataFrame([("abcdef",), ("ab",)], "s string")
+    got = [r.c for r in df.select(ct.char_value("s", 4).alias("c")).collect()]
+    assert got == ["abcd", "ab"]   # short values NOT padded to 4
+
+
+# --- interval arithmetic ------------------------------------------------------
+
+def test_month_interval_clamps_month_end(spark):
+    """Jan 31 + 1 month clamps to Feb 28/29 (Spark & DuckDB agree; the
+    reference's gandiva-derived kernel overflows instead — divergence
+    documented in functions.date_add_interval)."""
+    import datetime
+    from lingo_db_spark import functions as lf
+    from pyspark.sql import functions as F
+    df = spark.sql("SELECT TIMESTAMP_NTZ '2023-01-31 10:00:00' AS t, "
+                   "TIMESTAMP_NTZ '2024-01-31 00:00:00' AS leap")
+    row = df.select(
+        lf.date_add_interval("t", lf.interval_months(1)).alias("a"),
+        lf.date_add_interval("leap", lf.interval_months(1)).alias("b"),
+        lf.date_subtract_interval("t", lf.interval_years(1)).alias("c"),
+    ).collect()[0]
+    assert row.a == datetime.datetime(2023, 2, 28, 10, 0)
+    assert row.b == datetime.datetime(2024, 2, 29, 0, 0)
+    assert row.c == datetime.datetime(2022, 1, 31, 10, 0)
+
+
+def test_daytime_interval_is_exact_duration(spark):
+    import datetime
+    from lingo_db_spark import functions as lf
+    df = spark.sql("SELECT TIMESTAMP_NTZ '2023-03-25 23:30:00' AS t")
+    row = df.select(
+        lf.date_add_interval("t", lf.interval_daytime(days=1, hours=2,
+                                                      mins=45)).alias("a")
+    ).collect()[0]
+    assert row.a == datetime.datetime(2023, 3, 27, 2, 15)
