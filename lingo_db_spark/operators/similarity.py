@@ -129,7 +129,7 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.col(q_id_col), F.col(id_col),
         cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
 
 
@@ -278,7 +278,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         F.col(q_id_col), F.col(id_col),
         cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
 
 
@@ -302,5 +302,5 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         F.col(q_id_col), F.col(id_col),
         cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))

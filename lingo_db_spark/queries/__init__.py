@@ -42,8 +42,24 @@ def sorted_result(df: DataFrame, *cols: str) -> DataFrame:
     whole query.  When the result is known-small, shuffling it to one
     partition and sorting there produces the identical ordered output in
     a single evaluation.  Large results should keep `orderBy` (a single
-    partition is the wrong shape) and accept the sampling pass."""
+    partition is the wrong shape) and accept the sampling pass.
+
+    CONTRACT: callers must guarantee the result is driver-sized — bounded
+    by a constant (top-k, fixed query set, grouping over a fixed key
+    domain, a budget cutoff), NOT proportional to the table size.  Outputs
+    that grow with the data (pair outputs, per-document frames) must use
+    `ordered_result` instead: at 100x scale a single-partition sort of
+    those becomes the bottleneck stage of the whole query."""
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def ordered_result(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally-ordered presentation of a result that GROWS WITH THE
+    DATA: a range-partitioned parallel sort (`orderBy`).  Costs a
+    sampling pass of the child plan, but every partition sorts its own
+    range — the shape that survives a 100x scale-up where
+    `sorted_result`'s one-partition shuffle would not."""
+    return df.orderBy(*cols)
 
 
 def register(name: str, oracle: str | None):

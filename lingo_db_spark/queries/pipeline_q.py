@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from lingo_db_spark import operators as ops
 from lingo_db_spark import pipeline as pl
 from lingo_db_spark.catalog import load_table
-from lingo_db_spark.queries import register, sorted_result
+from lingo_db_spark.queries import ordered_result, register, sorted_result
 
 # DuckDB rendering of the shared text normalization/token/trigram pipeline.
 _SQL_TOKS = ("string_split_regex(trim(regexp_replace(lower(text), "
@@ -83,7 +83,7 @@ def pipeline_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     while only ever joining within signature-band buckets (O(n·bucket),
     no crossJoin; see tests/test_pipeline.py for the plan assertion)."""
     docs = load_table(spark, sf_dir, "documents")
-    return sorted_result(
+    return ordered_result(
         pl.neardup_minhash(docs, "doc_id", "text", threshold=0.8),
         "id_a", "id_b")
 
@@ -119,7 +119,7 @@ def pipeline_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (pl.neardup_minhash(docs, "doc_id", "text", threshold=0.8)
              .select("id_a", "id_b"))
     out = pl.neardup_clusters(docs.select("doc_id"), pairs)
-    return sorted_result(out, "doc_id")
+    return ordered_result(out, "doc_id")
 
 
 @register("pipeline_winnow_overlap", f"""
@@ -156,7 +156,7 @@ def pipeline_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = pl.winnow_fingerprints(docs, "doc_id", "text",
                                  shingle_k=3, window=4)
     out = pl.overlap_pairs(fps, "doc_id", min_shared=8, max_fp_freq=1000)
-    return sorted_result(out, "id_a", "id_b")
+    return ordered_result(out, "id_a", "id_b")
 
 
 @register("pipeline_simhash_neardup", None)  # engine-internal signature;
@@ -167,7 +167,7 @@ def pipeline_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 chunks guarantee recall for distance <= 3; larger distances are
     best-effort, the standard SimHash trade)."""
     docs = load_table(spark, sf_dir, "documents")
-    return sorted_result(
+    return ordered_result(
         pl.neardup_simhash(docs, "doc_id", "text", max_hamming=10),
         "id_a", "id_b")
 
@@ -205,7 +205,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4-style heuristics, all JVM-side expressions, tokenized exactly once
     per row (pipeline.text.quality_stats)."""
     docs = load_table(spark, sf_dir, "documents")
-    return sorted_result(pl.quality_stats(docs, "doc_id", "text"), "doc_id")
+    return ordered_result(pl.quality_stats(docs, "doc_id", "text"), "doc_id")
 
 
 @register("pipeline_prepare_corpus", f"""
@@ -248,7 +248,7 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         pl.token_count("text").cast("long").alias("n_tokens"),
         pl.fingerprint("text").alias("__fp"))
     out = pl.dedup_exact(fp, ["__fp"], "doc_id").drop("__fp")
-    return sorted_result(out, "doc_id")
+    return ordered_result(out, "doc_id")
 
 
 @register("pipeline_stratified_sample", """

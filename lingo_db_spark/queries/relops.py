@@ -64,7 +64,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (orders
-            .withColumn("rnk", F.rank().over(w))
+            .withColumn("rnk", F.rank().over(w).cast("long"))
             .filter(F.col("rnk") <= 3)
             .select("o_orderkey", "o_orderpriority", "rnk")
             .orderBy("o_orderpriority", "rnk", "o_orderkey"))
@@ -86,7 +86,7 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (orders
-            .withColumn("rn", F.row_number().over(w))
+            .withColumn("rn", F.row_number().over(w).cast("long"))
             .filter(F.col("rn") <= 2)
             .select("o_custkey", "o_orderkey", "rn")
             .orderBy("o_custkey", "rn"))
@@ -775,7 +775,7 @@ def window_ntile_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (orders
             .select("o_custkey", "o_orderkey",
-                    F.ntile(4).over(w).alias("quartile"),
+                    F.ntile(4).over(w).cast("long").alias("quartile"),
                     F.lag("o_orderkey").over(w).alias("prev_order"),
                     F.lead("o_orderkey").over(w).alias("next_order"),
                     F.first("o_orderkey").over(w).alias("first_order"),

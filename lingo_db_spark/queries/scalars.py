@@ -43,7 +43,7 @@ SELECT c_custkey,
        starts_with(c_name, 'Customer') AS sw,
        ends_with(c_name, '7') AS ew,
        string_split(c_name, '#')[1] AS first_tok,
-       ascii(c_mktsegment) AS seg_ord
+       CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ord
 FROM customer
 WHERE c_custkey < 200
 ORDER BY c_custkey

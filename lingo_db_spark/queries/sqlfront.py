@@ -72,19 +72,24 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE TABLE + INSERT INTO ... VALUES + SELECT — the reference's
     DDL/DML surface (parser.y:2851-2870, 3247-3260) through Spark's
     session catalog (managed parquet table in spark.sql.warehouse.dir).
-    The table name is unique per invocation: the in-memory catalog dies
+    The table name is unique per invocation (the in-memory catalog dies
     with the session but the warehouse directory does not, so a fixed
-    name would hit LOCATION_ALREADY_EXISTS on the next session; the
-    returned frame stays lazy over the table, so it cannot be dropped
-    here."""
+    name would hit LOCATION_ALREADY_EXISTS on the next session).  The
+    result is eagerly localCheckpoint-ed — materialized off the table's
+    files — so the table can be DROPPED here and no warehouse directory
+    leaks (one uuid dir per gate run used to accumulate)."""
     import uuid
     name = f"ldb_items_{uuid.uuid4().hex[:12]}"
     spark.sql(f"""CREATE TABLE {name}
                   (item_id INT, name STRING, price DOUBLE) USING parquet""")
-    spark.sql(f"""INSERT INTO {name} VALUES
-                  (1, 'widget', 9.99), (2, 'gadget', 19.5),
-                  (3, 'gizmo', 0.25)""")
-    return spark.sql(f"SELECT * FROM {name} ORDER BY item_id")
+    try:
+        spark.sql(f"""INSERT INTO {name} VALUES
+                      (1, 'widget', 9.99), (2, 'gadget', 19.5),
+                      (3, 'gizmo', 0.25)""")
+        return spark.sql(f"SELECT * FROM {name} ORDER BY item_id"
+                         ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 @register("sql_copy_csv_roundtrip", """
@@ -116,12 +121,12 @@ def sql_copy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINDOW_SQL = """
-SELECT o_custkey, o_orderkey, rnk FROM (
+SELECT o_custkey, o_orderkey, CAST(rnk_i AS BIGINT) AS rnk FROM (
   SELECT o_custkey, o_orderkey,
          RANK() OVER (PARTITION BY o_custkey
-                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk_i
   FROM orders)
-WHERE rnk <= 2
+WHERE rnk_i <= 2
 ORDER BY o_custkey, rnk, o_orderkey
 """
 

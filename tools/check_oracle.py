@@ -28,6 +28,36 @@ from lingo_db_spark.queries import load_all
 from lingo_db_spark.session import build_session
 
 
+# Canonical cross-engine type tokens: Spark simpleString / duckdb arrow
+# type str -> one comparable name.  Anything unmapped compares as itself.
+_CANON = {
+    # spark simpleString
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp_ntz": "ts", "timestamp": "ts", "date": "date",
+    "array<float>": "list<f32>", "array<double>": "list<f64>",
+    "array<string>": "list<str>",
+    # pyarrow str(type)
+    "int64": "i64", "int32": "i32", "int16": "i16", "int8": "i8",
+    "uint64": "i64", "hugeint": "i128",
+    "float": "f32", "halffloat": "f16",
+    "large_string": "str", "bool": "bool",
+    "timestamp[us]": "ts", "timestamp[ns]": "ts", "timestamp[s]": "ts",
+    "date32[day]": "date", "date64[ms]": "date",
+    "list<item: float>": "list<f32>", "list<item: double>": "list<f64>",
+    "list<item: string>": "list<str>", "list<item: large_string>": "list<str>",
+}
+
+
+def canon_type(t: str) -> str:
+    t = t.strip()
+    if t.startswith("decimal128"):       # pyarrow decimal128(p, s)
+        return "decimal" + t[len("decimal128"):].replace(" ", "")
+    if t.startswith("decimal"):          # spark decimal(p,s)
+        return "decimal" + t[len("decimal"):].replace(" ", "")
+    return _CANON.get(t, t)
+
+
 def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -71,6 +101,15 @@ def main() -> int:
             if spark_cols != duck_cols:
                 failed.append(name)
                 print(f"✗ {name}: columns differ spark={spark_cols} duck={duck_cols}")
+                continue
+            stypes = {f.name: canon_type(f.dataType.simpleString())
+                      for f in sdf.schema.fields}
+            dtypes = {f.name: canon_type(str(f.type)) for f in ddf.schema}
+            tdiff = {c: (stypes[c], dtypes[c]) for c in spark_cols
+                     if stypes[c] != dtypes[c]}
+            if tdiff:
+                failed.append(name)
+                print(f"✗ {name}: dtypes differ {tdiff}")
                 continue
             sh, dh = table_hash(srows), table_hash(drows)
             if sh != dh:
