@@ -17,6 +17,7 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
 )
 from lingo_db_spark.pipeline.packing import (  # noqa: F401
     global_running_sum,
+    pack_sequences_next_fit,
     pack_to_budget,
 )
 from lingo_db_spark.pipeline.sampling import (  # noqa: F401

@@ -21,7 +21,7 @@ ordering work is over N subtotal rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SHARD = "__shard"
@@ -69,3 +69,70 @@ def pack_to_budget(df: DataFrame, order_col: str, tokens_col: str,
     cumulative token count fits the budget."""
     out = global_running_sum(df, order_col, tokens_col, cum_col, num_shards)
     return out.filter(F.col(cum_col) <= budget)
+
+
+def pack_sequences_next_fit(df: DataFrame, order_col: str, tokens_col: str,
+                            capacity: int,
+                            num_shards: int | None = None,
+                            shard_of: Column | None = None) -> DataFrame:
+    """Pack documents into fixed-capacity context windows (the "fill 8k
+    training sequences" operator): NEXT-FIT bin packing in order_col
+    order — a document goes into the current bin if it fits, else the
+    bin closes and a new one opens.  Oversized documents (> capacity)
+    get a bin of their own.
+
+    Scale shape: range-partition into shards of contiguous order_col
+    ranges; each shard packs independently inside one Arrow-batched
+    applyInPandas pass (packing is a sequential fold, so the
+    per-shard pass is the irreducible serial unit — shards themselves
+    run in parallel, which is how a 100 TB corpus packs on a cluster).
+    bin_id = shard * 2^32 + local bin index: globally unique without
+    any cross-shard coordination.  The fold order is order_col order
+    within a shard.  Default sharding is range partitioning on
+    order_col (contiguous document runs per bin — the scale-ideal
+    layout, but partition boundaries come from Spark's range sampler);
+    pass shard_of (any deterministic int expression, e.g.
+    pmod(doc_id, 64)) when the output must be a pure function of the
+    data, e.g. for cross-engine verification.
+    Returns (order_col, tokens_col, bin_id, bin_offset) where
+    bin_offset is the document's token offset inside its bin."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_shards or spark.sparkContext.defaultParallelism
+    if shard_of is not None:
+        sharded = (df.select(order_col, tokens_col)
+                   .withColumn(_SHARD, shard_of.cast("int")))
+    else:
+        sharded = (df.select(order_col, tokens_col)
+                   .repartitionByRange(n, F.col(order_col))
+                   .withColumn(_SHARD, F.spark_partition_id()))
+
+    out_schema = T.StructType([
+        df.schema[order_col],
+        df.schema[tokens_col],
+        T.StructField("bin_id", T.LongType(), False),
+        T.StructField("bin_offset", T.LongType(), False),
+    ])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        shard = int(pdf[_SHARD].iloc[0]) if len(pdf) else 0
+        base = shard << 32
+        bins, offsets = [], []
+        cur_bin, fill = 0, 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                cur_bin += 1
+                fill = 0
+            bins.append(base + cur_bin)
+            offsets.append(fill)
+            fill += t
+        pdf = pdf.drop(columns=[_SHARD])
+        pdf["bin_id"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        pdf["bin_offset"] = pd.Series(offsets, index=pdf.index, dtype="int64")
+        return pdf
+
+    return sharded.groupBy(_SHARD).applyInPandas(pack, out_schema)

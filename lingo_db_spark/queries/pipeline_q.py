@@ -540,3 +540,51 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min(nrm), 4).alias("min_norm"),
                  F.round(F.max(nrm), 4).alias("max_norm"))
             .orderBy("label"))
+
+
+@register("pipeline_pack_sequences", f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+counted AS (
+  SELECT doc_id, doc_id % 8 AS shard, CAST(len(t) AS BIGINT) AS n_tokens
+  FROM tok),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM counted),
+fold(shard, rn, doc_id, n_tokens, bin, off) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN f.off + f.n_tokens > 0
+                   AND f.off + f.n_tokens + s.n_tokens > 2048
+              THEN f.bin + 1 ELSE f.bin END,
+         CASE WHEN f.off + f.n_tokens > 0
+                   AND f.off + f.n_tokens + s.n_tokens > 2048
+              THEN 0 ELSE f.off + f.n_tokens END
+  FROM fold f JOIN s ON s.shard = f.shard AND s.rn = f.rn + 1)
+SELECT doc_id, n_tokens,
+       CAST(shard * 4294967296 + bin AS BIGINT) AS bin_id,
+       off AS bin_offset
+FROM fold
+ORDER BY doc_id
+""")
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — NEXT-FIT bin packing of documents into
+    fixed 2048-token training context windows
+    (pipeline.packing.pack_sequences_next_fit).  Packing is a sequential
+    fold, so the engine shards the corpus (deterministic doc_id % 8 here
+    so the result is a pure function of the data) and folds each shard
+    inside one Arrow-batched applyInPandas pass — shards pack in
+    parallel, bin ids are globally unique by construction (shard << 32 |
+    local bin).  The oracle replays the identical fold as a DuckDB
+    recursive CTE, making this a VALUE-checked custom operator, not a
+    rows-only one."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = pl.spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", pl.token_count("text").cast("long").alias("n_tokens"))
+    out = pl.pack_sequences_next_fit(
+        counted, "doc_id", "n_tokens", capacity=2048,
+        shard_of=F.pmod(F.col("doc_id"), F.lit(8)))
+    return ordered_result(out, "doc_id")

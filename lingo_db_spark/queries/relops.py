@@ -821,3 +821,31 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("price_c").over(w).cast("long").alias("sum_near"),
                     F.sum("price_c").over(w2).cast("long").alias("sum_below"))
             .orderBy("o_orderkey"))
+
+
+@register("generate_unnest", """
+SELECT o_orderkey, part_idx, part_val
+FROM (
+  SELECT o_orderkey,
+         generate_subscripts(string_split(o_orderpriority, '-'), 1) AS part_idx,
+         unnest(string_split(o_orderpriority, '-')) AS part_val
+  FROM orders
+  WHERE o_orderkey < 200)
+ORDER BY o_orderkey, part_idx
+""")
+def generate_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple generation from a nested value — the reference's
+    subop.generate surface (SubOperatorOps.td:566-581: generate tuples
+    from an imperative region, used for VALUES and unnest) and the
+    runtime list type (DBOps.td:141-159, StringSplit returns
+    list<string>, RuntimeFunctions.cpp:279).  Spark: posexplode of the
+    split array; index is 1-based to match SQL generate_subscripts."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return (orders
+            .select("o_orderkey",
+                    F.posexplode(F.split("o_orderpriority", "-"))
+                    .alias("part_idx0", "part_val"))
+            .select("o_orderkey",
+                    (F.col("part_idx0") + 1).cast("long").alias("part_idx"),
+                    "part_val")
+            .orderBy("o_orderkey", "part_idx"))

@@ -315,3 +315,45 @@ def test_int8_quantization_roundtrip_and_recall(spark):
     approx = {(r.q_id, r.vec_id) for r in
               ops.brute_force_topk(dq, queries, k=10).collect()}
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+# --- sequence packing (pipeline/packing.py) ----------------------------------
+
+def test_pack_sequences_capacity_and_contiguity(spark):
+    """Next-fit invariants: no bin exceeds capacity unless it holds a
+    single oversized document; bin ids are contiguous per shard; offsets
+    are the running fill."""
+    import pyspark.sql.functions as F
+    from lingo_db_spark.pipeline import pack_sequences_next_fit
+    rows = [(i, t) for i, t in enumerate(
+        [500, 700, 900, 2500, 100, 2048, 1, 2047, 2, 600] * 20)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences_next_fit(df, "doc_id", "n_tokens", capacity=2048,
+                                  shard_of=F.pmod(F.col("doc_id"), F.lit(4)))
+    pdf = out.toPandas().sort_values("doc_id")
+    fills = pdf.groupby("bin_id").agg(total=("n_tokens", "sum"),
+                                      n=("n_tokens", "count"))
+    over = fills[fills.total > 2048]
+    assert (over.n == 1).all()          # only oversized singletons overflow
+    # offsets reconstruct the fold: offset + tokens of previous rows in bin
+    for bin_id, grp in pdf.groupby("bin_id"):
+        grp = grp.sort_values("doc_id")
+        expect = 0
+        for _, r in grp.iterrows():
+            assert r.bin_offset == expect
+            expect += r.n_tokens
+
+
+def test_pack_sequences_deterministic_under_repartition(spark):
+    import pyspark.sql.functions as F
+    from lingo_db_spark.pipeline import pack_sequences_next_fit
+    rows = [(i, (i * 37) % 900 + 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    shard = F.pmod(F.col("doc_id"), F.lit(8))
+    a = pack_sequences_next_fit(df, "doc_id", "n_tokens", 1024,
+                                shard_of=shard).toPandas()
+    b = pack_sequences_next_fit(df.repartition(13), "doc_id", "n_tokens",
+                                1024, shard_of=shard).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
