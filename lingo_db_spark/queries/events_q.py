@@ -13,7 +13,11 @@ from lingo_db_spark import streaming as st
 from lingo_db_spark.catalog import load_table, register_views
 from lingo_db_spark.functions import SQL_DSUM
 from lingo_db_spark.functions.udf import register_python_udf
-from lingo_db_spark.pipeline.multimodal import decode_media_meta, synth_media
+from lingo_db_spark.pipeline.multimodal import (
+    decode_media_meta,
+    sample_frames,
+    synth_media,
+)
 from lingo_db_spark.plans import kmeans
 from lingo_db_spark.queries import register
 
@@ -448,3 +452,57 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the binary round-trip (pack -> decode) is value-verified."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_meta(synth_media(docs)).orderBy("doc_id")
+
+
+@register("multimodal_frame_sample", """
+SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx FROM (
+  SELECT doc_id,
+         CAST(doc_id % 25 + 1 AS INTEGER) AS n_frames,
+         unnest(generate_series(0, doc_id % 25, 5)) AS f
+  FROM documents WHERE doc_id < 600)
+ORDER BY doc_id, frame_idx
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the multimodal pipeline: binary media ->
+    mapInPandas metadata decode -> JVM-side sequence+explode of every
+    5th frame index (pipeline.multimodal.sample_frames).  One output row
+    per kept frame; the oracle regenerates the deterministic frame grid
+    with generate_series, value-checking the whole decode->explode
+    chain (the reference's nested-collection escape hatch,
+    relalg.nested RelAlgOps.td:446-457 + runtime list types)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    meta = decode_media_meta(synth_media(docs))
+    return (sample_frames(meta, every_n=5)
+            .select("doc_id", "n_frames", "frame_idx")
+            .orderBy("doc_id", "frame_idx"))
+
+
+@register("streaming_stream_static_join", """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase event stream enriched against
+    the static customer dimension, then aggregated per segment.  On a
+    real stream the static side is re-read per micro-batch (a broadcast
+    per batch at dim scale) — the streaming analogue of the reference's
+    index-nested-loop against a persisted table
+    (OptimizeImplementations.cpp:544-590).  Executed here with
+    availableNow over the same files, so the batch oracle is exact;
+    stream/batch symmetry is asserted in tests/test_extensions.py."""
+    from lingo_db_spark import functions as lf
+    from lingo_db_spark.catalog import load_table as lt
+    from lingo_db_spark.streaming import stream_events, run_stream_to_memory
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = lt(spark, sf_dir, "customer")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                lf.dsum("value").alias("total_value")))
+    return (run_stream_to_memory(agg, "complete")
+            .orderBy("c_mktsegment"))

@@ -588,3 +588,24 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, "doc_id", "n_tokens", capacity=2048,
         shard_of=F.pmod(F.col("doc_id"), F.lit(8)))
     return ordered_result(out, "doc_id")
+
+
+@register("pipeline_approx_distinct", None)  # HLL sketch values are
+                                             # engine-specific; relative
+                                             # error pinned in tests
+def pipeline_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting — the user-facing form of the
+    reference's HyperLogLog machinery (src/utility/HyperLogLog.cpp,
+    per-column ndv stats LingoDBTable.cpp:237; tested
+    TestHyperLogLog.cpp): per-source approx fingerprint ndv at 2% target
+    rsd next to the exact count.  approx_count_distinct is mergeable
+    (partial sketches combine map-side), so at 100 TB it replaces the
+    exact two-shuffle COUNT(DISTINCT) dashboard query at a fraction of
+    the cost; tests/test_pipeline.py pins the observed relative error."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = pl.fingerprint("text")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(fp).alias("exact_ndv"),
+                 F.approx_count_distinct(fp, rsd=0.02).alias("approx_ndv"))
+            .orderBy("source"))

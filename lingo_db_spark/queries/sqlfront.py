@@ -10,6 +10,7 @@ hash compare stays bit-stable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lingo_db_spark.catalog import register_views
 from lingo_db_spark.functions import SQL_DSUM
@@ -137,3 +138,27 @@ def sql_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's relalg.window/rank surface through the SQL door)."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_WINDOW_SQL)
+
+
+@register("sql_copy_parquet_roundtrip", """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey
+""")
+def sql_copy_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY ... TO (parquet) + re-ingest — the export half of the
+    reference's COPY surface (parser.y:575; the reference materializes
+    result tables as Arrow, LingoDBTable.h:12-31).  A projection of
+    orders is written through sources.write_table (snappy parquet,
+    explicit mode) and read back with the files' own schema; the oracle
+    checks the round trip loses nothing."""
+    import tempfile
+
+    from lingo_db_spark.catalog import load_table
+    from lingo_db_spark.sources import write_table
+
+    sel = (load_table(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") < 1000)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    out = tempfile.mkdtemp(prefix="ldb_copy_") + "/orders_pq"
+    write_table(sel, out)
+    return spark.read.parquet(out).orderBy("o_orderkey")

@@ -107,9 +107,11 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0.0 END
-                           AS DECIMAL(38,10))) AS DOUBLE)
-             / CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 6) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1'
+                           THEN CAST(ROUND(volume * 1000000.0) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(volume * 1000000.0) AS BIGINT))
+                    AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -158,12 +160,15 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .select(F.year("o_orderdate").alias("o_year"),
                 volume.alias("volume"), "nation"))
-    national = F.when(F.col("nation") == "NATION_1",
-                      F.col("volume")).otherwise(F.lit(0.0))
+    # Micro-unit int64 accumulation (see functions.dsum): exact,
+    # order-insensitive, and ~100x cheaper per row than a decimal(38,10)
+    # accumulator — the ratio is presentation, not a decision boundary.
+    micros = F.round(F.col("volume") * 1_000_000.0, 0).cast("long")
+    national = F.when(F.col("nation") == "NATION_1", micros).otherwise(F.lit(0))
     return (joined.groupBy("o_year")
             .agg(F.round(
-                F.sum(national.cast(DEC)).cast("double")
-                / F.sum(F.col("volume").cast(DEC)).cast("double"), 6)
+                F.sum(national).cast("double")
+                / F.sum(micros).cast("double"), 6)
                 .alias("mkt_share"))
             .orderBy("o_year"))
 

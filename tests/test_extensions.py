@@ -292,3 +292,23 @@ def test_stream_parquet_sink_exactly_once(spark, tmp_path):
     batch = load_table(spark, SF_DIR, "events").filter(
         "event_type = 'purchase'").count()
     assert n1 == n2 == batch > 0
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static join (availableNow) equals the pure-batch plan over
+    the same files."""
+    import pyspark.sql.functions as F
+    from lingo_db_spark import functions as lf
+    from lingo_db_spark.queries import load_all
+    got_s = {r.c_mktsegment: (r.n_events, r.total_value)
+             for r in load_all()["streaming_stream_static_join"]
+             .spark_fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase")
+    cust = load_table(spark, SF_DIR, "customer")
+    got_b = {r.c_mktsegment: (r.n_events, r.total_value)
+             for r in ev.join(cust, ev.user_id == cust.c_custkey)
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  lf.dsum("value").alias("total_value")).collect()}
+    assert got_s == got_b

@@ -357,3 +357,15 @@ def test_pack_sequences_deterministic_under_repartition(spark):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_approx_distinct_within_rsd(spark):
+    """approx_count_distinct at rsd=0.02 stays within 3 standard errors
+    of the exact ndv (HLL error model — the reference's HLL stats
+    machinery, TestHyperLogLog.cpp)."""
+    from lingo_db_spark.queries import load_all
+    rows = load_all()["pipeline_approx_distinct"].spark_fn(
+        spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_ndv - r.exact_ndv) <= max(3 * 0.02 * r.exact_ndv, 2), r
