@@ -393,3 +393,42 @@ _sql_query(
     against the same fact table with different residual predicates on one
     outer row.  Catalyst plans LeftSemi + LeftAnti back-to-back
     (reference relalg.semijoin + relalg.antisemijoin).""")
+
+
+# ---------------------------------------------------------------------------
+# 11. JOB-style: many-way join with string predicates on several dims
+# ---------------------------------------------------------------------------
+
+_Q_JOB_CHAIN = f"""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM({_micros('l_extendedprice * (1 - l_discount)')})
+                  AS DOUBLE) / 1000000.0, 4) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN part     ON p_partkey = l_partkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+  AND p_name LIKE '%gi%'
+  AND p_type IN ('ECONOMY', 'PROMO', 'STANDARD')
+  AND c_mktsegment <> 'AUTOMOBILE'
+  AND o_orderpriority LIKE '1%'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+_sql_query(
+    "job_style_join_chain", _Q_JOB_CHAIN,
+    ("region", "nation", "supplier", "lineitem", "orders", "customer",
+     "part"),
+    """JOB-class shape (reference resources/sql/job/: IMDB queries are
+    6-10-way joins whose selectivity lives in LIKE/IN string predicates
+    on several dimensions at once — what the reference's DPhyp +
+    sample-based estimation orders, OptimizeJoinOrder.cpp:121-126).
+    Seven-way join, string filters on part/customer/orders, written
+    dimension-first so the small filtered sides build the hash tables;
+    with stats-backed catalog tables (stats.py) CBO reorders it
+    regardless of the written order.""")

@@ -849,3 +849,19 @@ def generate_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("part_idx0") + 1).cast("long").alias("part_idx"),
                     "part_val")
             .orderBy("o_orderkey", "part_idx"))
+
+
+@register("setop_intersect_distinct", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+""")
+def setop_intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT with DISTINCT semantics (reference relalg.intersect
+    set_semantic=distinct, RelAlgOps.td:438-440) — customers having both
+    open and finished orders, each exactly once."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f).orderBy("o_custkey")
