@@ -28,3 +28,17 @@ def register_python_udf(spark: SparkSession, name: str, fn: Callable,
            else F.udf(fn, return_type))
     spark.udf.register(name, udf)
     return udf
+
+
+def register_pandas_udaf(spark: SparkSession, name: str, fn: Callable,
+                         return_type: str):
+    """User-defined AGGREGATE function (extension beyond the reference:
+    its frontend has no UDAF surface, SURVEY.md §2.6) — a pandas
+    GROUPED_AGG UDF: `fn` maps a pandas.Series holding one group's values
+    to one scalar.  Arrow-batched; usable from the DataFrame API and SQL,
+    including over windows.  Distributed caveat: grouped-agg UDFs are NOT
+    partial-aggregatable (no map-side combine) — Spark shuffles raw group
+    rows, so at 100 TB prefer built-ins where one exists."""
+    udaf = F.pandas_udf(fn, return_type, F.PandasUDFType.GROUPED_AGG)
+    spark.udf.register(name, udaf)
+    return udaf

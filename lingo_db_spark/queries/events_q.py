@@ -506,3 +506,40 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lf.dsum("value").alias("total_value")))
     return (run_stream_to_memory(agg, "complete")
             .orderBy("c_mktsegment"))
+
+
+@register("udf_pandas_grouped_agg", """
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+       COUNT(*) AS n
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+""")
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE (UDAF) — an extension past the reference's
+    scalar-only CREATE FUNCTION surface (parser.y:3558-3568; no UDAF in
+    its frontend): geometric mean as an Arrow-batched GROUPED_AGG pandas
+    UDF, value-checked against DuckDB's exp(avg(ln)) rendering.  numpy
+    float64 log/exp matches the oracle's libm within the 6-decimal
+    rounding."""
+    import numpy as np
+
+    from lingo_db_spark.functions.udf import register_pandas_udaf
+
+    def geo_mean(v) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    def n_rows(v) -> int:
+        return len(v)
+
+    udaf = register_pandas_udaf(spark, "ldb_geo_mean", geo_mean, "double")
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one Aggregate, so the count rides along as a second pandas UDAF.
+    n_udaf = register_pandas_udaf(spark, "ldb_n_rows", n_rows, "long")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (ev.groupBy("event_type")
+            .agg(F.round(udaf("value"), 6).alias("geo_mean"),
+                 n_udaf("value").alias("n"))
+            .orderBy("event_type"))

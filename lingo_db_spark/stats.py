@@ -52,3 +52,27 @@ def drop_stats_tables(spark: SparkSession,
                       prefix: str = "cbo_") -> None:
     for n in names:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{n}")
+
+
+def materialize_bucketed(spark: SparkSession, sf_dir: str,
+                         name: str, bucket_col: str, n_buckets: int,
+                         table_name: str | None = None,
+                         overwrite: bool = False) -> str:
+    """Write a table bucketed (hash-partitioned on disk) by a join key —
+    Spark's persistent co-location primitive.  Two tables bucketed by
+    the same key with the same bucket count join WITHOUT any exchange:
+    the shuffle is paid once at ingest instead of per query, the
+    on-cluster equivalent of the reference's persisted hash index
+    (reference LingoDBHashIndex.cpp, used for index-nested-loop joins,
+    OptimizeImplementations.cpp:544-590).  At 100 TB this turns the
+    nightly fact-to-fact join from the dominant shuffle into a local
+    zip of bucket files."""
+    t = table_name or f"bkt_{name}"
+    if overwrite or not spark.catalog.tableExists(t):
+        df = load_table(spark, sf_dir, name)
+        writer = (df.write.mode("overwrite" if overwrite else "errorifexists")
+                  .bucketBy(n_buckets, bucket_col)
+                  .sortBy(bucket_col)
+                  .format("parquet"))
+        writer.saveAsTable(t)
+    return t

@@ -71,3 +71,45 @@ def test_cbo_reorders_join_with_stats(spark, stats_tables):
         == [stats_tables["customer"], stats_tables["nation"],
             stats_tables["orders"]]
     assert "rowCount=" not in statless   # the statless path has no CBO input
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """lineitem and orders bucketed by the join key: the join plan must
+    contain NO Exchange on either side (bucket co-location replaces the
+    shuffle), while the same join over plain path-based reads shuffles
+    both sides."""
+    from lingo_db_spark.catalog import load_table
+    from lingo_db_spark.stats import materialize_bucketed
+    lt = materialize_bucketed(spark, SF_DIR, "lineitem", "l_orderkey", 8,
+                              table_name="bkt_li_t", overwrite=True)
+    ot = materialize_bucketed(spark, SF_DIR, "orders", "o_orderkey", 8,
+                              table_name="bkt_or_t", overwrite=True)
+    # sf0.001 tables broadcast below the threshold, which would hide the
+    # bucket co-location; pin the sort-merge path (the fact-to-fact shape
+    # bucketing exists for — neither side broadcastable at 100 TB).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table(lt).join(
+                spark.table(ot),
+                spark.table(lt).l_orderkey == spark.table(ot).o_orderkey)
+             .groupBy("o_orderpriority").count())
+        p = explain_str(j, "formatted")
+        # The only Exchange allowed is the groupBy's, ABOVE the join:
+        # neither join input shuffles (bucket co-location).
+        assert "SortMergeJoin" in p
+        n_bucketed = p.count("+- Exchange") + p.count("   Exchange (")
+        plain = (load_table(spark, SF_DIR, "lineitem").join(
+                    load_table(spark, SF_DIR, "orders"),
+                    load_table(spark, SF_DIR, "lineitem").l_orderkey
+                    == load_table(spark, SF_DIR, "orders").o_orderkey)
+                 .groupBy("o_orderpriority").count())
+        pp = explain_str(plain, "formatted")
+        n_plain = pp.count("+- Exchange") + pp.count("   Exchange (")
+        # plain: 2 join-input shuffles + 1 agg shuffle; bucketed: agg only.
+        assert n_bucketed == 1, f"expected only the agg exchange: {p}"
+        assert n_plain >= 3, pp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_li_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_or_t")
