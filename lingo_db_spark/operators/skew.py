@@ -40,3 +40,26 @@ def salted_aggregate(df: DataFrame, keys: list[str],
     return partial.groupBy(*keys).agg(*[
         _COMBINE[fn](f"__p_{name}").alias(name)
         for name, (fn, col) in aggs.items()])
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-proof equi-join for a HOT-KEY left side: salt the big/skewed
+    left on a derived uniform salt, replicate each (small-side) right row
+    across all n_salt salts, and equi-join on (key, salt) — every hot key
+    fans out over n_salt reducers instead of melting one.
+
+    This is the manual form of what AQE's skew-join does for oversized
+    shuffle partitions (session conf spark.sql.adaptive.skewJoin) —
+    needed when skew is invisible to AQE (first shuffle of a stage,
+    non-adaptive plans) or when a single key exceeds what one partition
+    split can hold.  The right side grows n_salt-fold, so use it when
+    |right| * n_salt stays shuffle-cheap (dimension-vs-fact skew, the
+    common case).  Only the equi-key join is supported; residual
+    predicates compose via .filter on the result."""
+    salt_l = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    l = left.withColumn("__salt", salt_l.cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")

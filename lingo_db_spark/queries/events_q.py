@@ -543,3 +543,39 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(udaf("value"), 6).alias("geo_mean"),
                  n_udaf("value").alias("n"))
             .orderBy("event_type"))
+
+
+@register("events_salted_join", f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {SQL_DSUM('value')} AS total_value,
+       CAST(MAX(type_rank) AS BIGINT) AS type_rank
+FROM events
+JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3),
+             ('signup', 4), ('error', 5)) AS dim(etype, type_rank)
+  ON event_type = etype
+GROUP BY event_type
+ORDER BY event_type
+""")
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof JOIN: events carry only 5 distinct event_type values —
+    a plain shuffle join on that key uses at most 5 reducers regardless
+    of cluster size.  operators.skew.salted_join salts the fact side and
+    replicates the 5-row dimension across the salts, so the hot keys fan
+    out over n_salt reducers; the oracle is the plain join the salted
+    plan must reproduce exactly."""
+    from lingo_db_spark.functions import dsum
+    from lingo_db_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3),
+         ("signup", 4), ("error", 5)],
+        "event_type string, type_rank int")
+    joined = salted_join(ev.select("event_type", "value"), dim,
+                         "event_type", n_salt=16)
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("total_value"),
+                 F.max("type_rank").cast("long").alias("type_rank"))
+            .orderBy("event_type"))
