@@ -162,3 +162,26 @@ def sql_copy_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ldb_copy_") + "/orders_pq"
     write_table(sel, out)
     return spark.read.parquet(out).orderBy("o_orderkey")
+
+
+@register("sql_copy_orc_roundtrip", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_orderkey < 300
+ORDER BY l_orderkey, l_linenumber
+""")
+def sql_copy_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: the same COPY TO / re-ingest cycle
+    through ORC (Spark's second built-in columnar format, predicate
+    pushdown and column pruning included) — a reference user's data can
+    round-trip through either container format losslessly."""
+    import tempfile
+
+    from lingo_db_spark.catalog import load_table
+
+    sel = (load_table(spark, sf_dir, "lineitem")
+           .filter(F.col("l_orderkey") < 300)
+           .select("l_orderkey", "l_linenumber", "l_quantity",
+                   "l_returnflag"))
+    out = tempfile.mkdtemp(prefix="ldb_copy_") + "/li_orc"
+    sel.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).orderBy("l_orderkey", "l_linenumber")

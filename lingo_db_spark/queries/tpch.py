@@ -313,13 +313,19 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00")))
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
+    from lingo_db_spark.operators.groupby_reduce import grouped_by_key
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("revenue"))
+        grouped_by_key(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey),
+            # ReduceGroupByKeys (reference Passes.cpp:37): c_custkey is the
+            # customer pk, so name/acctbal/nation are re-attached via `any`
+            # instead of widening the shuffle key.
+            pk=["c_custkey"],
+            dependents=["c_name", "c_acctbal", "n_name"],
+            aggs={"revenue": dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")))})
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)

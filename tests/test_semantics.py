@@ -233,3 +233,21 @@ def test_rollup_grouping_flags(spark):
     # (NULL data group, s=1, g=0), (x, 2, 0), (subtotal NULL, 3, 1):
     # GROUPING() is what tells the NULL key from the subtotal row.
     assert got == srt([(None, 1, 0), (None, 3, 1), ("x", 2, 0)])
+
+
+def test_reduce_groupby_keys_equals_full_grouping(spark):
+    """grouped_by_key (ReduceGroupByKeys rewrite) returns exactly what
+    grouping on pk+dependents would — dependents are single-valued per
+    pk, re-attached via first/any."""
+    import pyspark.sql.functions as F
+    from conftest import SF_DIR
+    from lingo_db_spark.catalog import load_table
+    from lingo_db_spark.operators.groupby_reduce import grouped_by_key
+    cust = load_table(spark, SF_DIR, "customer")
+    reduced = {tuple(r) for r in grouped_by_key(
+        cust, pk=["c_custkey"], dependents=["c_name", "c_mktsegment"],
+        aggs={"bal": F.round(F.sum("c_acctbal"), 4)}).collect()}
+    full = {tuple(r) for r in cust
+            .groupBy("c_custkey", "c_name", "c_mktsegment")
+            .agg(F.round(F.sum("c_acctbal"), 4).alias("bal")).collect()}
+    assert reduced == full
