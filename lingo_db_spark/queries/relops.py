@@ -865,3 +865,62 @@ def setop_intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return o.intersect(f).orderBy("o_custkey")
+
+
+@register("cube_grouping", """
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS qty_m
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+""")
+def cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^n grouping sets in one Expand pass.  The reference
+    PARSES cube but leaves it disabled (SURVEY.md §2.2: only ROLLUP is
+    translated, sql_mlir_translator.cpp:1705-1760), so this is engine
+    surface beyond reference parity, expressed with the same GROUPING()
+    machinery the rollup/grouping-sets queries pin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_m = F.round(F.col("l_quantity") * 1_000_000.0, 0).cast("long")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(qty_m).alias("qty_m"),
+                 F.grouping("l_returnflag").cast("long").alias("g_rf"),
+                 F.grouping("l_linestatus").cast("long").alias("g_ls"))
+            .select(F.coalesce("l_returnflag", F.lit("<all>"))
+                    .alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("<all>"))
+                    .alias("l_linestatus"),
+                    "g_rf", "g_ls", "n", "qty_m")
+            .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus"))
+
+
+@register("window_rank_family", """
+SELECT o_custkey, o_orderkey,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""")
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — DENSE_RANK / PERCENT_RANK /
+    CUME_DIST (beyond the reference frontend's RANK + ROW_NUMBER,
+    sql_analyzer.cpp:2494-2501).  Unique ordering key makes every
+    engine's answer identical; the ratios divide identical small ints,
+    so doubles agree bitwise."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+        .orderBy("o_custkey", "o_orderkey"))
