@@ -156,6 +156,16 @@ def date_trunc(unit: str, col) -> Column:
     return F.date_trunc(unit, _c(col))   # reference DateTrunc (DateRuntime.h:18)
 
 
+def string_rfind(col, needle: str) -> Column:
+    """Reference PyStringRFind (RuntimeFunctions.cpp:287): LAST 0-based
+    index of a literal needle, -1 when absent — located by searching the
+    reversed haystack with the reversed needle (stays JVM-side)."""
+    c = _c(col)
+    rev_pos = F.locate(needle[::-1], F.reverse(c))   # 1-based from the end
+    return F.when(rev_pos == 0, F.lit(-1)).otherwise(
+        F.length(c) - rev_pos - F.lit(len(needle) - 1)).cast("long")
+
+
 def date_diff_days(end, start) -> Column:
     """Reference DateDiffDay (DateRuntime.h:14)."""
     return F.datediff(_c(end), _c(start))
@@ -284,6 +294,28 @@ def date_add_days(col, days) -> Column:
 
 def date_subtract_days(col, days) -> Column:
     return F.date_sub(_c(col), days)      # DateSubtract (:330)
+
+
+def _diff_units(end, start, unit_us: int) -> Column:
+    """Reference DateDiff{Hour,Minute,Second} (RuntimeFunctions.cpp:
+    317-321, kernels DateRuntime.h:14-17): whole elapsed units as the
+    truncated quotient of the raw epoch difference — NOT calendar
+    boundary crossings."""
+    d = F.unix_micros(_c(end).cast("timestamp")) \
+        - F.unix_micros(_c(start).cast("timestamp"))
+    return (d - F.pmod(d, F.lit(unit_us))) / F.lit(unit_us)
+
+
+def date_diff_hours(end, start) -> Column:
+    return _diff_units(end, start, 3_600_000_000).cast("long")
+
+
+def date_diff_minutes(end, start) -> Column:
+    return _diff_units(end, start, 60_000_000).cast("long")
+
+
+def date_diff_seconds(end, start) -> Column:
+    return _diff_units(end, start, 1_000_000).cast("long")
 
 
 # ---------------------------------------------------------------------------

@@ -315,3 +315,36 @@ def scalars_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(lf.date_add_interval(d, lf.interval_months(3)))
          .cast("long").alias("yr_rolled"),
     ).orderBy("o_orderkey"))
+
+
+@register("scalars_datetime_units", """
+SELECT user_id,
+       CAST((epoch_us(hi) - epoch_us(lo)) // 3600000000 AS BIGINT) AS span_h,
+       CAST((epoch_us(hi) - epoch_us(lo)) // 60000000 AS BIGINT) AS span_min,
+       CAST((epoch_us(hi) - epoch_us(lo)) // 1000000 AS BIGINT) AS span_s,
+       CAST(CASE WHEN strpos(reverse(ename), '1') = 0 THEN -1
+                 ELSE length(ename) - strpos(reverse(ename), '1') END
+            AS BIGINT) AS rfind_1
+FROM (
+  SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi,
+         MAX(event_type) AS ename
+  FROM events GROUP BY user_id)
+ORDER BY user_id
+""")
+def scalars_datetime_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateDiffHour/Minute/Second (RuntimeFunctions.cpp:317-321 — whole
+    elapsed units from the raw epoch difference, not calendar boundary
+    crossings, which is what DuckDB's date_diff would count) and
+    PyStringRFind (:287, last 0-based index, -1 absent) over per-user
+    event spans.  The oracle spells the identical integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy("user_id")
+         .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+              F.max("event_type").alias("ename")))
+    return (g.select(
+        "user_id",
+        lf.date_diff_hours("hi", "lo").alias("span_h"),
+        lf.date_diff_minutes("hi", "lo").alias("span_min"),
+        lf.date_diff_seconds("hi", "lo").alias("span_s"),
+        lf.string_rfind("ename", "1").alias("rfind_1"),
+    ).orderBy("user_id"))

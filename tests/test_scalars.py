@@ -210,3 +210,23 @@ def test_daytime_interval_is_exact_duration(spark):
                                                       mins=45)).alias("a")
     ).collect()[0]
     assert row.a == datetime.datetime(2023, 3, 27, 2, 15)
+
+
+def test_string_rfind_and_diff_units(spark):
+    from lingo_db_spark import functions as lf
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("ababab",), ("xyz",), ("1click1",)], "s string")
+    got = [r.p for r in df.select(
+        lf.string_rfind("s", "ab").alias("p")).collect()]
+    assert got == [4, -1, -1]
+    got1 = [r.p for r in df.select(
+        lf.string_rfind("s", "1").alias("p")).collect()]
+    assert got1 == [-1, -1, 6]
+    d = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS a, "
+                  "TIMESTAMP_NTZ '2024-01-01 02:59:59' AS b")
+    row = d.select(lf.date_diff_hours("b", "a").alias("h"),
+                   lf.date_diff_minutes("b", "a").alias("m"),
+                   lf.date_diff_seconds("b", "a").alias("s")).collect()[0]
+    # whole elapsed units, truncated — NOT boundary crossings
+    assert (row.h, row.m, row.s) == (2, 179, 10799)
