@@ -19,28 +19,54 @@ from pyspark.sql import functions as F
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, on: str, ts: str,
-              value_cols: list[str], suffix: str = "_asof") -> DataFrame:
+              value_cols: list[str], suffix: str = "_asof",
+              direction: str = "backward",
+              tolerance=None) -> DataFrame:
     """For every `left` row: all left columns plus `value_cols` from the
-    latest `right` row with right.ts <= left.ts and equal `on` key (NULL
-    when no right row precedes it).  Ties at equal ts take the right row
-    (right sorts before left at the same timestamp)."""
+    nearest `right` row at-or-before it (direction='backward', the
+    default: right.ts <= left.ts) or at-or-after it ('forward'), per
+    `on` key — NULL when no such row.  Ties at equal ts take the right
+    row.  `tolerance` (a Column interval or literal accepted by ts
+    subtraction, e.g. F.expr("INTERVAL 1 HOUR")) bounds the allowed
+    staleness: a match farther than the tolerance yields NULL — the
+    max-staleness rule of feature-store lookups (pandas merge_asof
+    semantics).  Still one shuffle + one per-partition sort, no row
+    explosion."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1))
     r = right.select(on, ts, *value_cols).withColumn("__side", F.lit(0))
     for c in value_cols:
         l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
-    unioned = l.select(on, ts, "__side", *value_cols,
+    r = r.withColumn("__rts", F.col(ts))
+    l = l.withColumn("__rts", F.lit(None).cast(r.schema["__rts"].dataType))
+    unioned = l.select(on, ts, "__side", "__rts", *value_cols,
                        *[c for c in lcols if c not in (on, ts)]) \
-        .unionByName(r.select(on, ts, "__side", *value_cols)
+        .unionByName(r.select(on, ts, "__side", "__rts", *value_cols)
                      .withColumns({c: F.lit(None)
                                    for c in lcols if c not in (on, ts)}))
-    w = (Window.partitionBy(on).orderBy(ts, "__side")
+    order = [F.col(ts), F.col("__side")] if direction == "backward" \
+        else [F.col(ts).desc(), F.col("__side")]
+    w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.select(
         on, ts, "__side",
+        F.last("__rts", ignorenulls=True).over(w).alias("__rts"),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
         *[c for c in lcols if c not in (on, ts)])
     out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        staleness = (F.col(ts) - F.col("__rts")) if direction == "backward" \
+            else (F.col("__rts") - F.col(ts))
+        keep = F.col("__rts").isNotNull() & (staleness <= tolerance)
+        out = out.select(
+            on, ts,
+            *[F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
+              for c in value_cols],
+            *[c for c in lcols if c not in (on, ts)])
+    else:
+        out = out.drop("__rts")
     renames = {c: c + suffix for c in value_cols if c in lcols}
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)

@@ -312,3 +312,35 @@ def test_stream_static_join_matches_batch(spark):
              .agg(F.count(F.lit(1)).alias("n_events"),
                   lf.dsum("value").alias("total_value")).collect()}
     assert got_s == got_b
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """Backward default, forward mirror, and max-staleness tolerance
+    (feature-store lookup semantics)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from lingo_db_spark.operators.asof import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, T(10)), (1, T(30)), (2, T(5))], "k int, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, T(0), 100.0), (1, T(25), 200.0), (1, T(40), 300.0)],
+        "k int, ts timestamp_ntz, v double")
+
+    back = {(r.k, r.ts.minute): r.v for r in asof_join(
+        left, right, on="k", ts="ts", value_cols=["v"]).collect()}
+    assert back == {(1, 10): 100.0, (1, 30): 200.0, (2, 5): None}
+
+    fwd = {(r.k, r.ts.minute): r.v for r in asof_join(
+        left, right, on="k", ts="ts", value_cols=["v"],
+        direction="forward").collect()}
+    assert fwd == {(1, 10): 200.0, (1, 30): 300.0, (2, 5): None}
+
+    tol = {(r.k, r.ts.minute): r.v for r in asof_join(
+        left, right, on="k", ts="ts", value_cols=["v"],
+        tolerance=F.expr("INTERVAL 7 MINUTES")).collect()}
+    # at :10 the last right row is :0 -> 10 min stale -> NULL;
+    # at :30 the last is :25 -> 5 min -> kept
+    assert tol == {(1, 10): None, (1, 30): 200.0, (2, 5): None}

@@ -193,3 +193,22 @@ def test_token_budget_no_datasized_global_window(spark):
         # shard id, fed by the groupBy(__shard) aggregate), never ordered
         # by the data key doc_id.
         assert "doc_id" not in spec, f"data-sized global window: {spec}"
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    # Hive-style partition layout (write_table partition_by) must surface
+    # as PartitionFilters in the scan — only matching directories are
+    # read, the disk-layout analogue of predicate pushdown and the main
+    # lever for time/type-sliced 100TB corpora.
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from lingo_db_spark.catalog import load_table
+    from lingo_db_spark.sources import write_table
+    out = tempfile.mkdtemp(prefix="ldb_part_") + "/ev"
+    write_table(load_table(spark, SF_DIR, "events"), out,
+                partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    p = explain_str(back, "formatted")
+    pf = p.split("PartitionFilters:", 1)
+    assert len(pf) == 2 and "event_type" in pf[1].splitlines()[0]
