@@ -579,3 +579,23 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("value").alias("total_value"),
                  F.max("type_rank").cast("long").alias("type_rank"))
             .orderBy("event_type"))
+
+
+@register("events_approx_percentiles", None)  # t-digest sketch values are
+                                              # engine-specific; accuracy
+                                              # pinned in tests
+def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via approx_percentile (mergeable
+    quantile sketch, accuracy 1/10000): the single-pass, map-side
+    combinable replacement for the exact `percentile` anchor query
+    (events_value_quantiles) at 100 TB — sketches merge across
+    partitions instead of shuffling raw values.  tests/test_extensions
+    pins the sketch against the exact answer."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr(
+                    "approx_percentile(value, 0.5D, 10000)"), 4).alias("p50"),
+                 F.round(F.expr(
+                    "approx_percentile(value, 0.99D, 10000)"), 4).alias("p99"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type"))

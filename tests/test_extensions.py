@@ -344,3 +344,21 @@ def test_asof_join_directions_and_tolerance(spark):
     # at :10 the last right row is :0 -> 10 min stale -> NULL;
     # at :30 the last is :25 -> 5 min -> kept
     assert tol == {(1, 10): None, (1, 30): 200.0, (2, 5): None}
+
+
+def test_approx_percentile_close_to_exact(spark):
+    import pyspark.sql.functions as F
+    from lingo_db_spark.queries import load_all
+    approx = {r.event_type: (r.p50, r.p99)
+              for r in load_all()["events_approx_percentiles"]
+              .spark_fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {r.event_type: (r.p50, r.p99) for r in ev.groupBy("event_type")
+             .agg(F.round(F.expr("percentile(value, 0.5D)"), 4).alias("p50"),
+                  F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"))
+             .collect()}
+    for k, (a50, a99) in approx.items():
+        e50, e99 = exact[k]
+        assert abs(a50 - e50) <= max(0.05 * abs(e50), 0.5), (k, a50, e50)
+        # rank-based sketches are loosest in the sparse tail: allow 10%
+        assert abs(a99 - e99) <= max(0.10 * abs(e99), 0.5), (k, a99, e99)
