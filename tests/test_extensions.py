@@ -353,12 +353,15 @@ def test_approx_percentile_close_to_exact(spark):
               for r in load_all()["events_approx_percentiles"]
               .spark_fn(spark, SF_DIR).collect()}
     ev = load_table(spark, SF_DIR, "events")
-    exact = {r.event_type: (r.p50, r.p99) for r in ev.groupBy("event_type")
-             .agg(F.round(F.expr("percentile(value, 0.5D)"), 4).alias("p50"),
-                  F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"))
-             .collect()}
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    # The sketch guarantee is on RANK, not value (an element whose rank
+    # is within eps*n of the target — in a heavy tail the VALUE gap to
+    # the interpolated exact percentile can be arbitrarily large).
     for k, (a50, a99) in approx.items():
-        e50, e99 = exact[k]
-        assert abs(a50 - e50) <= max(0.05 * abs(e50), 0.5), (k, a50, e50)
-        # rank-based sketches are loosest in the sparse tail: allow 10%
-        assert abs(a99 - e99) <= max(0.10 * abs(e99), 0.5), (k, a99, e99)
+        v = sorted(vals[k])
+        n = len(v)
+        for target, got in ((0.5, a50), (0.99, a99)):
+            rank = sum(1 for x in v if x <= got) / n
+            assert abs(rank - target) <= 0.02 + 1.0 / n, (k, target, got, rank)
