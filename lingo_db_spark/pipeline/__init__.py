@@ -9,6 +9,7 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     minhash_signature,
     neardup_clusters,
     neardup_minhash,
+    neardup_ngram_jaccard,
     neardup_simhash,
     overlap_pairs,
     simhash,

@@ -423,3 +423,48 @@ def neardup_simhash(df: DataFrame, id_col: str, text_col: str,
                     hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def neardup_ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
+                          threshold: float = 0.6, shingle_k: int = 3,
+                          max_shingle_freq: int = 1000) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs — no signatures, no
+    probability: |A∩B| is counted by a shared-shingle bucket join and
+    |A∪B| = |A|+|B|-|A∩B|, so the reported jaccard is the true value and
+    recall is 100% down to the frequency prune.  The candidate discipline
+    is the same as LSH/winnowing: pairs exist ONLY inside shingle buckets
+    and shingles shared by more than max_shingle_freq documents
+    (boilerplate) are dropped before the self-join — candidates stay
+    ~linear in true overlap instead of O(n^2).
+
+    Versus MinHash (neardup_minhash): exact but heavier — every shared
+    shingle contributes a bucket row, where MinHash caps work at the
+    signature length.  Use this below ~10^8 docs per shard or when the
+    threshold sits too close to a decision boundary for sketch error.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
+    """
+    toked = spread(df.select(F.col(id_col), tokens(text_col).alias("__t")),
+                   id_col)
+    sh = toked.select(F.col(id_col),
+                      shingles(F.col("__t"), shingle_k).alias("__sh"))
+    sh = sh.filter(F.size("__sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    keep = (ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_shingle_freq).select("__s"))
+    pruned = ex.join(keep, "__s")
+    a = pruned.select(F.col(id_col).alias("id_a"), "__s")
+    b = pruned.select(F.col(id_col).alias("id_b"), "__s")
+    inter = (a.join(b, "__s")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("__i")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
+    jac = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.col("__i").cast("double")
+                       / (F.col("__sza") + F.col("__szb") - F.col("__i")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+    return jac

@@ -609,3 +609,30 @@ def pipeline_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(fp).alias("exact_ndv"),
                  F.approx_count_distinct(fp, rsd=0.02).alias("approx_ndv"))
             .orderBy("source"))
+
+
+@register("pipeline_ngram_jaccard", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tri AS (
+  SELECT doc_id, {_SQL_TRIGRAMS} AS tris FROM tok WHERE len(t) >= 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+             / len(list_distinct(a.tris || b.tris)), 4) AS jaccard
+FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+      / len(list_distinct(a.tris || b.tris)) >= 0.6
+ORDER BY id_a, id_b
+""")
+def pipeline_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-Jaccard near-dup pairs at >= 0.6 — the
+    signature-free member of the dedup family (vs MinHash's sketch):
+    shared-shingle bucket join counts |A∩B| exactly, frequency prune
+    keeps candidates bucket-local.  The DuckDB oracle computes the same
+    all-pairs ground truth; at the lower 0.6 threshold this catches
+    pairs MinHash@0.8 ignores, and the match must be EXACT — no recall
+    slack, unlike the banded-LSH entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ordered_result(
+        pl.neardup_ngram_jaccard(docs, "doc_id", "text", threshold=0.6),
+        "id_a", "id_b")

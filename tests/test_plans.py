@@ -212,3 +212,9 @@ def test_partitioned_write_prunes_partitions(spark):
     p = explain_str(back, "formatted")
     pf = p.split("PartitionFilters:", 1)
     assert len(pf) == 2 and "event_type" in pf[1].splitlines()[0]
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    p = plan(spark, "pipeline_ngram_jaccard", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
