@@ -599,3 +599,37 @@ def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "approx_percentile(value, 0.99D, 10000)"), 4).alias("p99"),
                  F.count(F.lit(1)).alias("n"))
             .orderBy("event_type"))
+
+
+@register("streaming_topk_stateful", """
+SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id,
+       ROUND(value, 4) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 5
+ORDER BY event_type, rank
+""")
+def streaming_topk_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running top-5 events by value per type, maintained incrementally
+    as O(k) group state across micro-batches
+    (streaming.topk_stateful, applyInPandasWithState).  Driven with
+    availableNow here, so the final emitted ranking must equal the batch
+    window top-k — which is exactly what the oracle computes."""
+    sdf = st.topk_stateful(st.stream_events(spark, sf_dir), k=5)
+    out = st.run_stream_to_memory(sdf, "update")
+    # Update mode re-emits per micro-batch.  The state is cumulative, so
+    # the final batch's emission IS the true top-k and earlier emissions
+    # are subsets of candidates — re-ranking the union of all emitted
+    # rows therefore reproduces the batch answer deterministically,
+    # without needing to know which emission was last.
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (out.select("event_type", "event_id", "value").distinct()
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("event_type", "rank", "event_id",
+                    F.round("value", 4).alias("value"))
+            .orderBy("event_type", "rank"))

@@ -177,3 +177,44 @@ def run_stream_to_parquet(sdf: DataFrame, path: str, checkpoint: str) -> None:
          .option("checkpointLocation", checkpoint)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def topk_stateful(events: DataFrame, k: int = 5) -> DataFrame:
+    """Custom stateful streaming operator: RUNNING TOP-K by value per
+    event_type, via applyInPandasWithState.  The group state is the
+    current top-k (value, event_id) list — O(k) per key, never the raw
+    stream: each micro-batch folds its rows into the k-element state and
+    emits the refreshed ranking (update mode).  The streaming form of
+    the bounded-heap top-k the batch engine plans as
+    TakeOrderedAndProject (reference subop.create_heap,
+    RelAlgToSubOp.cpp:1690-1737), here maintained incrementally forever.
+    Ties break on lower event_id for cross-run determinism."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        # state rows are (value, event_id) tuples encoded as two arrays
+        vals, ids = (list(state.get[0]), list(state.get[1])) \
+            if state.exists else ([], [])
+        cur = list(zip(vals, ids))
+        for pdf in pdfs:
+            cur.extend(zip(pdf["value"].astype(float),
+                           pdf["event_id"].astype("int64")))
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            del cur[k:]
+        state.update(([float(v) for v, _ in cur],
+                      [int(i) for _, i in cur]))
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(cur),
+            "rank": list(range(1, len(cur) + 1)),
+            "event_id": [i for _, i in cur],
+            "value": [v for v, _ in cur],
+        })
+
+    return (events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=("event_type STRING, rank BIGINT, "
+                          "event_id BIGINT, value DOUBLE"),
+        stateStructType="vals ARRAY<DOUBLE>, ids ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
