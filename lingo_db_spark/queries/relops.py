@@ -924,3 +924,60 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"))
         .orderBy("o_custkey", "o_orderkey"))
+
+
+@register("pivot_event_counts", """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+ORDER BY user_id
+""")
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — long-to-wide reshaping with an explicit value list
+    (df.groupBy().pivot(col, values): giving the values keeps the plan a
+    single pass and, at scale, avoids the collect-distinct pre-query an
+    open pivot needs).  The oracle spells the same reshape as
+    conditional aggregation — which is also exactly how Catalyst lowers
+    PIVOT.  Engine surface beyond the reference (no PIVOT in its
+    grammar)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", ["click", "purchase", "view"])
+           .agg(F.count(F.lit(1))))
+    # pivot emits NULL for absent combinations; count semantics want 0.
+    return (out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "purchase", "view")])
+        .orderBy("user_id"))
+
+
+@register("unpivot_quality_dims", """
+SELECT doc_id, metric, ROUND(val, 6) AS val
+FROM (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS chars,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS words
+  FROM documents WHERE doc_id < 200)
+UNPIVOT (val FOR metric IN (chars, words))
+ORDER BY doc_id, metric
+""")
+def unpivot_quality_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide-to-long reshaping (df.unpivot, Spark's melt):
+    one metric row per (doc, dimension).  Dialect-common UNPIVOT syntax
+    in the oracle; narrow JVM expand, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + 1)
+        .cast("double").alias("words"))
+    return (wide.unpivot("doc_id", ["chars", "words"], "metric", "val")
+            .select("doc_id", "metric", F.round("val", 6).alias("val"))
+            .orderBy("doc_id", "metric"))
