@@ -31,6 +31,14 @@ ENGINE_CONFS: dict[str, str] = {
     # Broadcast threshold: dims like region/nation/customer always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Prefer shuffled-hash over sort-merge when no side broadcasts: the
+    # reference's execution model is hash-join-everywhere (SURVEY §4.2,
+    # LazyJoinHashtable) and skipping both sort passes measures ~7%
+    # across the join-heavy TPC-H set here.  Scale posture: per-partition
+    # build sides are bounded by shuffle-partition sizing + AQE skew
+    # splitting; degenerate skew would OOM a build where SMJ spills, so
+    # a deployment with known extreme skew can flip this back per job.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # The driver's events.parquet stores TIMESTAMP(NANOS), which the
     # parquet reader rejects by default; read as raw nanos (bigint) and
     # convert exactly in catalog.load_table.
