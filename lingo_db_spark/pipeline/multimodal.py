@@ -151,3 +151,20 @@ def sample_frames(meta: DataFrame, every_n: int = 5) -> DataFrame:
     idx: Column = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
     return (meta.filter(F.col("n_frames").isNotNull())
             .withColumn("frame_idx", F.explode(idx)))
+
+
+def read_media_dir(spark, path: str) -> DataFrame:
+    """The real ingest path for media blobs: Spark's binaryFile source —
+    one row per file with (path, modificationTime, length, content).
+    Returns (doc_id, media) where doc_id comes from the file stem, so
+    the result is a drop-in for synth_media's output and flows into the
+    same decode/feature/resize/frame-sample operators.  At 100 TB this
+    is the pattern for object-store image/audio corpora: listing
+    parallelizes over executors, each task reads whole objects as
+    opaque bytes."""
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.bin")
+           .load(path))
+    stem = F.regexp_extract(F.col("path"), r"([0-9]+)\.bin$", 1)
+    return raw.select(stem.cast("long").alias("doc_id"),
+                      F.col("content").alias("media"))

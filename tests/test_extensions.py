@@ -365,3 +365,27 @@ def test_approx_percentile_close_to_exact(spark):
         for target, got in ((0.5, a50), (0.99, a99)):
             rank = sum(1 for x in v if x <= got) / n
             assert abs(rank - target) <= 0.02 + 1.0 / n, (k, target, got, rank)
+
+
+def test_binaryfile_source_roundtrip(spark):
+    """Media blobs written as real files, re-ingested via the binaryFile
+    source, and decoded: the production ingest path produces the same
+    typed metadata as the in-plan synthetic media."""
+    import os
+    import tempfile
+
+    from lingo_db_spark.pipeline.multimodal import (
+        decode_media_meta, read_media_dir, synth_media)
+
+    docs = load_table(spark, SF_DIR, "documents").limit(12)
+    blobs = synth_media(docs).collect()
+    d = tempfile.mkdtemp(prefix="ldb_media_")
+    for r in blobs:
+        with open(os.path.join(d, f"{r.doc_id}.bin"), "wb") as f:
+            f.write(bytes(r.media))
+    back = read_media_dir(spark, d)
+    meta = {r.doc_id: r for r in decode_media_meta(back).collect()}
+    assert len(meta) == 12
+    for doc_id, r in meta.items():
+        assert r.width == 16 * (doc_id % 40) + 16
+        assert r.n_frames == doc_id % 25 + 1
