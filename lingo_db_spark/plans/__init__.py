@@ -112,3 +112,34 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                         .alias("rank")))
 
     return iterate(ranks0, step, iters, checkpoint_every=3)
+
+
+def bfs_levels(edges: DataFrame, source, src_col: str = "src",
+               dst_col: str = "dst", max_depth: int = 20) -> DataFrame:
+    """Breadth-first search levels from a source node over a directed
+    edge list — iterative frontier expansion (the subop.loop pattern,
+    reference SubOperatorOps.td:937-953, like the kmeans/pagerank lit
+    programs): each round joins the frontier to the edge list, anti-joins
+    already-visited nodes, and stops when the frontier empties.
+    Returns (node, level).  Each round is one shuffle join; visited/
+    frontier are id-only frames and lineage is checkpoint-truncated, so
+    depth-d BFS costs d bounded joins — no recursion in the plan."""
+    from pyspark.sql import functions as F
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], f"node long, level int")
+    frontier = visited.select("node")
+    level = 0
+    while level < max_depth:
+        level += 1
+        nxt = (edges.join(frontier.withColumnRenamed("node", src_col),
+                          src_col)
+               .select(F.col(dst_col).alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("level", F.lit(level))).localCheckpoint(True)
+        frontier = nxt
+    return visited

@@ -432,3 +432,69 @@ _sql_query(
     dimension-first so the small filtered sides build the hash tables;
     with stats-backed catalog tables (stats.py) CBO reorders it
     regardless of the written order.""")
+
+
+# ---------------------------------------------------------------------------
+# 12. TPC-DS q51 shape: cumulative windows over two channels, full outer
+# ---------------------------------------------------------------------------
+
+@register("ds_cumulative_channels", f"""
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                       THEN {_micros('o_totalprice')} ELSE 0 END) AS BIGINT)
+           AS open_m,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                       THEN {_micros('o_totalprice')} ELSE 0 END) AS BIGINT)
+           AS fin_m
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2),
+c AS (
+  SELECT yr, mo,
+         CAST(SUM(open_m) OVER (ORDER BY yr, mo
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+           AS cum_open,
+         CAST(SUM(fin_m) OVER (ORDER BY yr, mo
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+           AS cum_fin
+  FROM o)
+SELECT yr, mo,
+       ROUND(CAST(cum_open AS DOUBLE) / 1000000.0, 4) AS cum_open_rev,
+       ROUND(CAST(cum_fin AS DOUBLE) / 1000000.0, 4) AS cum_fin_rev
+FROM c
+WHERE cum_open > cum_fin
+ORDER BY yr, mo
+""")
+def ds_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape (resources/sql/tpcds/51.sql: per-channel
+    cumulative sums compared month by month): monthly open-vs-finished
+    revenue, running totals over the month sequence, months where the
+    open channel leads.  The cumulative window runs over the
+    24-row month aggregate — bounded input, so the empty-PARTITION BY
+    frame is constant-sized, the same discipline as the token-budget
+    prefix scan.  Exact int64 micro-units decide the comparison."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996))
+    micros = F.round(F.col("o_totalprice") * 1_000_000.0, 0).cast("long")
+    monthly = (orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"))
+        .agg(F.sum(F.when(F.col("o_orderstatus") == "O", micros)
+                   .otherwise(F.lit(0))).alias("open_m"),
+             F.sum(F.when(F.col("o_orderstatus") == "F", micros)
+                   .otherwise(F.lit(0))).alias("fin_m")))
+    w = (Window.orderBy("yr", "mo")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (monthly
+           .withColumn("cum_open", F.sum("open_m").over(w).cast("long"))
+           .withColumn("cum_fin", F.sum("fin_m").over(w).cast("long")))
+    return (cum.filter(F.col("cum_open") > F.col("cum_fin"))
+            .select("yr", "mo",
+                    F.round(F.col("cum_open").cast("double") / 1e6, 4)
+                    .alias("cum_open_rev"),
+                    F.round(F.col("cum_fin").cast("double") / 1e6, 4)
+                    .alias("cum_fin_rev"))
+            .orderBy("yr", "mo"))

@@ -633,3 +633,35 @@ def streaming_topk_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "rank", "event_id",
                     F.round("value", 4).alias("value"))
             .orderBy("event_type", "rank"))
+
+
+@register("iter_bfs_levels", """
+WITH RECURSIVE
+edges AS (
+  SELECT user_id AS src, CAST(trunc(value) AS BIGINT) % 150 AS dst
+  FROM events WHERE event_type = 'click'),
+reach(node, level) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.level + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.level < 20)
+SELECT node, CAST(MIN(level) AS INT) AS level
+FROM reach GROUP BY node ORDER BY node
+""")
+def iter_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BFS (plans.bfs_levels) over a graph derived from the
+    events table (click edges user_id -> value%150), levels from node 0.
+    The oracle recomputes shortest hop counts with a DuckDB recursive
+    CTE + MIN(level) — an EXACT value check on an iterative dataflow
+    algorithm (the reference's subop.loop class, like its kmeans/
+    pagerank lit tests, which are usually only rows-checkable)."""
+    from lingo_db_spark.plans import bfs_levels
+    ev = load_table(spark, sf_dir, "events")
+    edges = (ev.filter(F.col("event_type") == "click")
+             .select(F.col("user_id").alias("src"),
+                     (F.col("value").cast("long") % 150).alias("dst"))
+             .distinct())
+    out = bfs_levels(edges, 0)
+    return out.select("node", F.col("level").cast("int").alias("level")) \
+              .orderBy("node")
