@@ -27,6 +27,7 @@ from lingo_db_spark.pipeline.sampling import (  # noqa: F401
 )
 from lingo_db_spark.pipeline.text import (  # noqa: F401
     bpe_token_estimate,
+    chunk_documents,
     digit_ratio,
     fingerprint,
     lang_id,

@@ -172,3 +172,33 @@ def lang_id(col: Column | str) -> Column:
     return (F.when(cjk * 2 >= F.length(c), F.lit("zh"))
             .when(best.getField("score") > 0, best.getField("lang"))
             .otherwise(F.lit("und")))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-window chunking step in front of embedding/training
+    pipelines.  Chunk starts advance by (chunk_tokens - overlap); the
+    final chunk is the possibly-short tail.  Pure JVM higher-order
+    expressions over the token array (one tokenize, a sequence of
+    slices, one explode) — no UDF, no shuffle; output grows by
+    ~1/(1-overlap_ratio) and the explode is narrow.
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n = F.size("__t")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / step).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice("__t", i * step + 1, chunk_tokens).alias("toks")))
+    return (toked.filter(n > 0)
+            .select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(F.col(id_col),
+                    F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+                    F.size("c.toks").cast("long").alias("n_chunk_tokens"),
+                    F.array_join("c.toks", " ").alias("chunk_text")))

@@ -636,3 +636,51 @@ def pipeline_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_result(
         pl.neardup_ngram_jaccard(docs, "doc_id", "text", threshold=0.6),
         "id_a", "id_b")
+
+
+@register("pipeline_chunk_documents", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE doc_id < 300),
+sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         GREATEST(1, CAST(CEIL((len(t) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM tok WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(t[i*48+1 : LEAST(i*48+64, n)]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[i*48+1 : LEAST(i*48+64, n)], ' ') AS chunk_text
+FROM (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS i FROM sized)
+ORDER BY doc_id, chunk_idx
+""")
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (64-token chunks, 16-token
+    overlap) — the step in front of embedding/training jobs.  One
+    tokenize + JVM array slices + one narrow explode; the oracle
+    re-derives the exact chunk grid with list slicing, so window starts,
+    tail handling, and chunk text are all value-checked."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = pl.chunk_documents(docs, "doc_id", "text",
+                             chunk_tokens=64, overlap=16)
+    return ordered_result(out, "doc_id", "chunk_idx")
+
+
+@register("ann_topk_quantized", None)  # int8 reconstruction error makes
+                                       # exact-hash infeasible; recall and
+                                       # error bounds pinned in tests
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine search over INT8-QUANTIZED vectors: embeddings are
+    stored as per-vector (codes BINARY, min, scale) — 4x less
+    storage/shuffle than float32, the standard first step for
+    billion-vector corpora — dequantized on the fly and scored exactly.
+    tests/test_pipeline.py pins reconstruction error (<= scale/2 per
+    dim) and recall vs the float brute-force baseline; here the whole
+    quantize -> shuffle -> dequantize -> score path runs as one plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    q = ops.quantize_embeddings(base)
+    deq = ops.dequantize_embeddings(q).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    out = ops.brute_force_topk(deq, _query_vectors(emb), k=10)
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
