@@ -35,6 +35,8 @@ from lingo_db_spark.pipeline.text import (  # noqa: F401
     punct_ratio,
     quality_score,
     quality_stats,
+    redact_pii,
+    repetition_stats,
     shingles,
     stopword_ratio,
     token_count,

@@ -202,3 +202,41 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
                     F.size("c.toks").cast("long").alias("n_chunk_tokens"),
                     F.array_join("c.toks", " ").alias("chunk_text")))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4 repetition
+    filters): fraction of duplicated tokens (1 - distinct/total) and the
+    share of the most frequent token bigram.  Computed with JVM
+    higher-order array expressions — one tokenize, no UDF, no shuffle.
+    High values mark boilerplate/spam documents for the quality gate."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n = F.size("__t")
+    dup_frac = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct("__t")).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at("__t", i),
+                              F.element_at("__t", i + 1)))
+    top_share = F.when(n >= 2, F.array_max(F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    ).cast("double") / (n - 1)).otherwise(F.lit(0.0))
+    return toked.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(top_share, 6).alias("top_bigram_share"))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Deterministic PII scrubbing for training corpora: emails, then
+    long digit runs (7+, phone/account numbers), replaced with typed
+    placeholders.  Order matters (emails contain digits); pure
+    regexp_replace chain, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    return F.regexp_replace(c, r"[0-9][0-9 \-]{5,}[0-9]", "<NUMBER>")

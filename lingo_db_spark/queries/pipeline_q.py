@@ -684,3 +684,54 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(
         out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
         "q_id", "rank")
+
+
+@register("pipeline_repetition_stats", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE doc_id < 300),
+g AS (
+  SELECT doc_id, t, len(t) AS n,
+         [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS grams
+  FROM tok)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN n > 0
+                  THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n
+                  ELSE 0.0 END, 6) AS dup_token_frac,
+       ROUND(CASE WHEN n >= 2 THEN
+               CAST(list_max([len(list_filter(grams, x -> x = gg))
+                              for gg in list_distinct(grams)]) AS DOUBLE)
+               / (n - 1)
+             ELSE 0.0 END, 6) AS top_bigram_share
+FROM g
+ORDER BY doc_id
+""")
+def pipeline_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher/C4 repetition filters):
+    duplicate-token fraction and most-frequent-bigram share, JVM
+    higher-order expressions only.  The oracle recomputes both with
+    DuckDB list comprehensions — exact value check."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return ordered_result(
+        pl.repetition_stats(docs, "doc_id", "text"), "doc_id")
+
+
+@register("pipeline_redact_pii", """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9][0-9 \\-]{5,}[0-9]', '<NUMBER>', 'g') AS redacted
+FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+""")
+def pipeline_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass for training corpora: emails then long digit
+    runs replaced with typed placeholders (pipeline.redact_pii).  Spark
+    regexp_replace is replace-all by default; the oracle needs the 'g'
+    flag — same automaton, same output, value-checked."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (docs.select("doc_id",
+                        pl.redact_pii("text").alias("redacted"))
+            .orderBy("doc_id"))
