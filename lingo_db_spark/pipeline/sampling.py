@@ -39,3 +39,32 @@ def stratified_sample(df: DataFrame, strata_col: str,
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
     return df.filter(hash_fraction(id_col) < frac)
+
+
+def mix_to_proportions(df: DataFrame, strata_col: str, id_col: str,
+                       targets: dict[str, float]) -> DataFrame:
+    """Compose a training mix with TARGET PROPORTIONS: downsample
+    over-represented strata so the output approaches the requested
+    shares (e.g. {'web': 0.5, 'code': 0.3, 'books': 0.2}) without
+    upsampling anything.  The binding stratum is the one whose full
+    count divided by its target share is smallest; every stratum s then
+    keeps min(1, target_s * T / count_s) of its rows via the
+    deterministic per-id hash — reproducible at any scale, one tiny
+    aggregate + a broadcast join + a narrow filter.  Strata missing from
+    `targets` are dropped."""
+    counts = (df.filter(F.col(strata_col).isin(list(targets)))
+              .groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n")))
+    tgt = F.create_map(*[x for kv in targets.items()
+                         for x in (F.lit(kv[0]), F.lit(float(kv[1])))])
+    sized = counts.withColumn("__share", tgt[F.col(strata_col)])
+    # total output size T = min over strata of count/share (the binding
+    # stratum is kept whole).
+    t = sized.agg(F.min(F.col("__n") / F.col("__share")).alias("__t"))
+    plan = (sized.crossJoin(F.broadcast(t))
+            .withColumn("__frac", F.least(
+                F.lit(1.0),
+                F.col("__share") * F.col("__t") / F.col("__n")))
+            .select(strata_col, "__frac"))
+    return (df.join(F.broadcast(plan), strata_col)
+            .filter(hash_fraction(id_col) < F.col("__frac"))
+            .drop("__frac"))

@@ -735,3 +735,37 @@ def pipeline_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id",
                         pl.redact_pii("text").alias("redacted"))
             .orderBy("doc_id"))
+
+
+@register("pipeline_mix_proportions", """
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+s AS (
+  SELECT source, n,
+         CAST(CASE source WHEN 'src0' THEN 0.5
+                          WHEN 'src1' THEN 0.3
+                          ELSE 0.2 END AS DOUBLE) AS share
+  FROM c),
+t AS (SELECT MIN(CAST(n AS DOUBLE) / share) AS t FROM s),
+plan AS (
+  SELECT source, LEAST(1.0, share * t.t / CAST(n AS DOUBLE)) AS frac
+  FROM s, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN plan USING (source)
+WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296
+      < plan.frac
+ORDER BY d.doc_id
+""")
+def pipeline_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition (pipeline.mix_to_proportions): hit
+    target source shares 50/30/20 by downsampling over-represented
+    strata — the binding stratum stays whole, the rest keep
+    share*T/count of their rows via the deterministic per-id hash.
+    One tiny aggregate + broadcast plan join + narrow filter; the
+    oracle re-derives the identical plan arithmetic and row set."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pl.mix_to_proportions(
+        docs.select("doc_id", "source"), "source", "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return out.select("doc_id", "source").orderBy("doc_id")
