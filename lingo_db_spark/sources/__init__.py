@@ -10,6 +10,7 @@ inference on the ingest path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -45,3 +46,39 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def upsert_partitions(df: DataFrame, path: str,
+                      partition_by: list[str]) -> None:
+    """Idempotent partition-level upsert WITHOUT a table format:
+    dynamic partition overwrite replaces exactly the partitions present
+    in this batch and leaves every other partition's files untouched —
+    the parquet-only ingestion pattern for reprocessed days/shards
+    (MERGE at the partition grain).  Re-running the same batch converges
+    to the same files; readers never see a half-written partition
+    directory only if the layout keys are coarse enough that a batch
+    owns whole partitions — choose partition_by accordingly."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite").partitionBy(*partition_by).parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_keep_latest(spark: SparkSession, path: str, key_cols: list[str],
+                        version_col: str) -> None:
+    """Row-level upsert compaction for an unpartitioned parquet dir:
+    keep the highest-version row per key and rewrite.  The read is cut
+    from the files with an eager localCheckpoint before the overwrite
+    (Spark cannot lazily read a path it is replacing).  At scale prefer
+    upsert_partitions; this is the small-dimension compactor."""
+    from pyspark.sql import Window
+
+    cur = spark.read.parquet(path)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    latest = (cur.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn")
+              .localCheckpoint(eager=True))
+    latest.write.mode("overwrite").parquet(path)

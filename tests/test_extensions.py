@@ -389,3 +389,35 @@ def test_binaryfile_source_roundtrip(spark):
     for doc_id, r in meta.items():
         assert r.width == 16 * (doc_id % 40) + 16
         assert r.n_frames == doc_id % 25 + 1
+
+
+def test_upsert_partitions_touches_only_batch_partitions(spark, tmp_path):
+    from lingo_db_spark.sources import upsert_partitions
+    p = str(tmp_path / "up")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "part string, k int, v int")
+    upsert_partitions(base, p, ["part"])
+    # rewrite partition 'a' only, with changed values
+    batch = spark.createDataFrame([("a", 9, 99)], "part string, k int, v int")
+    upsert_partitions(batch, p, ["part"])
+    got = sorted(tuple(r) for r in spark.read.parquet(p)
+                 .select("part", "k", "v").collect())
+    assert got == [("a", 9, 99), ("b", 1, 30)]   # 'b' untouched, 'a' replaced
+    # idempotent: rerunning the same batch converges
+    upsert_partitions(batch, p, ["part"])
+    again = sorted(tuple(r) for r in spark.read.parquet(p)
+                   .select("part", "k", "v").collect())
+    assert again == got
+
+
+def test_compact_keep_latest(spark, tmp_path):
+    from lingo_db_spark.sources import compact_keep_latest
+    p = str(tmp_path / "dim")
+    v1 = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1)], "k int, val string, ver int")
+    v1.write.parquet(p)
+    v2 = spark.createDataFrame([(1, "x2", 2)], "k int, val string, ver int")
+    v2.write.mode("append").parquet(p)
+    compact_keep_latest(spark, p, ["k"], "ver")
+    got = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+    assert got == [(1, "x2", 2), (2, "y", 1)]
