@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from lingo_db_spark import streaming as st
 from lingo_db_spark.catalog import load_table, register_views
+from lingo_db_spark import functions as lf
 from lingo_db_spark.functions import SQL_DSUM
 from lingo_db_spark.functions.udf import register_python_udf
 from lingo_db_spark.pipeline.multimodal import (
@@ -665,3 +666,33 @@ def iter_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bfs_levels(edges, 0)
     return out.select("node", F.col("level").cast("int").alias("level")) \
               .orderBy("node")
+
+
+@register("events_sliding_windows", f"""
+WITH starts AS (
+  SELECT event_id, value,
+         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS ws
+  FROM events)
+SELECT CAST(ws AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('value')} AS total_value
+FROM starts
+GROUP BY ws
+ORDER BY window_start
+""")
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) windows — 2-hour windows every hour, so each
+    event lands in exactly two windows (F.window with a slide duration;
+    Spark expands rows into their windows before the aggregate).  The
+    oracle unnests each event's two window-start timestamps and
+    re-aggregates — value-checked, including the window-boundary
+    assignment.  The same expression runs streaming with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 lf.dsum("value").alias("total_value"))
+            .select(F.col("w.start").cast("timestamp_ntz")
+                    .alias("window_start"),
+                    "n_events", "total_value")
+            .orderBy("window_start"))
