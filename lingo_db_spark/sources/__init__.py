@@ -82,3 +82,25 @@ def compact_keep_latest(spark: SparkSession, path: str, key_cols: list[str],
               .filter(F.col("__rn") == 1).drop("__rn")
               .localCheckpoint(eager=True))
     latest.write.mode("overwrite").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written with EVOLVING
+    schemas (columns added over time): mergeSchema unions the footers,
+    older files surface NULL for columns they predate.  The read-side
+    half of schema evolution — the write side just writes the new
+    column; no table-format metadata needed."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    target_files output files (the maintenance job that keeps scan task
+    counts sane after streaming/incremental ingest produces thousands of
+    tiny files).  Uses an eager localCheckpoint to cut the read from the
+    files being replaced.  Returns the row count rewritten."""
+    cur = spark.read.parquet(path).localCheckpoint(eager=True)
+    n = cur.count()
+    cur.repartition(target_files).write.mode("overwrite").parquet(path)
+    return n

@@ -421,3 +421,27 @@ def test_compact_keep_latest(spark, tmp_path):
     compact_keep_latest(spark, p, ["k"], "ver")
     got = sorted(tuple(r) for r in spark.read.parquet(p).collect())
     assert got == [(1, "x2", 2), (2, "y", 1)]
+
+
+def test_read_evolved_merges_schemas(spark, tmp_path):
+    from lingo_db_spark.sources import read_evolved
+    p = str(tmp_path / "ev")
+    spark.createDataFrame([(1, "a")], "k int, v string") \
+        .write.parquet(p + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double") \
+        .write.parquet(p + "/batch=2")
+    got = {r.k: (r.v, r.score) for r in read_evolved(spark, p).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    import glob
+    from lingo_db_spark.sources import compact_small_files
+    p = str(tmp_path / "many")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    df.repartition(50).write.parquet(p)
+    assert len(glob.glob(p + "/part-*")) == 50
+    n = compact_small_files(spark, p, 2)
+    assert n == 1000
+    assert len(glob.glob(p + "/part-*")) == 2
+    assert spark.read.parquet(p).count() == 1000
