@@ -696,3 +696,45 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("window_start"),
                     "n_events", "total_value")
             .orderBy("window_start"))
+
+
+@register("events_retention_cohorts", """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('day', e.ts) AS DATE) AS act_day
+  FROM events e),
+joined AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, a.act_day) AS day_offset,
+         a.user_id
+  FROM firsts f JOIN activity a ON f.user_id = a.user_id)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM joined
+WHERE day_offset IN (0, 1, 7)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""")
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-seen day, counted again
+    at day offsets 0/1/7: two aggregations and one join on user_id, the
+    canonical event-analytics shape (first-touch attribution + return
+    visits).  All date arithmetic in whole days on DATE-truncated
+    timestamps, so both engines bucket identically."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.date_trunc("day", "ts")).cast("date")
+                   .alias("cohort_day")))
+    activity = (ev.select("user_id",
+                          F.date_trunc("day", "ts").cast("date")
+                          .alias("act_day")).distinct())
+    joined = (firsts.join(activity, "user_id")
+              .withColumn("day_offset",
+                          F.datediff("act_day", "cohort_day").cast("long")))
+    return (joined.filter(F.col("day_offset").isin(0, 1, 7))
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.countDistinct("user_id").alias("n_active"))
+            .orderBy("cohort_day", "day_offset"))
