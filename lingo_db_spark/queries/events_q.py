@@ -738,3 +738,54 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_day", "day_offset")
             .agg(F.countDistinct("user_id").alias("n_active"))
             .orderBy("cohort_day", "day_offset"))
+
+
+@register("events_resample_fill", """
+WITH actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT) AS vm
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM actual GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds)
+SELECT s.event_type, CAST(s.bucket AS TIMESTAMP) AS bucket,
+       COALESCE(a.n, 0) AS n,
+       ROUND(CAST(COALESCE(a.vm, 0) AS DOUBLE) / 1000000.0, 4) AS total_value
+FROM spine s LEFT JOIN actual a USING (event_type, bucket)
+ORDER BY s.event_type, s.bucket
+""")
+def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (operators.resample_fill — the
+    hypertable-rollup shape): hourly buckets per event type joined to a
+    complete per-key hour spine so silent hours appear as zero rows.
+    The oracle regenerates the identical spine with generate_series;
+    exact micro-unit sums."""
+    from lingo_db_spark import operators as ops2
+    ev = load_table(spark, sf_dir, "events")
+    out = ops2.resample_fill(ev, "event_type", "ts", "value", "1 hour")
+    return (out.withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
+            .orderBy("event_type", "bucket"))
+
+
+@register("events_value_histogram", """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bin
+""")
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 bins of width 50, clamped): one
+    hash-aggregate pass over (key, bin) — the distributed histogram
+    shape; bin arithmetic is identical integer FLOOR in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+                   F.lit(9)).cast("long")
+    return (ev.groupBy("event_type", bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type", "bin"))
