@@ -24,6 +24,7 @@ from lingo_db_spark.pipeline.packing import (  # noqa: F401
 from lingo_db_spark.pipeline.sampling import (  # noqa: F401
     hash_fraction,
     mix_to_proportions,
+    oversample,
     stratified_sample,
 )
 from lingo_db_spark.pipeline.text import (  # noqa: F401

@@ -68,3 +68,26 @@ def mix_to_proportions(df: DataFrame, strata_col: str, id_col: str,
     return (df.join(F.broadcast(plan), strata_col)
             .filter(hash_fraction(id_col) < F.col("__frac"))
             .drop("__frac"))
+
+
+def oversample(df: DataFrame, strata_col: str, id_col: str,
+               weights: dict[str, float]) -> DataFrame:
+    """Deterministic oversampling — repeat each stratum's rows by a
+    possibly fractional epoch weight (e.g. {'code': 2.5} = every code
+    row twice, half the rows a third time): integer part via a JVM
+    sequence explode, fractional remainder via the per-id hash.  The
+    training-mix counterpart to downsampling when a small high-quality
+    source must appear multiple epochs per pass.  Output carries
+    __epoch (0-based copy index) so downstream shuffles can salt on it;
+    rows in strata without a weight pass through once."""
+    w = F.lit(1.0)
+    for value, wt in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(w)
+    n_full = F.floor(w).cast("int")
+    frac = w - n_full
+    extra = (hash_fraction(id_col) < frac).cast("int")
+    return (df.withColumn("__copies", n_full + extra)
+            .filter(F.col("__copies") > 0)
+            .withColumn("__epoch",
+                        F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
+            .drop("__copies"))

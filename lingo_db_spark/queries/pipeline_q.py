@@ -769,3 +769,35 @@ def pipeline_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source"), "source", "doc_id",
         {"src0": 0.5, "src1": 0.3, "src2": 0.2})
     return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@register("pipeline_oversample", """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.5 ELSE 1.0 END
+           AS wt
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, source,
+         CAST(FLOOR(wt) AS INT)
+         + CASE WHEN CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                     / 4294967296 < wt - FLOOR(wt) THEN 1 ELSE 0 END
+           AS copies
+  FROM w)
+SELECT doc_id, source, CAST(e AS BIGINT) AS __epoch
+FROM (SELECT doc_id, source, copies,
+             unnest(range(0, copies)) AS e FROM c WHERE copies > 0)
+ORDER BY doc_id, __epoch
+""")
+def pipeline_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic oversampling (pipeline.oversample): src0 at 2.5
+    epochs, src1 at 1.5, everything else once — integer copies via a
+    sequence explode, the fractional remainder chosen by the per-id
+    hash.  The oracle re-derives the exact copy counts and epoch
+    indices."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pl.oversample(docs.select("doc_id", "lang", "source"),
+                        "source", "doc_id", {"src0": 2.5, "src1": 1.5})
+    return (out.select("doc_id", "source", F.col("__epoch").cast("long")
+                       .alias("__epoch"))
+            .orderBy("doc_id", "__epoch"))

@@ -348,3 +348,25 @@ def scalars_datetime_units(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.date_diff_seconds("hi", "lo").alias("span_s"),
         lf.string_rfind("ename", "1").alias("rfind_1"),
     ).orderBy("user_id"))
+
+
+@register("scalars_fuzzy_match", """
+SELECT c_custkey,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS edit_dist,
+       (levenshtein(c_name, 'Customer#000000001') <= 2) AS is_near
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""")
+def scalars_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching — Levenshtein edit distance (the entity-
+    resolution scalar; identical DP definition in both engines), with a
+    near-match predicate at distance <= 2.  A full fuzzy self-join would
+    compose this with the n-gram bucket candidates from the dedup
+    family (never all-pairs)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+    return (cust.select("c_custkey",
+                        d.cast("long").alias("edit_dist"),
+                        (d <= 2).alias("is_near"))
+            .orderBy("c_custkey"))

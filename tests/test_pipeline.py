@@ -369,3 +369,32 @@ def test_approx_distinct_within_rsd(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_ndv - r.exact_ndv) <= max(3 * 0.02 * r.exact_ndv, 2), r
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Chunk invariants: non-overlapping prefixes of consecutive chunks
+    concatenate back to the original token stream; every chunk except
+    the tail has exactly chunk_tokens tokens."""
+    from lingo_db_spark.pipeline import chunk_documents, tokens
+    import pyspark.sql.functions as F
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    chunks = chunk_documents(docs, "doc_id", "text",
+                             chunk_tokens=32, overlap=8).collect()
+    orig = {r.doc_id: r.toks for r in docs.select(
+        "doc_id", tokens("text").alias("toks")).collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    step = 32 - 8
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        rebuilt = []
+        for i, r in enumerate(rows):
+            toks = r.chunk_text.split(" ")
+            assert len(toks) == r.n_chunk_tokens
+            if i < len(rows) - 1:
+                assert len(toks) == 32
+                rebuilt.extend(toks[:step])
+            else:
+                rebuilt.extend(toks)
+        assert rebuilt == orig[doc_id], doc_id
