@@ -8,6 +8,7 @@ from lingo_db_spark.operators.similarity import (  # noqa: F401
     dequantize_embeddings,
     dot,
     embed_neardup,
+    fuzzy_pairs,
     ivf_topk,
     lsh_buckets,
     lsh_topk,

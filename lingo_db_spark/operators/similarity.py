@@ -304,3 +304,49 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
+
+
+def fuzzy_pairs(df: DataFrame, id_col: str, str_col: str,
+                max_dist: int = 2, n_bands: int = 4,
+                max_bucket: int = 2000) -> DataFrame:
+    """Fuzzy self-join: pairs of rows whose strings are within
+    Levenshtein distance max_dist — entity resolution without an
+    all-pairs scan.  Candidate generation is positional BANDING
+    (the SimHash pigeonhole, applied to characters): the string is cut
+    into n_bands equal slices; <= max_dist edits touch <= max_dist
+    bands, so any pair within distance max_dist <= n_bands - 1 shares
+    at least one identical (band_idx, band_text) and the equi-join on
+    bands finds it — EXACT recall for substitution-only edits (the
+    aligned-position case; insertions shift every later band, those
+    pairs need q-gram candidates instead).  Ubiquitous bands (> 
+    max_bucket rows, e.g. constant prefixes) are dropped: correct
+    whenever strings differ SOMEWHERE, since some band then still
+    matches below the cap; candidates re-score with exact levenshtein.
+    Returns (id_a, id_b, dist), id_a < id_b."""
+    L = F.length(F.col(str_col))
+    band_len = F.ceil(L.cast("double") / n_bands).cast("int")
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.struct(
+            i.alias("band_idx"),
+            F.substring(F.col(str_col), i * band_len + 1,
+                        F.greatest(band_len, F.lit(1))).alias("band_txt")))
+    ex = (df.select(F.col(id_col), F.col(str_col), F.explode(bands).alias("b"))
+          .select(F.col(id_col), F.col(str_col),
+                  F.col("b.band_idx").alias("band_idx"),
+                  F.col("b.band_txt").alias("band_txt")))
+    keep = (ex.groupBy("band_idx", "band_txt")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band_idx", "band_txt"))
+    pruned = ex.join(keep, ["band_idx", "band_txt"])
+    a = pruned.select(F.col(id_col).alias("id_a"),
+                      F.col(str_col).alias("__sa"), "band_idx", "band_txt")
+    b = pruned.select(F.col(id_col).alias("id_b"),
+                      F.col(str_col).alias("__sb"), "band_idx", "band_txt")
+    cand = (a.join(b, ["band_idx", "band_txt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__sa", "__sb").distinct())
+    return (cand.withColumn("dist", F.levenshtein("__sa", "__sb"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))

@@ -801,3 +801,26 @@ def pipeline_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("doc_id", "source", F.col("__epoch").cast("long")
                        .alias("__epoch"))
             .orderBy("doc_id", "__epoch"))
+
+
+@register("pipeline_fuzzy_pairs", """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey < 400 AND b.c_custkey < 400
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+""")
+def pipeline_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (operators.fuzzy_pairs): customer-name pairs
+    within Levenshtein distance 1 via positional banding — <= 1 edit
+    leaves >= 3 of 4 bands identical, so the band equi-join has exact
+    recall for aligned edits while never forming the all-pairs product
+    (ubiquitous bands like the constant name prefix are frequency-
+    pruned).  The oracle brute-forces the subset's true pair set: the
+    banded path must reproduce it exactly."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 400)
+    out = ops.fuzzy_pairs(cust, "c_custkey", "c_name",
+                          max_dist=1, n_bands=4)
+    return ordered_result(out, "id_a", "id_b")

@@ -218,3 +218,9 @@ def test_ngram_jaccard_no_cartesian(spark):
     p = plan(spark, "pipeline_ngram_jaccard", "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    p = plan(spark, "pipeline_fuzzy_pairs", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
