@@ -789,3 +789,32 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type", bin_.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("event_type", "bin"))
+
+
+@register("streaming_window_append", f"""
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+       e.event_type,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('e.value')} AS total_value
+FROM events e, mx
+GROUP BY 1, 2, mx.m
+HAVING date_trunc('hour', ANY_VALUE(e.ts)) + INTERVAL 1 HOUR
+       <= mx.m - INTERVAL 2 HOUR
+ORDER BY 1, 2
+""")
+def streaming_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming windowed aggregation — the production
+    output mode: a window row is emitted exactly once, when the
+    watermark passes its end and its state is dropped.  With
+    availableNow over a bounded file set, the final watermark is
+    max(event time) - 2h, so precisely the windows whose end <= that
+    mark appear — which the oracle computes in closed form.  (The
+    complete-mode variant, streaming_window_counts, re-emits
+    everything; append is what an exactly-once sink consumes.)"""
+    sdf = st.windowed_event_counts(st.stream_events(spark, sf_dir),
+                                   "1 hour", watermark="2 hours")
+    out = st.run_stream_to_memory(sdf, "append")
+    return (out.withColumn("window_start",
+                           F.col("window_start").cast("timestamp_ntz"))
+            .orderBy("window_start", "event_type"))
