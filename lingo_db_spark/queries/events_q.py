@@ -818,3 +818,59 @@ def streaming_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.withColumn("window_start",
                            F.col("window_start").cast("timestamp_ntz"))
             .orderBy("window_start", "event_type"))
+
+
+@register("events_locf_fill", """
+WITH actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT) AS vm
+  FROM events WHERE value < 30 GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM actual
+  GROUP BY 1),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds),
+joined AS (
+  SELECT s.event_type, s.bucket, a.vm
+  FROM spine s LEFT JOIN actual a USING (event_type, bucket))
+SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+       (vm IS NULL) AS was_gap,
+       ROUND(CAST(COALESCE(LAST_VALUE(vm IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                  AS DOUBLE) / 1000000.0, 4) AS filled_value
+FROM joined
+ORDER BY event_type, bucket
+""")
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap filling — last observation carried forward over the
+    resampled hourly series (the filter makes real gaps): spine LEFT
+    JOIN actuals, then last_value(IGNORE NULLS) over the per-key
+    time order — the standard sensor/feature forward-fill.  One window
+    per key partition; dialect-common IGNORE NULLS semantics
+    value-checked including the gap flags."""
+    from lingo_db_spark import operators as ops2
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") < 30)
+    micros = F.round(F.col("value") * 1e6, 0).cast("long")
+    actual = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.sum(micros).alias("vm")))
+    bounds = (actual.groupBy("event_type")
+              .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")))
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket"))
+    joined = spine.join(actual, ["event_type", "bucket"], "left")
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (joined.select(
+        "event_type",
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        F.col("vm").isNull().alias("was_gap"),
+        F.round(F.coalesce(F.last("vm", ignorenulls=True).over(w),
+                           F.lit(0)).cast("double") / 1e6, 4)
+        .alias("filled_value"))
+        .orderBy("event_type", "bucket"))
