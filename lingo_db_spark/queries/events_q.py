@@ -874,3 +874,44 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.lit(0)).cast("double") / 1e6, 4)
         .alias("filled_value"))
         .orderBy("event_type", "bucket"))
+
+
+@register("events_zscore_outliers", f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / COUNT(*) AS mu,
+         SQRT((CAST(SUM(CAST((value*value) AS DECIMAL(38,10))) AS DOUBLE)
+               - CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*))
+              / (COUNT(*) - 1)) AS sigma
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+ORDER BY e.event_id
+""")
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: one stats aggregate
+    (exact-decimal sums -> identical mu/sigma doubles cross-engine)
+    broadcast back onto the stream, flagging |z| > 3 — the monitoring/
+    data-validation shape.  Two passes over events, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1e6, 0).cast("long")
+    dec = "decimal(38,10)"
+    stats = (ev.groupBy("event_type")
+             .agg((F.sum(micros).cast("double") / 1e6
+                   / F.count(F.lit(1))).alias("mu"),
+                  F.sqrt((F.sum((F.col("value") * F.col("value")).cast(dec))
+                          .cast("double")
+                          - F.sum(F.col("value").cast(dec)).cast("double")
+                          * F.sum(F.col("value").cast(dec)).cast("double")
+                          / F.count(F.lit(1)))
+                         / (F.count(F.lit(1)) - 1)).alias("sigma")))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (ev.join(F.broadcast(stats), "event_type")
+            .filter(F.abs(z) > 3.0)
+            .select("event_id", "event_type", F.round(z, 4).alias("z"))
+            .orderBy("event_id"))
