@@ -398,3 +398,27 @@ def test_chunk_documents_reconstruction(spark):
             else:
                 rebuilt.extend(toks)
         assert rebuilt == orig[doc_id], doc_id
+
+
+def test_mix_and_oversample_proportions(spark):
+    """mix_to_proportions approaches target shares without upsampling;
+    oversample yields floor(w) or ceil(w) copies per row, averaging w."""
+    import pyspark.sql.functions as F
+    from lingo_db_spark.pipeline import mix_to_proportions, oversample
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    mixed = mix_to_proportions(docs, "source", "doc_id",
+                               {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    counts = {r.source: r.n for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts["src0"] == max(counts.values())
+    for srcname, share in [("src0", 0.5), ("src1", 0.25), ("src2", 0.25)]:
+        assert abs(counts[srcname] / total - share) < 0.15, counts
+
+    over = oversample(docs, "source", "doc_id", {"src0": 2.5})
+    per_doc = {r.doc_id: r.n for r in
+               over.filter(F.col("source") == "src0").groupBy("doc_id")
+               .agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc.values()) <= {2, 3}
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert abs(sum(per_doc.values()) / n_src0 - 2.5) < 0.4
