@@ -300,10 +300,13 @@ def _diff_units(end, start, unit_us: int) -> Column:
     """Reference DateDiff{Hour,Minute,Second} (RuntimeFunctions.cpp:
     317-321, kernels DateRuntime.h:14-17): whole elapsed units as the
     truncated quotient of the raw epoch difference — NOT calendar
-    boundary crossings."""
+    boundary crossings.  C++ integer division truncates TOWARD ZERO, so
+    the remainder must carry the dividend's sign (Spark's `%`), not
+    pmod: with pmod a -59-minute span would report -1 hour instead of
+    the reference's 0."""
     d = F.unix_micros(_c(end).cast("timestamp")) \
         - F.unix_micros(_c(start).cast("timestamp"))
-    return (d - F.pmod(d, F.lit(unit_us))) / F.lit(unit_us)
+    return (d - d % F.lit(unit_us)) / F.lit(unit_us)
 
 
 def date_diff_hours(end, start) -> Column:

@@ -201,21 +201,74 @@ def dec_avg(c: Column, p: int, s: int) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# DuckDB oracle renderers (HUGEINT is 128-bit; // truncates toward zero)
+# DuckDB oracle renderers — VERSION-ROBUST by construction.
+#
+# The round-3 driver gate hash-mismatched every query whose oracle used the
+# old `_sql_rescale` (a CAST(q AS DECIMAL(38,0)) * DECIMAL(s+1,s) multiply
+# whose raw precision exceeds DuckDB's 38-digit cap — exactly the corner
+# whose overflow handling changed across DuckDB releases) while the plain-
+# CAST queries passed.  These renderers therefore avoid every construct
+# whose semantics ever varied between DuckDB versions:
+#   * no decimal arithmetic that exceeds 38 raw digits (digits are
+#     assembled TEXTUALLY, mirroring the Spark-side `_rescale`);
+#   * `//` and `%` only on NON-NEGATIVE hugeints (trunc == floor there,
+#     so either division convention gives the same answer); signs are
+#     applied explicitly via CASE;
+#   * power-of-ten factors above 10^18 are string-cast to HUGEINT (a bare
+#     literal above int64 risks a double parse);
+#   * no bare double->decimal casts (see SQL_CAST_DEC below).
 # ---------------------------------------------------------------------------
 
+def _sql_pow10(k: int) -> str:
+    """10^k as a HUGEINT-safe SQL factor."""
+    if k <= 18:
+        return str(10 ** k)
+    return f"CAST('{10 ** k}' AS HUGEINT)"
+
+
 def _sql_unscaled(expr: str, s: int) -> str:
+    """Exact unscaled HUGEINT of a decimal(_,s) expression.  The interior
+    multiply is decimal x small-int (raw precision p+s+1 <= 38 for every
+    source scale used here); its value is integer-exact, so the HUGEINT
+    cast has nothing to round."""
     if s == 0:
         return f"CAST({expr} AS HUGEINT)"
-    return f"CAST(({expr}) * {10 ** s} AS HUGEINT)"
+    return f"CAST(({expr}) * {_sql_pow10(s)} AS HUGEINT)"
 
 
 def _sql_rescale(q: str, p: int, s: int) -> str:
+    """decimal(p,s) from an unscaled HUGEINT — textual assembly (sign +
+    integer digits + '.' + s fraction digits), the same rendering the
+    Spark side uses in `_rescale`.  String->decimal of an exact-scale
+    literal parses exactly on every DuckDB version."""
     if s == 0:
         return f"CAST({q} AS DECIMAL({p},{s}))"
-    one = "0." + "0" * (s - 1) + "1"
-    return (f"CAST(CAST({q} AS DECIMAL(38,0)) * "
-            f"CAST('{one}' AS DECIMAL({s + 1},{s})) AS DECIMAL({p},{s}))")
+    m = _sql_pow10(s)
+    aq = f"abs(CAST({q} AS HUGEINT))"
+    return ("CAST(concat("
+            f"CASE WHEN ({q}) < 0 THEN '-' ELSE '' END, "
+            f"CAST({aq} // {m} AS VARCHAR), '.', "
+            f"lpad(CAST({aq} % {m} AS VARCHAR), {s}, '0')"
+            f") AS DECIMAL({p},{s}))")
+
+
+def _sql_truncdiv(num: str, den: str) -> str:
+    """Truncation-toward-zero division on HUGEINT expressions, independent
+    of the engine's `//` sign convention: divide magnitudes (where trunc
+    and floor agree) and apply the sign explicitly."""
+    return (f"(CASE WHEN (({num}) < 0) <> (({den}) < 0) "
+            f"THEN -1 ELSE 1 END) * (abs({num}) // abs({den}))")
+
+
+def SQL_CAST_DEC(expr: str, p: int, s: int) -> str:
+    """double -> decimal(p,s) with Spark's semantics (shortest-repr string,
+    then HALF_UP): route through VARCHAR.  DuckDB's double->VARCHAR is the
+    shortest round-trip repr (stable across versions) and string->decimal
+    rounds half-away-from-zero — bit-identical to Spark's
+    Decimal(Double.toString(x)) + HALF_UP, even for dirty doubles whose
+    direct binary scaling would round the other way (0.145 -> 0.15 here,
+    0.14 under binary scaling)."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL({p},{s}))"
 
 
 def SQL_DEC_DIV(a: str, pa: int, sa: int, b: str, pb: int, sb: int) -> str:
@@ -224,17 +277,36 @@ def SQL_DEC_DIV(a: str, pa: int, sa: int, b: str, pb: int, sb: int) -> str:
     num = _sql_unscaled(a, sa)
     den = _sql_unscaled(b, sb)
     if shift > 0:
-        num = f"({num} * {10 ** shift})"
+        num = f"({num} * {_sql_pow10(shift)})"
     elif shift < 0:
-        den = f"({den} * {10 ** -shift})"
-    return _sql_rescale(f"({num} // {den})", p, s)
+        den = f"({den} * {_sql_pow10(-shift)})"
+    return _sql_rescale(f"({_sql_truncdiv(num, den)})", p, s)
+
+
+def SQL_DEC_MOD(a: str, pa: int, sa: int, b: str, pb: int, sb: int) -> str:
+    """a % b at the reference mod type with C sign semantics (result takes
+    the dividend's sign — arith::RemSIOp), rendered sign-explicitly so the
+    engine's integer-% convention can't leak in."""
+    p, s = mod_type(pa, sa, pb, sb)
+    ua = _sql_unscaled(a, sa)
+    ub = _sql_unscaled(b, sb)
+    if sa < s:
+        ua = f"({ua} * {_sql_pow10(s - sa)})"
+    if sb < s:
+        ub = f"({ub} * {_sql_pow10(s - sb)})"
+    r = (f"(CASE WHEN ({ua}) < 0 THEN -1 ELSE 1 END)"
+         f" * (abs({ua}) % abs({ub}))")
+    return _sql_rescale(f"({r})", p, s)
 
 
 def SQL_DEC_AVG(expr: str, p: int, s: int) -> str:
+    """AVG at the reference promotion type: sum the per-row unscaled
+    HUGEINTs directly (no DECIMAL(38,s) intermediate whose re-unscaling
+    would exceed 38 digits), shift, trunc-divide by the count."""
     pr, sr = avg_type(p, s)
-    total = f"CAST(SUM(CAST({expr} AS DECIMAL(38,{s}))) AS DECIMAL(38,{s}))"
-    num = _sql_unscaled(total, s)
+    num = f"SUM({_sql_unscaled(expr, s)})"
     shift = sr - s
     if shift > 0:
-        num = f"({num} * {10 ** shift})"
-    return _sql_rescale(f"({num} // CAST(COUNT({expr}) AS HUGEINT))", pr, sr)
+        num = f"({num} * {_sql_pow10(shift)})"
+    den = f"CAST(COUNT({expr}) AS HUGEINT)"
+    return _sql_rescale(f"({_sql_truncdiv(num, den)})", pr, sr)

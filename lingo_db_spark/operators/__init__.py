@@ -25,10 +25,28 @@ def resample_fill(df, key_col: str, ts_col: str, value_col: str,
     JVM sequence + explode) so silent periods surface as explicit
     zero rows — required before any windowed rate/trend computation.
     The spine is |keys| x |buckets| rows built from a per-key min/max
-    aggregate, never a driver loop."""
+    aggregate, never a driver loop.
+
+    The bucket grid is epoch-floor arithmetic on the STEP duration (not a
+    hard-coded date_trunc unit), so any "N second/minute/hour/day" step
+    aligns the aggregation buckets with the spine grid; for "1 hour" the
+    result is identical to date_trunc('hour').  Calendar steps (month,
+    year) are rejected — they have no fixed duration."""
+    import re
+
     from pyspark.sql import functions as F
 
-    bucket = F.date_trunc("hour", F.col(ts_col))
+    m = re.fullmatch(r"(\d+)\s+(second|minute|hour|day)s?", step.strip())
+    if not m:
+        raise ValueError(
+            f"resample_fill: unsupported step {step!r} — use "
+            f"'N second|minute|hour|day' (calendar units have no fixed "
+            f"duration and cannot align an epoch grid)")
+    step_us = int(m.group(1)) * 1_000_000 * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                 / F.lit(step_us)).cast("long") * F.lit(step_us)))
     actual = (df.groupBy(F.col(key_col), bucket.alias("bucket"))
               .agg(F.count(F.lit(1)).alias("n"),
                    F.sum(F.round(F.col(value_col) * 1_000_000.0, 0)

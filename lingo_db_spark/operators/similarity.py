@@ -87,7 +87,11 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 a = np.asarray(v, dtype=np.float64)
                 mn, mx = float(a.min()), float(a.max())
                 scale = (mx - mn) / 255.0 or 1.0
-                codes = np.round((a - mn) / scale).astype(np.uint8)
+                # floor(x + 0.5) = round-half-AWAY on the non-negative
+                # domain — np.round's half-to-even has no stable SQL
+                # rendering, this form replays exactly as floor(x + 0.5)
+                # in the DuckDB oracle (ann_topk_quantized).
+                codes = np.floor((a - mn) / scale + 0.5).astype(np.uint8)
                 out["codes"].append(codes.tobytes())
                 out["vmin"].append(mn)
                 out["vscale"].append(scale)
@@ -318,10 +322,20 @@ def fuzzy_pairs(df: DataFrame, id_col: str, str_col: str,
     at least one identical (band_idx, band_text) and the equi-join on
     bands finds it — EXACT recall for substitution-only edits (the
     aligned-position case; insertions shift every later band, those
-    pairs need q-gram candidates instead).  Ubiquitous bands (> 
-    max_bucket rows, e.g. constant prefixes) are dropped: correct
-    whenever strings differ SOMEWHERE, since some band then still
-    matches below the cap; candidates re-score with exact levenshtein.
+    pairs need q-gram candidates instead).  Ubiquitous bands
+    (> max_bucket rows, e.g. constant prefixes) are dropped before the
+    self-join; candidates re-score with exact levenshtein.
+
+    RECALL CAVEAT: the frequency prune bounds recall, it does not
+    preserve it.  The exact-recall guarantee holds only while every
+    MATCHING band of a near-pair stays at or under max_bucket rows: a
+    pair whose differing bands never match and whose matching bands are
+    all ubiquitous (e.g. a shared 'Customer#' prefix once row counts
+    exceed the cap) loses every candidate bucket and is silently
+    missed.  Size max_bucket above the hottest legitimate band
+    frequency, and watch the `fuzzy_pruned_bands` observe() metric the
+    plan emits — nonzero pruning at scale means the recall guarantee
+    has narrowed to 'pairs with at least one sub-cap matching band'.
     Returns (id_a, id_b, dist), id_a < id_b."""
     L = F.length(F.col(str_col))
     band_len = F.ceil(L.cast("double") / n_bands).cast("int")
@@ -335,9 +349,12 @@ def fuzzy_pairs(df: DataFrame, id_col: str, str_col: str,
           .select(F.col(id_col), F.col(str_col),
                   F.col("b.band_idx").alias("band_idx"),
                   F.col("b.band_txt").alias("band_txt")))
-    keep = (ex.groupBy("band_idx", "band_txt")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
+    band_counts = (ex.groupBy("band_idx", "band_txt")
+                   .agg(F.count(F.lit(1)).alias("__n"))
+                   .observe("fuzzy_pruned_bands",
+                            F.sum(F.when(F.col("__n") > max_bucket, 1)
+                                  .otherwise(0)).alias("pruned_bands")))
+    keep = (band_counts.filter(F.col("__n") <= max_bucket)
             .select("band_idx", "band_txt"))
     pruned = ex.join(keep, ["band_idx", "band_txt"])
     a = pruned.select(F.col(id_col).alias("id_a"),

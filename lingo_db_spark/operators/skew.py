@@ -56,7 +56,16 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     split can hold.  The right side grows n_salt-fold, so use it when
     |right| * n_salt stays shuffle-cheap (dimension-vs-fact skew, the
     common case).  Only the equi-key join is supported; residual
-    predicates compose via .filter on the result."""
+    predicates compose via .filter on the result.
+
+    Only left-preserving join types are valid: the right side is
+    REPLICATED n_salt-fold, so right/full outer (and right-semi/anti)
+    would emit every unmatched right row n_salt times."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not left-preserving; the "
+            f"replicated right side would duplicate unmatched right rows "
+            f"n_salt times. Salt the other side instead.")
     salt_l = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
     l = left.withColumn("__salt", salt_l.cast("int"))
     r = right.withColumn(

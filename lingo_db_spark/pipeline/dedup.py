@@ -366,8 +366,9 @@ _SIMHASH_BITS = 64
 def _simhash_one(toks) -> int:
     v = [0] * _SIMHASH_BITS
     for t in toks:
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
+        # md5[:8] (not blake2b) so external systems — and the DuckDB
+        # oracle — can recompute the signature bit-for-bit from SQL.
+        h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
         for i in range(_SIMHASH_BITS):
             v[i] += 1 if (h >> i) & 1 else -1
     out = 0
@@ -442,6 +443,15 @@ def neardup_ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
     signature length.  Use this below ~10^8 docs per shard or when the
     threshold sits too close to a decision boundary for sketch error.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
+
+    RECALL CAVEAT: the reported jaccard VALUES are exact, but the
+    frequency prune bounds recall rather than preserving it — a
+    near-pair ALL of whose shared shingles exceed max_shingle_freq
+    (pure-boilerplate overlap) loses every candidate bucket and is
+    silently missed.  The guarantee is 'every pair with at least one
+    sub-cap shared shingle'; watch the `ngram_pruned_shingles`
+    observe() metric — nonzero pruning at scale means recall has
+    narrowed to that class.
     """
     toked = spread(df.select(F.col(id_col), tokens(text_col).alias("__t")),
                    id_col)
@@ -450,8 +460,12 @@ def neardup_ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
     sh = sh.filter(F.size("__sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
-    keep = (ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_shingle_freq).select("__s"))
+    shingle_counts = (ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+                      .observe("ngram_pruned_shingles",
+                               F.sum(F.when(F.col("__n") > max_shingle_freq,
+                                            1).otherwise(0))
+                               .alias("pruned_shingles")))
+    keep = shingle_counts.filter(F.col("__n") <= max_shingle_freq).select("__s")
     pruned = ex.join(keep, "__s")
     a = pruned.select(F.col(id_col).alias("id_a"), "__s")
     b = pruned.select(F.col(id_col).alias("id_b"), "__s")

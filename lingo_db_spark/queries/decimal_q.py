@@ -22,10 +22,14 @@ from lingo_db_spark.functions import decimal as dec
 from lingo_db_spark.queries import register, sorted_result
 
 # Decimal views of the driver's double columns, shared by every query here.
-_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"   # (12,2)
-_QTY1 = "CAST(l_quantity AS DECIMAL(4,1))"          # (4,1)
-_QTY0 = "CAST(l_quantity AS DECIMAL(19,0))"         # (19,0) int-like
-_DISC = "CAST(1.0 - l_discount AS DECIMAL(4,2))"    # (4,2)
+# Routed through SQL_CAST_DEC (via-VARCHAR) so the oracle's double->decimal
+# rounding matches Spark's shortest-repr + HALF_UP semantics on every DuckDB
+# version and every data drop — a direct CAST(double AS DECIMAL) rounds
+# differently on dirty doubles under newer DuckDB releases.
+_PRICE = dec.SQL_CAST_DEC("l_extendedprice", 12, 2)        # (12,2)
+_QTY1 = dec.SQL_CAST_DEC("l_quantity", 4, 1)               # (4,1)
+_QTY0 = dec.SQL_CAST_DEC("l_quantity", 19, 0)              # (19,0) int-like
+_DISC = dec.SQL_CAST_DEC("1.0 - l_discount", 4, 2)         # (4,2)
 
 
 def _lineitem_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,8 +74,7 @@ def decimal_mul_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("decimal_div_mod", f"""
 SELECT l_orderkey, l_linenumber,
        {dec.SQL_DEC_DIV(_PRICE, 12, 2, _QTY1, 4, 1)} AS unit_price,
-       CAST({_PRICE} % CAST({_QTY1} AS DECIMAL(5,2)) AS DECIMAL(5,2))
-         AS price_mod_qty
+       {dec.SQL_DEC_MOD(_PRICE, 12, 2, _QTY1, 4, 1)} AS price_mod_qty
 FROM lineitem
 WHERE l_orderkey < 400
 ORDER BY l_orderkey, l_linenumber
@@ -121,7 +124,7 @@ def decimal_avg_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("decimal_literal_arith", f"""
 SELECT a, b,
        {dec.SQL_DEC_DIV('a', 12, 2, 'b', 12, 2)} AS quot,
-       CAST(a % b AS DECIMAL(12,2)) AS rem,
+       {dec.SQL_DEC_MOD('a', 12, 2, 'b', 12, 2)} AS rem,
        CAST(a * b AS DECIMAL(24,4)) AS prod,
        CAST(a * b AS DECIMAL(38,4)) AS prod_wide
 FROM (VALUES (CAST(-7.00 AS DECIMAL(12,2)), CAST(3.00 AS DECIMAL(12,2))),

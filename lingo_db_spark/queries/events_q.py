@@ -582,24 +582,86 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register("events_approx_percentiles", None)  # t-digest sketch values are
-                                              # engine-specific; accuracy
-                                              # pinned in tests
+@register("events_approx_percentiles", """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       MAX(n) AS n,
+       ROUND(MAX(CASE WHEN r <= CAST(ceil(0.50 * n) AS BIGINT)
+                      THEN value END), 4) AS p50_rank_value,
+       ROUND(MAX(CASE WHEN r <= CAST(ceil(0.99 * n) AS BIGINT)
+                      THEN value END), 4) AS p99_rank_value,
+       TRUE AS p50_ok,
+       TRUE AS p99_ok
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""")
 def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via approx_percentile (mergeable
     quantile sketch, accuracy 1/10000): the single-pass, map-side
     combinable replacement for the exact `percentile` anchor query
     (events_value_quantiles) at 100 TB — sketches merge across
-    partitions instead of shuffling raw values.  tests/test_extensions
+    partitions instead of shuffling raw values.
+
+    The sketch VALUE is engine-specific, so the gated output carries:
+    (a) `p50_rank_value`/`p99_rank_value` — the exact data element at
+    rank ceil(p*n), value-checked against DuckDB's identical rank pick;
+    (b) `p50_ok`/`p99_ok` — the sketch's documented rank guarantee
+    (returned element's rank within (p ± 1/accuracy)*n, checked with a
+    ±1-rank cushion against the exact order statistics), which the
+    oracle pins as literal TRUE.  tests/test_extensions additionally
     pins the sketch against the exact answer."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.round(F.expr(
-                    "approx_percentile(value, 0.5D, 10000)"), 4).alias("p50"),
-                 F.round(F.expr(
-                    "approx_percentile(value, 0.99D, 10000)"), 4).alias("p99"),
-                 F.count(F.lit(1)).alias("n"))
-            .orderBy("event_type"))
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = (Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+
+    def _lo(p: float) -> F.Column:
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.lit(p) - 0.0001) * F.col("n")).cast("long") - 1)
+
+    def _hi(p: float) -> F.Column:
+        return F.least(
+            F.col("n"),
+            F.ceil((F.lit(p) + 0.0001) * F.col("n")).cast("long") + 1)
+
+    def _val_at_max(rank: F.Column) -> F.Column:
+        # rank-th smallest = max over the first `rank` rows (tie-proof)
+        return F.max(F.when(F.col("r") <= rank, F.col("value")))
+
+    def _val_at_min(rank: F.Column) -> F.Column:
+        return F.min(F.when(F.col("r") >= rank, F.col("value")))
+
+    bracket = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.99D, 10000)").alias("a99"),
+        _val_at_max(F.ceil(0.50 * F.col("n")).cast("long"))
+            .alias("p50_rank_value_raw"),
+        _val_at_max(F.ceil(0.99 * F.col("n")).cast("long"))
+            .alias("p99_rank_value_raw"),
+        _val_at_max(_lo(0.50)).alias("lo50"),
+        _val_at_min(_hi(0.50)).alias("hi50"),
+        _val_at_max(_lo(0.99)).alias("lo99"),
+        _val_at_min(_hi(0.99)).alias("hi99"))
+    return (bracket.select(
+        "event_type", "n",
+        F.round("p50_rank_value_raw", 4).alias("p50_rank_value"),
+        F.round("p99_rank_value_raw", 4).alias("p99_rank_value"),
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50")))
+            .alias("p50_ok"),
+        ((F.col("a99") >= F.col("lo99")) & (F.col("a99") <= F.col("hi99")))
+            .alias("p99_ok"))
+        .orderBy("event_type"))
 
 
 @register("streaming_topk_stateful", """

@@ -159,13 +159,43 @@ def pipeline_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_result(out, "id_a", "id_b")
 
 
-@register("pipeline_simhash_neardup", None)  # engine-internal signature;
-                                             # semantics pinned in tests
+@register("pipeline_simhash_neardup", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+tc AS (  -- collapse repeated tokens, weight the bit votes by count
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+tb AS (  -- bit i of md5[:8] big-endian: hex char 16 - i//4, bit i%4
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(t), 16 - i // 4, 1)) - 1)
+                        >> (i % 4)) & 1 = 1
+             THEN c ELSE -c END) AS v
+  FROM tc CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bits
+  GROUP BY doc_id, i),
+sig AS (  -- signed-i64 signature; bit 63 lands on the sign bit
+  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN
+           CASE WHEN i = 63 THEN -9223372036854775808
+                ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+           ELSE 0 END) AS BIGINT) AS sh
+  FROM tb GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE (((a.sh >> 0) & 65535) = ((b.sh >> 0) & 65535)
+    OR ((a.sh >> 16) & 65535) = ((b.sh >> 16) & 65535)
+    OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535)
+    OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535))
+  AND bit_count(xor(a.sh, b.sh)) <= 10
+ORDER BY id_a, id_b
+""")
 def pipeline_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 10 over 64-bit
     signatures; pigeonhole 16-bit-chunk equi-join generates candidates
     (4 chunks guarantee recall for distance <= 3; larger distances are
-    best-effort, the standard SimHash trade)."""
+    best-effort, the standard SimHash trade).  The token hash is md5[:8]
+    so the ORACLE recomputes the exact signature with SQL bit ops and
+    replays the same chunk-collision candidate rule — the output is
+    value-checked pair-for-pair, including the hamming distances."""
     docs = load_table(spark, sf_dir, "documents")
     return ordered_result(
         pl.neardup_simhash(docs, "doc_id", "text", max_hamming=10),
@@ -590,9 +620,18 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_result(out, "doc_id")
 
 
-@register("pipeline_approx_distinct", None)  # HLL sketch values are
-                                             # engine-specific; relative
-                                             # error pinned in tests
+_SQL_FP = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@register("pipeline_approx_distinct", f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT {_SQL_FP}) AS exact_ndv,
+       TRUE AS approx_ok
+FROM documents
+GROUP BY source
+ORDER BY source
+""")
 def pipeline_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting — the user-facing form of the
     reference's HyperLogLog machinery (src/utility/HyperLogLog.cpp,
@@ -601,13 +640,21 @@ def pipeline_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd next to the exact count.  approx_count_distinct is mergeable
     (partial sketches combine map-side), so at 100 TB it replaces the
     exact two-shuffle COUNT(DISTINCT) dashboard query at a fraction of
-    the cost; tests/test_pipeline.py pins the observed relative error."""
+    the cost.  The sketch VALUE is engine-specific, so the gated output
+    carries the invariant instead: `approx_ok` asserts |approx - exact|
+    <= 5*rsd*exact (a bound the HLL++ guarantee puts at >> 5 sigma),
+    which the oracle pins as literal TRUE next to DuckDB's own exact
+    count; the observed error is additionally pinned in
+    tests/test_pipeline.py."""
     docs = load_table(spark, sf_dir, "documents")
     fp = pl.fingerprint("text")
     return (docs.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct(fp).alias("exact_ndv"),
                  F.approx_count_distinct(fp, rsd=0.02).alias("approx_ndv"))
+            .select("source", "n_docs", "exact_ndv",
+                    (F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+                     <= 0.10 * F.col("exact_ndv")).alias("approx_ok"))
             .orderBy("source"))
 
 
@@ -630,8 +677,10 @@ def pipeline_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle bucket join counts |A∩B| exactly, frequency prune
     keeps candidates bucket-local.  The DuckDB oracle computes the same
     all-pairs ground truth; at the lower 0.6 threshold this catches
-    pairs MinHash@0.8 ignores, and the match must be EXACT — no recall
-    slack, unlike the banded-LSH entries."""
+    pairs MinHash@0.8 ignores, and the match must be EXACT against the
+    unpruned ground truth — which holds while every near-pair keeps at
+    least one shared shingle under max_shingle_freq (true at the gate's
+    scale; see the recall caveat on neardup_ngram_jaccard)."""
     docs = load_table(spark, sf_dir, "documents")
     return ordered_result(
         pl.neardup_ngram_jaccard(docs, "doc_id", "text", threshold=0.6),
@@ -664,9 +713,37 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_result(out, "doc_id", "chunk_idx")
 
 
-@register("ann_topk_quantized", None)  # int8 reconstruction error makes
-                                       # exact-hash infeasible; recall and
-                                       # error bounds pinned in tests
+@register("ann_topk_quantized", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+mm AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM base),
+deq AS (
+  -- int8 quantize/dequantize replayed exactly: code = floor(x' + 0.5)
+  -- (half-away on the non-negative domain, same double arithmetic as the
+  -- Spark-side numpy), value = code * scale + min, stored as float32
+  SELECT vec_id,
+         CAST(list_transform(embedding, x ->
+              floor((CAST(x AS DOUBLE) - mn) / sc + 0.5) * sc + mn)
+           AS FLOAT[]) AS demb
+  FROM (SELECT vec_id, embedding, mn,
+               CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS sc
+        FROM mm)),
+scored AS (
+  SELECT q.q_id, d.vec_id,
+         CAST(list_cosine_similarity(d.demb, q.q_vec) AS DOUBLE) AS cos_raw
+  FROM deq d, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
 def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 cosine search over INT8-QUANTIZED vectors: embeddings are
     stored as per-vector (codes BINARY, min, scale) — 4x less
@@ -674,7 +751,10 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-vector corpora — dequantized on the fly and scored exactly.
     tests/test_pipeline.py pins reconstruction error (<= scale/2 per
     dim) and recall vs the float brute-force baseline; here the whole
-    quantize -> shuffle -> dequantize -> score path runs as one plan."""
+    quantize -> shuffle -> dequantize -> score path runs as one plan.
+    The oracle replays the deterministic quantize/dequantize integer math
+    in SQL (floor(x+0.5) codes, code*scale+min, float32 storage), making
+    this a VALUE-checked query, not rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     q = ops.quantize_embeddings(base)

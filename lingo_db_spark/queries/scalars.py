@@ -184,7 +184,7 @@ def scalars_condexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("scalars_cast", """
 SELECT o_orderkey,
        CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS price_dec,
        CAST(o_orderkey AS DOUBLE) AS key_dbl,
        CAST(o_orderkey AS VARCHAR) AS key_str,
        CAST('42' AS BIGINT) + o_orderkey AS from_str,
@@ -197,7 +197,10 @@ def scalars_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast lattice batch — db.cast (DBOps.td:547-554) and the
     string<->number/date cast kernels (StringRuntime.h:17-33).
     double->int follows the engine's C-style truncation (DuckDB's
-    bare CAST rounds instead, so the oracle spells trunc() explicitly)."""
+    bare CAST rounds instead, so the oracle spells trunc() explicitly).
+    double->decimal routes through VARCHAR in the oracle: Spark casts via
+    the double's shortest string repr + HALF_UP, which a direct DuckDB
+    CAST only matches on some versions/values (see SQL_CAST_DEC)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return (orders.select(
         "o_orderkey",

@@ -230,3 +230,14 @@ def test_string_rfind_and_diff_units(spark):
                    lf.date_diff_seconds("b", "a").alias("s")).collect()[0]
     # whole elapsed units, truncated — NOT boundary crossings
     assert (row.h, row.m, row.s) == (2, 179, 10799)
+    # reversed arguments: C++ integer division truncates TOWARD ZERO,
+    # so a -2:59:59 span is -2 hours / -179 minutes (not -3 / -180)
+    rev = d.select(lf.date_diff_hours("a", "b").alias("h"),
+                   lf.date_diff_minutes("a", "b").alias("m"),
+                   lf.date_diff_seconds("a", "b").alias("s")).collect()[0]
+    assert (rev.h, rev.m, rev.s) == (-2, -179, -10799)
+    # sub-unit negative span truncates to 0, not -1
+    d2 = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS a, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:59:00' AS b")
+    rev2 = d2.select(lf.date_diff_hours("a", "b").alias("h")).collect()[0]
+    assert rev2.h == 0
