@@ -498,3 +498,353 @@ def ds_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("cum_fin").cast("double") / 1e6, 4)
                     .alias("cum_fin_rev"))
             .orderBy("yr", "mo"))
+
+
+# ---------------------------------------------------------------------------
+# 13. TPC-DS q88 shape: 8x self-scan, single-row cross of band counts
+# ---------------------------------------------------------------------------
+
+def _band(lo: int, hi: int, col: str) -> str:
+    """One q88-style time-band scan: a quantity band plus the q88
+    OR-of-conjunction demographic filter, rendered on lineitem."""
+    return f"""(SELECT CAST(COUNT(*) AS BIGINT) AS {col}
+ FROM lineitem, orders
+ WHERE l_orderkey = o_orderkey
+   AND l_quantity BETWEEN {lo} AND {hi}
+   AND ((l_discount <= 0.02 AND l_tax <= 0.04)
+     OR (l_discount >= 0.05 AND l_tax <= 0.02)
+     OR (l_discount >= 0.09))
+   AND o_orderstatus <> 'P') {col}_s"""
+
+
+_Q_TIME_BANDS = ("SELECT * FROM\n " + ",\n ".join(
+    _band(1 + 6 * i, 6 + 6 * i, f"b{i + 1}") for i in range(8)))
+
+_sql_query(
+    "ds_time_band_counts", _Q_TIME_BANDS,
+    ("lineitem", "orders"),
+    """TPC-DS q88 shape (resources/sql/tpcds/88.sql): EIGHT independent
+    scans of the same fact join, each counting one band (q88: eight
+    half-hour time bands x household-demographics OR-cascade; here eight
+    quantity bands x a discount/tax OR-cascade), cross-joined into a
+    single 1x8 row.  Every cross input is exactly one row, so the
+    BroadcastNestedLoop chain is constant-size — the only legal
+    cartesian.  Each band scan pushes its band predicate into the
+    parquet scan independently.""")
+
+
+# ---------------------------------------------------------------------------
+# 14. TPC-DS q64 shape: HAVING-filtered CTE + two-snapshot self-join
+# ---------------------------------------------------------------------------
+
+_Q_TWO_SNAPSHOT = f"""
+WITH refunded AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CASE WHEN l_returnflag = 'R'
+                  THEN {_micros('l_extendedprice')} ELSE 0 END) * 2
+         > SUM({_micros('l_extendedprice')})),
+snap AS (
+  SELECT c_custkey, c_name, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS tot_m
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderkey IN (SELECT l_orderkey FROM refunded)
+  GROUP BY c_custkey, c_name, year(o_orderdate))
+SELECT s1.c_custkey, s1.c_name,
+       s1.cnt AS cnt_1995, s2.cnt AS cnt_1996,
+       ROUND(CAST(s1.tot_m AS DOUBLE) / 1000000.0, 4) AS total_1995,
+       ROUND(CAST(s2.tot_m AS DOUBLE) / 1000000.0, 4) AS total_1996
+FROM snap s1
+JOIN snap s2 ON s1.c_custkey = s2.c_custkey
+WHERE s1.yr = 1995 AND s2.yr = 1996
+  AND s2.tot_m >= s1.tot_m
+ORDER BY s1.c_custkey
+"""
+
+_sql_query(
+    "ds_two_snapshot_self_join", _Q_TWO_SNAPSHOT,
+    ("lineitem", "customer", "orders"),
+    """TPC-DS q64 shape (resources/sql/tpcds/64.sql: cs_ui HAVING-filtered
+    CTE gates the fact rows, cross_sales is built once and self-joined on
+    two year snapshots with a cross-snapshot comparison).  Here: orders
+    where returned value exceeds half the total (the cs_ui
+    sale > 2*refund analogue, inverted), per-customer yearly snapshots
+    over the gated set, 1995-vs-1996 self-join keeping customers whose
+    spend did not shrink.  The IN over the CTE decorrelates to a semi
+    join; the snapshot CTE feeds both sides of the self-join.""")
+
+
+# ---------------------------------------------------------------------------
+# 15. TPC-DS q57/q47 shape: windowed deviation from yearly average + lag/lead
+# ---------------------------------------------------------------------------
+
+_Q_WINDOWED_DEVIATION = f"""
+WITH v1 AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS rev_m
+  FROM nation
+  JOIN customer ON n_nationkey = c_nationkey
+  JOIN orders   ON c_custkey = o_custkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY n_name, year(o_orderdate), month(o_orderdate)),
+v2 AS (
+  SELECT n_name, yr, mo, rev_m,
+         CAST(SUM(rev_m) OVER (PARTITION BY n_name, yr) AS BIGINT)
+           AS year_sum,
+         CAST(COUNT(*) OVER (PARTITION BY n_name, yr) AS BIGINT) AS year_n,
+         LAG(rev_m)  OVER (PARTITION BY n_name ORDER BY yr, mo) AS prev_rev,
+         LEAD(rev_m) OVER (PARTITION BY n_name ORDER BY yr, mo) AS next_rev
+  FROM v1)
+SELECT n_name, yr, mo,
+       ROUND(CAST(rev_m AS DOUBLE) / 1000000.0, 4) AS revenue,
+       ROUND(CAST(year_sum AS DOUBLE) / CAST(year_n AS DOUBLE)
+             / 1000000.0, 4) AS avg_monthly,
+       ROUND(CAST(prev_rev AS DOUBLE) / 1000000.0, 4) AS prev_revenue,
+       ROUND(CAST(next_rev AS DOUBLE) / 1000000.0, 4) AS next_revenue
+FROM v2
+WHERE year_n = 12
+  AND abs(rev_m * year_n - year_sum) * 10 > year_sum
+  AND prev_rev IS NOT NULL AND next_rev IS NOT NULL
+ORDER BY n_name, yr, mo
+"""
+
+_sql_query(
+    "ds_windowed_deviation", _Q_WINDOWED_DEVIATION,
+    ("nation", "customer", "orders"),
+    """TPC-DS q57/q47 shape (resources/sql/tpcds/57.sql: v1 computes
+    monthly sums + avg-over-year window + rank, v2 self-joins rn-1/rn+1
+    for the neighboring months, filtered on deviation from the yearly
+    average).  LAG/LEAD over the same ordering replaces q57's triple
+    self-join on rn (identical semantics, one window pass instead of two
+    extra joins — the rewrite both engines' optimizers would want).  The
+    deviation threshold |rev - avg| > 0.1*avg is cross-multiplied into
+    exact int64 (|rev*n - sum|*10 > sum) so no float decides a row.""")
+
+
+# ---------------------------------------------------------------------------
+# 16. JOB shape: 5-way join, LIKE / NOT LIKE cascade on three dims
+# ---------------------------------------------------------------------------
+
+_Q_JOB_LIKE_CASCADE = """
+SELECT MIN(p_name) AS min_part_name,
+       MIN(s_name) AS min_supplier_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM part p, supplier s, lineitem l, nation n, region r
+WHERE l.l_partkey = p.p_partkey
+  AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND p.p_name LIKE '%ol%'
+  AND p.p_name NOT LIKE '%old%'
+  AND p.p_type LIKE '%ROMO%'
+  AND s.s_name NOT LIKE '%0001%'
+  AND n.n_name LIKE '%A%'
+  AND r.r_name <> 'EUROPE'
+"""
+
+_sql_query(
+    "job_like_cascade_minagg", _Q_JOB_LIKE_CASCADE,
+    ("part", "supplier", "lineitem", "nation", "region"),
+    """JOB shape (reference resources/sql/job/8a.sql: comma-join list,
+    `note LIKE '%(Japan)%' AND note NOT LIKE '%(USA)%' AND name LIKE
+    '%Yo%' AND name NOT LIKE '%Yu%'`, MIN() aggregates, no GROUP BY):
+    the selectivity lives entirely in LIKE/NOT-LIKE string predicates
+    spread over three dimensions of a 5-way join.  All string filters
+    push to the dimension scans; the join order question (smallest
+    filtered dim first) is what JOB exists to stress — stats-backed CBO
+    (stats.py) plus AQE handle it here.""")
+
+
+# ---------------------------------------------------------------------------
+# 17. JOB shape: disjunctive LIKE + date band over a 6-way join
+# ---------------------------------------------------------------------------
+
+_Q_JOB_DISJUNCTIVE = f"""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(CAST(SUM({_micros('l_extendedprice * (1 - l_discount)')})
+                  AS DOUBLE) / 1000000.0, 4) AS revenue
+FROM region, nation, customer, orders, lineitem, part
+WHERE n_regionkey = r_regionkey
+  AND c_nationkey = n_nationkey
+  AND o_custkey = c_custkey
+  AND l_orderkey = o_orderkey
+  AND l_partkey = p_partkey
+  AND (p_name LIKE '%red%' OR p_name LIKE '%blue%' OR p_name LIKE '%anvil%')
+  AND (c_name LIKE '%19%' OR c_mktsegment IN ('BUILDING', 'MACHINERY'))
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                      AND TIMESTAMP '1996-12-31 23:59:59'
+  AND r_name IN ('AMERICA', 'AFRICA', 'ASIA')
+  AND o_orderpriority NOT LIKE '5%'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+_sql_query(
+    "job_disjunctive_like_chain", _Q_JOB_DISJUNCTIVE,
+    ("region", "nation", "customer", "orders", "lineitem", "part"),
+    """JOB shape, disjunctive variant (resources/sql/job/ queries whose
+    filters are OR-of-LIKE over one dim plus IN-lists over another): a
+    6-way comma join where OR blocks per-column pushdown statistics but
+    each disjunct is still scan-evaluable.  The OR-of-LIKE stays inside
+    the part/customer scans (no join blow-up), the date band pushes to
+    the orders scan.""")
+
+
+# ---------------------------------------------------------------------------
+# 18. TPC-DS q36/q70 shape: ROLLUP hierarchy + rank within parent level
+# ---------------------------------------------------------------------------
+
+_Q_ROLLUP_RANK = f"""
+WITH agg AS (
+  SELECT r_name, n_name,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS rev_m,
+         CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS lochierarchy,
+         CAST(GROUPING(n_name) AS INT) AS g_nation
+  FROM region
+  JOIN nation   ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders   ON o_custkey = c_custkey
+  GROUP BY ROLLUP(r_name, n_name))
+SELECT COALESCE(r_name, '<all>') AS r_name,
+       COALESCE(n_name, '<all>') AS n_name,
+       ROUND(CAST(rev_m AS DOUBLE) / 1000000.0, 4) AS revenue,
+       lochierarchy,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN g_nation = 0 THEN r_name END
+         ORDER BY rev_m DESC, COALESCE(n_name, '')) AS BIGINT)
+         AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, r_name, n_name
+"""
+
+_sql_query(
+    "ds_rollup_hierarchy_rank", _Q_ROLLUP_RANK,
+    ("region", "nation", "customer", "orders"),
+    """TPC-DS q36/q70 shape (resources/sql/tpcds/70.sql: `rank() over
+    (partition by grouping(s_state)+grouping(s_county), case when
+    grouping(s_county)=0 then s_state end order by sumsales desc)`):
+    ROLLUP over a region->nation hierarchy, then each rollup LEVEL
+    ranked within its parent — nations within their region, regions
+    within the grand total — via GROUPING()-derived partition keys.
+    GROUPING() is computed inside the CTE (both engines agree on its
+    0/1 encoding) and the window partitions on it.""")
+
+
+# ---------------------------------------------------------------------------
+# 19. TPC-DS q78 shape: cross-channel ratio with null-preserving left join
+# ---------------------------------------------------------------------------
+
+_Q_CROSSCHANNEL = f"""
+WITH open_ch AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS tot_m
+  FROM orders WHERE o_orderstatus = 'O'
+  GROUP BY o_custkey, year(o_orderdate)),
+fin_ch AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS tot_m
+  FROM orders WHERE o_orderstatus = 'F'
+  GROUP BY o_custkey, year(o_orderdate))
+SELECT o.o_custkey, o.yr,
+       ROUND(CAST(o.tot_m AS DOUBLE) / 1000000.0, 4) AS open_total,
+       ROUND(CAST(COALESCE(f.tot_m, 0) AS DOUBLE) / 1000000.0, 4)
+         AS fin_total
+FROM open_ch o
+LEFT JOIN fin_ch f ON o.o_custkey = f.o_custkey AND o.yr = f.yr
+WHERE COALESCE(f.tot_m, 0) * 2 < o.tot_m
+ORDER BY o.o_custkey, o.yr
+"""
+
+_sql_query(
+    "ds_crosschannel_ratio", _Q_CROSSCHANNEL,
+    ("orders",),
+    """TPC-DS q78 shape (resources/sql/tpcds/78.sql: store/web/catalog
+    per-customer-year totals LEFT-JOINed, rows kept where one channel
+    dominates, COALESCE for channel-absent customers): two channel CTEs
+    from the same fact (disjoint status slices), null-preserving left
+    join on the two-part key, exact int64 dominance predicate
+    (coalesce(f,0)*2 < o).  The unmatched-right NULL corner is the
+    point — it must coalesce, not drop.""")
+
+
+# ---------------------------------------------------------------------------
+# 20. TPC-DS q93 shape: returns-adjusted totals, bottom-k
+# ---------------------------------------------------------------------------
+
+_Q_RETURNS_ADJUSTED = f"""
+SELECT o_custkey,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0
+                      ELSE {_micros('l_extendedprice * (1 - l_discount)')}
+                      END) AS DOUBLE) / 1000000.0, 4) AS act_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY act_revenue, o_custkey
+LIMIT 100
+"""
+
+_sql_query(
+    "ds_returns_adjusted_bottomk", _Q_RETURNS_ADJUSTED,
+    ("lineitem", "orders"),
+    """TPC-DS q93 shape (resources/sql/tpcds/93.sql: sales joined to
+    returns, per-item quantity/price recomputed net of the returned
+    part, `order by sumsales limit 100`): revenue with returned
+    lineitems zeroed out, BOTTOM-100 customers — an ascending top-k
+    (TakeOrderedAndProject), tie-broken on the key for cross-engine
+    determinism.""")
+
+
+# ---------------------------------------------------------------------------
+# 21. TPC-DS q54 shape: IN over a UNION of channel subqueries
+# ---------------------------------------------------------------------------
+
+_Q_UNION_IN = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_custkey FROM orders
+  WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1997)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_sql_query(
+    "ds_union_in_subquery", _Q_UNION_IN,
+    ("customer", "orders"),
+    """TPC-DS q54 shape (resources/sql/tpcds/54.sql: `cs_sold_date_sk in
+    (select d_date_sk ...)` with the candidate set built from a UNION of
+    catalog and web channels): membership against a UNION (distinct) of
+    two differently-filtered scans of the same fact — plans as
+    distinct-union then LeftSemi, never a per-row subquery.""")
+
+
+# ---------------------------------------------------------------------------
+# 22. TPC-DS q34/q73 shape: HAVING COUNT BETWEEN, joined back to customers
+# ---------------------------------------------------------------------------
+
+_Q_FREQ_BAND = """
+WITH freq AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders
+  GROUP BY o_custkey
+  HAVING COUNT(*) BETWEEN 15 AND 20)
+SELECT c_custkey, c_name, cnt
+FROM customer JOIN freq ON c_custkey = o_custkey
+ORDER BY cnt DESC, c_custkey
+"""
+
+_sql_query(
+    "ds_having_count_band", _Q_FREQ_BAND,
+    ("customer", "orders"),
+    """TPC-DS q34/q73 shape (resources/sql/tpcds/73.sql: ticket counts
+    per household HAVING cnt between 1 and 5, joined back to customer,
+    `order by cnt desc`): an aggregate gated by a COUNT band re-joined
+    to the dimension — the grouped side is the small side after the
+    HAVING, so it builds the hash table / broadcasts.""")

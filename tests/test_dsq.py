@@ -77,3 +77,70 @@ def test_no_cartesian_in_pack(spark):
         df = REG[name].spark_fn(spark, SF_DIR)
         p = explain_str(df, "simple")
         assert "CartesianProduct" not in p, name
+
+
+# --- round-4 additions (shapes 13-22) --------------------------------------
+
+
+def test_time_band_counts_eight_independent_scans(spark):
+    df = REG["ds_time_band_counts"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "simple")
+    # Eight independent band scans of the fact join, crossed as 1-row
+    # sides: BroadcastNestedLoop over single rows is the only legal form,
+    # never CartesianProduct over scaling tables.
+    assert p.count("Scan parquet [") >= 8 or p.count("FileScan") >= 8
+    assert "CartesianProduct" not in p
+
+
+def test_two_snapshot_in_subquery_plans_semi_join(spark):
+    opt, _ = _plans(spark, "ds_two_snapshot_self_join")
+    assert "LeftSemi" in opt
+    assert "correlated" not in opt.lower()
+
+
+def test_windowed_deviation_partitions_windows_by_nation(spark):
+    df = REG["ds_windowed_deviation"].spark_fn(spark, SF_DIR)
+    ext = explain_str(df, "extended")
+    # Both window families partition on n_name (no empty PARTITION BY);
+    # lag/lead share the (n_name) ordering spec.
+    assert "windowspecdefinition(n_name" in ext
+    assert "windowspecdefinition()" not in ext
+
+
+def test_rollup_rank_plans_expand_and_window(spark):
+    df = REG["ds_rollup_hierarchy_rank"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "simple")
+    # ROLLUP lowers to Expand; the rank is one Window over the rollup
+    # output partitioned by the GROUPING()-derived keys.
+    assert "Expand" in p
+    assert "Window" in p
+
+
+def test_crosschannel_ratio_is_left_outer(spark):
+    opt, _ = _plans(spark, "ds_crosschannel_ratio")
+    assert "LeftOuter" in opt
+
+
+def test_returns_adjusted_bottomk_is_topk(spark):
+    df = REG["ds_returns_adjusted_bottomk"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "simple")
+    # ORDER BY + LIMIT must plan as top-k (TakeOrderedAndProject), never
+    # a global sort followed by a limit.
+    assert "TakeOrderedAndProject" in p
+
+
+def test_union_in_subquery_plans_semi_over_union(spark):
+    opt, _ = _plans(spark, "ds_union_in_subquery")
+    assert "LeftSemi" in opt
+    assert "Union" in opt
+
+
+def test_no_cartesian_in_round4_shapes(spark):
+    for name in ("ds_two_snapshot_self_join", "ds_windowed_deviation",
+                 "job_like_cascade_minagg", "job_disjunctive_like_chain",
+                 "ds_rollup_hierarchy_rank", "ds_crosschannel_ratio",
+                 "ds_returns_adjusted_bottomk", "ds_union_in_subquery",
+                 "ds_having_count_band"):
+        df = REG[name].spark_fn(spark, SF_DIR)
+        p = explain_str(df, "simple")
+        assert "CartesianProduct" not in p, name
