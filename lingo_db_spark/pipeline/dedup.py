@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import sys as _sys
 
 import numpy as np
 import pandas as pd
@@ -236,6 +237,14 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
     # serves the size probe, the driver collect, and the edge list.
     pairs = pairs.persist()
     n_edges = pairs.count()
+    # Observability (the r3 bench moved 0.69->3.07 s on a dirtier data
+    # drop with no code change): the edge count IS the cost driver, so
+    # print it where bench stderr captures it — a runtime regression
+    # with a flat edge count is plan drift; with a grown edge count it
+    # is the data.
+    print(f"[neardup_clusters] n_edges={n_edges} "
+          f"strategy={'driver-union-find' if n_edges <= driver_max_edges else 'min-label-propagation'}",
+          file=_sys.stderr)
     if n_edges <= driver_max_edges:
         parent: dict = {}
 
