@@ -848,3 +848,301 @@ _sql_query(
     `order by cnt desc`): an aggregate gated by a COUNT band re-joined
     to the dimension — the grouped side is the small side after the
     HAVING, so it builds the hash table / broadcasts.""")
+
+
+# ---------------------------------------------------------------------------
+# 23. TPC-DS q31 shape: QoQ growth ratios compared across two channels
+# ---------------------------------------------------------------------------
+
+_Q_QOQ_GROWTH = f"""
+WITH oq AS (
+  SELECT n_name, CAST(quarter(o_orderdate) AS INT) AS qtr,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS rev_m
+  FROM nation JOIN customer ON n_nationkey = c_nationkey
+  JOIN orders ON c_custkey = o_custkey
+  WHERE year(o_orderdate) = 1996 AND o_orderstatus = 'O'
+  GROUP BY n_name, quarter(o_orderdate)),
+fq AS (
+  SELECT n_name, CAST(quarter(o_orderdate) AS INT) AS qtr,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS rev_m
+  FROM nation JOIN customer ON n_nationkey = c_nationkey
+  JOIN orders ON c_custkey = o_custkey
+  WHERE year(o_orderdate) = 1996 AND o_orderstatus = 'F'
+  GROUP BY n_name, quarter(o_orderdate))
+SELECT o1.n_name,
+       ROUND(CAST(o2.rev_m AS DOUBLE) / CAST(o1.rev_m AS DOUBLE), 6)
+         AS open_q2_over_q1,
+       ROUND(CAST(f2.rev_m AS DOUBLE) / CAST(f1.rev_m AS DOUBLE), 6)
+         AS fin_q2_over_q1
+FROM oq o1 JOIN oq o2 ON o1.n_name = o2.n_name
+JOIN fq f1 ON f1.n_name = o1.n_name
+JOIN fq f2 ON f2.n_name = o1.n_name
+WHERE o1.qtr = 1 AND o2.qtr = 2 AND f1.qtr = 1 AND f2.qtr = 2
+  AND o1.rev_m > 0 AND f1.rev_m > 0
+  AND CAST(o2.rev_m AS DOUBLE) * CAST(f1.rev_m AS DOUBLE)
+      > CAST(f2.rev_m AS DOUBLE) * CAST(o1.rev_m AS DOUBLE)
+ORDER BY o1.n_name
+"""
+
+_sql_query(
+    "ds_qoq_growth_channels", _Q_QOQ_GROWTH,
+    ("nation", "customer", "orders"),
+    """TPC-DS q31 shape (resources/sql/tpcds/31.sql: store vs web
+    quarter-over-quarter growth ratios joined per county across 3
+    quarters, `web_q1_q2_increase > store_q1_q2_increase`): two channel
+    CTEs each self-joined across quarters, the RATIO COMPARISON
+    cross-multiplied (o2*f1 > f2*o1).  The micro-unit operands (~1e12)
+    are each exactly representable in a double (< 2^53) and the int64
+    product would overflow, so the comparison runs on IEEE double
+    products — identical operations, identical rounding, identical
+    verdicts on both engines.""")
+
+
+# ---------------------------------------------------------------------------
+# 24. TPC-DS q41 shape: NOT EXISTS over an OR-cascade dimension subquery
+# ---------------------------------------------------------------------------
+
+_Q_NOTEXISTS_OR = """
+SELECT DISTINCT p_name, p_type
+FROM part p1
+WHERE p_size BETWEEN 1 AND 25
+  AND NOT EXISTS (
+    SELECT 1 FROM part p2
+    WHERE p2.p_brand = p1.p_brand
+      AND ((p2.p_type = 'PROMO' AND p2.p_size IN (38, 39))
+        OR (p2.p_type = 'STANDARD' AND p2.p_size IN (47, 48))))
+ORDER BY p_name, p_type
+"""
+
+_sql_query(
+    "ds_notexists_or_cascade", _Q_NOTEXISTS_OR,
+    ("part",),
+    """TPC-DS q41 shape (resources/sql/tpcds/41.sql: item names where NO
+    sibling item of the same manufacturer matches a large OR-cascade of
+    attribute conjunctions): correlated NOT EXISTS on a self-scan whose
+    inner predicate is a disjunction of conjunction blocks — plans as a
+    LeftAnti join against the OR-filtered self-scan, never a per-row
+    rescan.""")
+
+
+# ---------------------------------------------------------------------------
+# 25. TPC-DS q21 shape: conditional-count ratio per group with HAVING band
+# ---------------------------------------------------------------------------
+
+_Q_COND_COUNT_RATIO = """
+SELECT s_name, n_name,
+       CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_1996,
+       CAST(SUM(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_1997
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+WHERE year(l_shipdate) IN (1996, 1997)
+GROUP BY s_name, n_name
+HAVING SUM(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END) * 2
+       < SUM(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) * 3
+   AND SUM(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) * 2
+       < SUM(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END) * 3
+ORDER BY s_name
+"""
+
+_sql_query(
+    "ds_conditional_count_band", _Q_COND_COUNT_RATIO,
+    ("supplier", "nation", "lineitem"),
+    """TPC-DS q21 shape (resources/sql/tpcds/21.sql: inventory counted
+    into before/after-date buckets per (warehouse,item), kept where the
+    ratio sits inside [2/3, 3/2]): conditional-sum bucketing inside one
+    aggregation, both HAVING bounds cross-multiplied into exact integer
+    comparisons — one scan, one shuffle, no self-join.""")
+
+
+# ---------------------------------------------------------------------------
+# 26. TPC-DS q59 shape: week-over-week shifted self-join of one aggregate
+# ---------------------------------------------------------------------------
+
+_Q_WOW_SHIFT = f"""
+WITH wk AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(weekofyear(o_orderdate) AS INT) AS wk,
+         CAST(SUM({_micros('o_totalprice')}) AS BIGINT) AS rev_m
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY year(o_orderdate), weekofyear(o_orderdate))
+SELECT a.wk,
+       ROUND(CAST(a.rev_m AS DOUBLE) / 1000000.0, 4) AS rev_1995,
+       ROUND(CAST(b.rev_m AS DOUBLE) / 1000000.0, 4) AS rev_1996,
+       ROUND(CAST(b.rev_m AS DOUBLE) / CAST(a.rev_m AS DOUBLE), 6)
+         AS yoy_ratio
+FROM wk a JOIN wk b ON a.wk = b.wk
+WHERE a.yr = 1995 AND b.yr = 1996 AND a.wk BETWEEN 2 AND 52
+ORDER BY a.wk
+"""
+
+_sql_query(
+    "ds_week_shift_self_join", _Q_WOW_SHIFT,
+    ("orders",),
+    """TPC-DS q59 shape (resources/sql/tpcds/59.sql: per-store weekly
+    sales CTE joined to ITSELF shifted 52 weeks, each week's ratio
+    this-year/last-year): one weekly aggregate consumed twice under a
+    shifted equi-join — the time-shift self-join every retail dashboard
+    runs.  weekofyear is ISO-8601 in both Spark and DuckDB; week 1 and
+    53 excluded (they straddle year boundaries differently by year).""")
+
+
+# ---------------------------------------------------------------------------
+# 27. TPC-DS q89 shape: deviation-from-window-average filter, top-k
+# ---------------------------------------------------------------------------
+
+_Q_AVG_DEVIATION_TOPK = f"""
+WITH m AS (
+  SELECT p_type, c_mktsegment, CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(SUM({_micros('l_extendedprice')}) AS BIGINT) AS rev_m
+  FROM part
+  JOIN lineitem ON l_partkey = p_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE year(o_orderdate) = 1996
+  GROUP BY p_type, c_mktsegment, month(o_orderdate)),
+w AS (
+  SELECT p_type, c_mktsegment, mo, rev_m,
+         CAST(SUM(rev_m) OVER (PARTITION BY p_type, c_mktsegment)
+              AS BIGINT) AS grp_sum,
+         CAST(COUNT(*) OVER (PARTITION BY p_type, c_mktsegment)
+              AS BIGINT) AS grp_n
+  FROM m)
+SELECT p_type, c_mktsegment, mo,
+       ROUND(CAST(rev_m AS DOUBLE) / 1000000.0, 4) AS revenue,
+       ROUND(CAST(grp_sum AS DOUBLE) / CAST(grp_n AS DOUBLE)
+             / 1000000.0, 4) AS avg_monthly
+FROM w
+WHERE grp_n = 12 AND abs(rev_m * grp_n - grp_sum) * 4 > grp_sum
+ORDER BY CAST(abs(rev_m * grp_n - grp_sum) AS DOUBLE)
+           / CAST(grp_sum AS DOUBLE) DESC,
+         p_type, c_mktsegment, mo
+LIMIT 50
+"""
+
+_sql_query(
+    "ds_avg_deviation_topk", _Q_AVG_DEVIATION_TOPK,
+    ("part", "lineitem", "orders", "customer"),
+    """TPC-DS q89 shape (resources/sql/tpcds/89.sql: monthly sales vs
+    avg-over-category window, `case when avg <> 0 then abs(sum-avg)/avg
+    end > 0.1`, order by the deviation, limit 100): deviation filter and
+    ORDER BY both derived from the window aggregate; the filter
+    cross-multiplied exact, the sort key a deterministic double ratio of
+    identical int64s with full tie-break.""")
+
+
+# ---------------------------------------------------------------------------
+# 28. TPC-DS q33/q56 shape: three-channel UNION ALL of restricted aggs
+# ---------------------------------------------------------------------------
+
+_Q_THREE_CHANNEL_UNION = f"""
+WITH seg AS (
+  SELECT p_brand FROM part WHERE p_type IN ('ECONOMY', 'PROMO')),
+ch1 AS (
+  SELECT p_brand, CAST(SUM({_micros('l_extendedprice')}) AS BIGINT) AS rev_m
+  FROM part JOIN lineitem ON l_partkey = p_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'O' AND p_brand IN (SELECT p_brand FROM seg)
+  GROUP BY p_brand),
+ch2 AS (
+  SELECT p_brand, CAST(SUM({_micros('l_extendedprice')}) AS BIGINT) AS rev_m
+  FROM part JOIN lineitem ON l_partkey = p_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND p_brand IN (SELECT p_brand FROM seg)
+  GROUP BY p_brand),
+ch3 AS (
+  SELECT p_brand, CAST(SUM({_micros('l_extendedprice')}) AS BIGINT) AS rev_m
+  FROM part JOIN lineitem ON l_partkey = p_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'P' AND p_brand IN (SELECT p_brand FROM seg)
+  GROUP BY p_brand)
+SELECT p_brand,
+       ROUND(CAST(SUM(rev_m) AS DOUBLE) / 1000000.0, 4) AS total_revenue
+FROM (SELECT * FROM ch1 UNION ALL SELECT * FROM ch2
+      UNION ALL SELECT * FROM ch3) u
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+_sql_query(
+    "ds_three_channel_union", _Q_THREE_CHANNEL_UNION,
+    ("part", "lineitem", "orders"),
+    """TPC-DS q33/q56 shape (resources/sql/tpcds/33.sql: three channel
+    CTEs — store/catalog/web — each restricted by the same IN-subquery
+    over a category slice, UNION ALLed and re-aggregated): the
+    restricted-dimension semi-join repeats per channel, then
+    aggregate-over-union-of-aggregates.  Exact int64 partials survive
+    the re-aggregation bit-for-bit.""")
+
+
+# ---------------------------------------------------------------------------
+# 29. TPC-DS q23 shape: two scalar-CTE thresholds gating a fact aggregate
+# ---------------------------------------------------------------------------
+
+_Q_SCALAR_CTE_GATES = f"""
+WITH freq_parts AS (
+  SELECT l_partkey
+  FROM lineitem
+  GROUP BY l_partkey
+  HAVING COUNT(*) > 30),
+big_spenders AS (
+  SELECT o_custkey
+  FROM orders
+  GROUP BY o_custkey
+  HAVING CAST(SUM({_micros('o_totalprice')}) AS BIGINT) >
+    (SELECT CAST(MAX(t) AS BIGINT) / 2 FROM (
+       SELECT SUM({_micros('o_totalprice')}) AS t
+       FROM orders GROUP BY o_custkey) mx))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM({_micros('l_extendedprice')}) AS DOUBLE)
+             / 1000000.0, 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o_custkey IN (SELECT o_custkey FROM big_spenders)
+"""
+
+_sql_query(
+    "ds_scalar_cte_gates", _Q_SCALAR_CTE_GATES,
+    ("lineitem", "orders"),
+    """TPC-DS q23 shape (resources/sql/tpcds/23a.sql: frequent_ss_items +
+    best_ss_customer CTEs — one a frequency HAVING, one a
+    spend-above-half-of-max HAVING with a nested scalar subquery over
+    another aggregate — both gating the final fact aggregate via IN):
+    two semi-join gates, one of them against a threshold derived from a
+    scalar subquery over a second aggregation of the same fact.""")
+
+
+# ---------------------------------------------------------------------------
+# 30. TPC-DS q12/q98 shape: revenue share of class within category (window)
+# ---------------------------------------------------------------------------
+
+_Q_REVENUE_SHARE = f"""
+WITH a AS (
+  SELECT p_type, p_brand,
+         CAST(SUM({_micros('l_extendedprice')}) AS BIGINT) AS rev_m
+  FROM part JOIN lineitem ON l_partkey = p_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1996-03-31 23:59:59'
+  GROUP BY p_type, p_brand)
+SELECT p_type, p_brand,
+       ROUND(CAST(rev_m AS DOUBLE) / 1000000.0, 4) AS revenue,
+       ROUND(CAST(rev_m AS DOUBLE) * 100.0
+             / CAST(SUM(rev_m) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+         AS revenueratio
+FROM a
+ORDER BY p_type, revenueratio DESC, p_brand
+"""
+
+_sql_query(
+    "ds_revenue_share_window", _Q_REVENUE_SHARE,
+    ("part", "lineitem", "orders"),
+    """TPC-DS q12/q98 shape (resources/sql/tpcds/98.sql: `i_current_price
+    * 100 / sum(...) over (partition by i_class) as revenueratio` over a
+    30-day date band): per-brand revenue share within its type via a
+    partition-total window over the aggregate, ordered by the ratio.
+    The ratio divides identical int64s on both engines — bit-equal
+    doubles, deterministic ordering with brand tie-break.""")

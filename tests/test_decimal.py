@@ -154,3 +154,101 @@ def test_decimal_create_table_roundtrip(spark):
         assert got[2] == (Decimal("-0.01"), Decimal("1.500000"))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle renderers (round 4): the DuckDB-side renderings must agree
+# with Python Decimal ground truth — the property that makes the driver's
+# cross-engine hash compare meaningful regardless of DuckDB version.
+# ---------------------------------------------------------------------------
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _pydec_truncdiv(a: Decimal, b: Decimal, p: int, s: int) -> Decimal:
+    """Reference semantics: scaled-integer division truncating toward
+    zero (LowerToStd.cpp:1602), quantized to (p,s)."""
+    q = (a / b).quantize(Decimal(1).scaleb(-s), rounding=ROUND_DOWN)
+    return q
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ai=st.integers(min_value=-10**8, max_value=10**8),
+    bi=st.integers(min_value=-10**4, max_value=10**4).filter(lambda x: x),
+)
+def test_sql_dec_div_matches_python_decimal(ai, bi):
+    a = Decimal(ai).scaleb(-2)          # decimal(12,2)
+    b = Decimal(bi).scaleb(-1)          # decimal(4,1)-ish magnitude
+    sql = dec.SQL_DEC_DIV(f"CAST('{a}' AS DECIMAL(12,2))", 12, 2,
+                          f"CAST('{b}' AS DECIMAL(6,1))", 6, 1)
+    got = duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+    p, s = dec.div_type(12, 2, 6, 1)
+    want = _pydec_truncdiv(a, b, p, s)
+    assert got == want, (a, b, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ai=st.integers(min_value=-10**8, max_value=10**8),
+    bi=st.integers(min_value=-10**4, max_value=10**4).filter(lambda x: x),
+)
+def test_sql_dec_mod_matches_python_decimal(ai, bi):
+    a = Decimal(ai).scaleb(-2)
+    b = Decimal(bi).scaleb(-1)
+    sql = dec.SQL_DEC_MOD(f"CAST('{a}' AS DECIMAL(12,2))", 12, 2,
+                          f"CAST('{b}' AS DECIMAL(6,1))", 6, 1)
+    got = duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+    # C remainder: a - b*truncdiv(a,b), sign of the dividend
+    q = (a / b).to_integral_value(rounding=ROUND_DOWN)
+    want = a - b * q
+    assert got == want, (a, b, got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                     min_size=1, max_size=30))
+def test_sql_dec_avg_matches_python_decimal(vals):
+    decs = [Decimal(v).scaleb(-2) for v in vals]          # decimal(12,2)
+    rows = ", ".join(f"(CAST('{d}' AS DECIMAL(12,2)))" for d in decs)
+    sql = dec.SQL_DEC_AVG("x", 12, 2)
+    got = duckdb.sql(
+        f"SELECT {sql} AS v FROM (VALUES {rows}) t(x)").fetchone()[0]
+    pr, sr = dec.avg_type(12, 2)
+    # 28-digit default context would round the quotient's last digit
+    # before the truncation — widen so ground truth is true truncation
+    from decimal import localcontext
+    with localcontext() as ctx:
+        ctx.prec = 60
+        want = (sum(decs) / len(decs)).quantize(
+            Decimal(1).scaleb(-sr), rounding=ROUND_DOWN)
+    assert got == want, (decs, got, want)
+
+
+def test_sql_rescale_wide_scale_textual_path():
+    # The (31,21) AVG promotion type exceeds every loss-free arithmetic
+    # rendering — the textual path must carry all 21 fractional digits.
+    out = duckdb.sql(
+        "SELECT " + dec._sql_rescale("123456789", 31, 21) + " AS v"
+    ).fetchone()[0]
+    assert out == Decimal("0.000000000000123456789")
+    neg = duckdb.sql(
+        "SELECT " + dec._sql_rescale("-123456789", 31, 21) + " AS v"
+    ).fetchone()[0]
+    assert neg == Decimal("-0.000000000000123456789")
+
+
+def test_sql_cast_dec_matches_spark_semantics():
+    # 0.145 as a double is 0.1449999...; Spark casts via the shortest
+    # string repr + HALF_UP -> 0.15.  SQL_CAST_DEC must agree on every
+    # DuckDB version (a direct binary-scaling cast would give 0.14).
+    got = duckdb.sql(
+        "SELECT " + dec.SQL_CAST_DEC("CAST(0.145 AS DOUBLE)", 18, 2)
+        + " AS v").fetchone()[0]
+    assert got == Decimal("0.15")
+    neg = duckdb.sql(
+        "SELECT " + dec.SQL_CAST_DEC("CAST(-0.145 AS DOUBLE)", 18, 2)
+        + " AS v").fetchone()[0]
+    assert neg == Decimal("-0.15")

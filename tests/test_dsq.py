@@ -144,3 +144,37 @@ def test_no_cartesian_in_round4_shapes(spark):
         df = REG[name].spark_fn(spark, SF_DIR)
         p = explain_str(df, "simple")
         assert "CartesianProduct" not in p, name
+
+
+# --- round-4 second wave (shapes 23-30) ------------------------------------
+
+
+def test_notexists_or_cascade_plans_anti_join(spark):
+    opt, _ = _plans(spark, "ds_notexists_or_cascade")
+    assert "LeftAnti" in opt
+    assert "correlated" not in opt.lower()
+
+
+def test_scalar_cte_gates_plan_two_semi_joins(spark):
+    opt, _ = _plans(spark, "ds_scalar_cte_gates")
+    # Both IN gates decorrelate to semi joins; the nested scalar
+    # threshold becomes a subquery stage, not a per-row rescan.
+    assert opt.count("LeftSemi") == 2
+    assert "correlated" not in opt.lower()
+
+
+def test_revenue_share_window_partitions_by_type(spark):
+    df = REG["ds_revenue_share_window"].spark_fn(spark, SF_DIR)
+    ext = explain_str(df, "extended")
+    assert "windowspecdefinition(p_type" in ext
+    assert "windowspecdefinition()" not in ext
+
+
+def test_no_cartesian_in_round4_wave2(spark):
+    for name in ("ds_qoq_growth_channels", "ds_notexists_or_cascade",
+                 "ds_conditional_count_band", "ds_week_shift_self_join",
+                 "ds_avg_deviation_topk", "ds_three_channel_union",
+                 "ds_scalar_cte_gates", "ds_revenue_share_window"):
+        df = REG[name].spark_fn(spark, SF_DIR)
+        p = explain_str(df, "simple")
+        assert "CartesianProduct" not in p, name
