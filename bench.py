@@ -52,6 +52,8 @@ HEADLINE_EXTRA = [
     "events_session_range_join",
     "events_salted_agg",
     "window_rank",
+    "ssb_q2_1",
+    "ssb_q4_1",
 ]
 
 

@@ -139,6 +139,8 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         decimal_q,
         dsq,
+        ssb,
+        cbench,
         events_q,
         sqlfront,
         relops,
