@@ -141,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
         dsq,
         ssb,
         cbench,
+        bb,
         events_q,
         sqlfront,
         relops,

@@ -163,6 +163,23 @@ _DUCK_TO_SPARK = {
 }
 
 
+def corpus_session():
+    """A LIGHT session for the 30-row corpus — deliberately NOT
+    build_session: the engine confs (AQE, 32 shuffle partitions, big
+    heap) are tuned for scale and add multi-second fixed cost per tiny
+    query (measured 6.8 s vs 0.7 s median on this corpus).  Semantics
+    under test (expression/join/subquery evaluation) are config-
+    independent; UTC and ANSI-off match the engine session."""
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master("local[2]").appName("sqllogic")
+            .config("spark.sql.shuffle.partitions", "1")
+            .config("spark.sql.adaptive.enabled", "false")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.ansi.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate())
+
+
 def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
              on_fail=None) -> tuple[int, int, int]:
     """Execute one .test file.  Returns (ran, passed, failed)."""
@@ -192,7 +209,10 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
                     f"{c[1]} {_DUCK_TO_SPARK.get(c[2].upper(), 'string')}"
                     for c in info)
                 rows = con.execute(f'SELECT * FROM "{t}"').fetchall()
-                spark.createDataFrame(rows, schema).createOrReplaceTempView(t)
+                # corpus tables are <=64 rows: one partition, or every
+                # tiny query schedules defaultParallelism empty tasks
+                (spark.createDataFrame(rows, schema).coalesce(1)
+                 .createOrReplaceTempView(t))
             dirty = False
         _, types, sort, label, sql, expected = rec
         ran += 1
@@ -227,8 +247,7 @@ def main() -> int:
     if not files:
         files = sorted(CORPUS_DIR.glob("select*.test"))
 
-    from lingo_db_spark.session import build_session
-    spark = build_session("sqllogic")
+    spark = corpus_session()
 
     fails: list[tuple] = []
 
