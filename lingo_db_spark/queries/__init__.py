@@ -110,6 +110,10 @@ ATTEST_PRIORITY: list[str] = [
     # never attested: DS/JOB decorrelation shapes
     "ds_channels_rollup", "ds_correlated_having", "ds_exists_notexists",
     "ds_cumulative_channels", "job_style_join_chain",
+    # round-4 suite packs: one flagship per new suite (SSB star flights,
+    # ClickBench heavy-hitter, TPCx-BB regression + volatility)
+    "ssb_q1_1", "ssb_q4_1", "cb_top_groups", "bb_category_trend_slope",
+    "bb_value_volatility_band",
     # never attested: events/time-series
     "events_window_hourly", "events_value_quantiles", "events_salted_agg",
     "events_session_range_join", "events_funnel", "events_asof_join",

@@ -1146,3 +1146,75 @@ _sql_query(
     partition-total window over the aggregate, ordered by the ratio.
     The ratio divides identical int64s on both engines — bit-equal
     doubles, deterministic ordering with brand tie-break.""")
+
+
+# ---------------------------------------------------------------------------
+# 31. JOB shape: redundant transitive equi-join closure + MIN aggregates
+# ---------------------------------------------------------------------------
+
+_Q_JOB_TRANSITIVE = """
+SELECT MIN(o.o_orderpriority) AS min_priority,
+       MIN(p.p_name) AS min_part_name,
+       MIN(s.s_name) AS min_supplier,
+       COUNT(*) AS n
+FROM orders o, lineitem l1, lineitem l2, part p, supplier s
+WHERE o.o_orderkey = l1.l_orderkey
+  AND o.o_orderkey = l2.l_orderkey
+  AND l1.l_orderkey = l2.l_orderkey
+  AND l1.l_linenumber < l2.l_linenumber
+  AND l1.l_partkey = p.p_partkey
+  AND l2.l_suppkey = s.s_suppkey
+  AND p.p_type = 'ECONOMY'
+  AND p.p_name NOT LIKE '%green%'
+  AND (p.p_name LIKE '%red%' OR p.p_name LIKE '%blue%')
+  AND o.o_orderpriority = '1-URGENT'
+"""
+
+_sql_query(
+    "job_transitive_equijoin_minagg", _Q_JOB_TRANSITIVE,
+    ("orders", "lineitem", "part", "supplier"),
+    """JOB 1a shape (reference resources/sql/job/1a.sql: `t.id =
+    mc.movie_id AND t.id = mi_idx.movie_id AND mc.movie_id =
+    mi_idx.movie_id` + `not like` + OR-of-LIKE + MIN aggregates):
+    comma-style many-way join whose equi-predicates form a REDUNDANT
+    transitive closure — the optimizer must recognize the implied
+    equivalence class and join each pair once, not re-filter
+    post-cartesian — over a same-table double scan (two lineitem roles
+    per order, JOB's cast_info pattern).  Single-row MIN/COUNT output,
+    exactly JOB's result contract."""
+)
+
+
+# ---------------------------------------------------------------------------
+# 32. JOB shape: same dimension consumed through two aliased roles
+# ---------------------------------------------------------------------------
+
+_Q_JOB_SELFALIAS = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       COUNT(*) AS n_pairs,
+       MIN(c.c_name) AS min_customer
+FROM customer c, nation n1, supplier s, nation n2,
+     orders o, lineitem l
+WHERE c.c_nationkey = n1.n_nationkey
+  AND s.s_nationkey = n2.n_nationkey
+  AND o.o_custkey = c.c_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey
+  AND n1.n_name LIKE 'NATION_1%'
+  AND n2.n_name LIKE 'NATION_2%'
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name
+ORDER BY cust_nation, supp_nation
+"""
+
+_sql_query(
+    "job_selfalias_dim_reuse", _Q_JOB_SELFALIAS,
+    ("customer", "nation", "supplier", "orders", "lineitem"),
+    """JOB 16b shape (resources/sql/job/16b.sql: name AS n + aka_name AS
+    an both keyed on person_id): one dimension table scanned under TWO
+    aliases with different filters (nation as customer-geography and as
+    supplier-geography, TPC-H q7's nation pair made JOB-style with LIKE
+    role filters), plus an inequality predicate between the two roles.
+    Each alias must broadcast independently; no cartesian
+    (plan-asserted in tests/test_dsq.py)."""
+)

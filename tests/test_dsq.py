@@ -178,3 +178,21 @@ def test_no_cartesian_in_round4_wave2(spark):
         df = REG[name].spark_fn(spark, SF_DIR)
         p = explain_str(df, "simple")
         assert "CartesianProduct" not in p, name
+
+
+def test_job_transitive_closure_no_cartesian(spark):
+    p = explain_str(REG["job_transitive_equijoin_minagg"]
+                    .spark_fn(spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the redundant l1.l_orderkey = l2.l_orderkey must not survive as a
+    # post-join filter over a cross product: every join is hash-based
+    assert "HashJoin" in p
+
+
+def test_job_selfalias_two_nation_scans_no_cartesian(spark):
+    p = explain_str(REG["job_selfalias_dim_reuse"]
+                    .spark_fn(spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("nation.parquet") == 2, p[:3000]
