@@ -1218,3 +1218,76 @@ _sql_query(
     Each alias must broadcast independently; no cartesian
     (plan-asserted in tests/test_dsq.py)."""
 )
+
+
+# ---------------------------------------------------------------------------
+# 33. TPC-DS q49 shape: per-channel return-ratio dual-rank top-k union
+# ---------------------------------------------------------------------------
+
+_Q_RETURN_RATIO_RANK = """
+WITH by_channel AS (
+  SELECT o.o_orderpriority AS channel, l.l_partkey AS item,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                       THEN CAST(ROUND(l.l_quantity) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ret_qty,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+  GROUP BY o.o_orderpriority, l.l_partkey),
+ranked AS (
+  SELECT channel, item, ret_qty, qty,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY ret_qty * 1000000 / qty DESC, item) AS rr,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY ret_qty DESC, item) AS ra
+  FROM by_channel WHERE qty > 0)
+SELECT channel, item, ret_qty, qty,
+       CAST(rr AS BIGINT) AS ratio_rank, CAST(ra AS BIGINT) AS amount_rank
+FROM ranked
+WHERE rr <= 5 OR ra <= 5
+ORDER BY channel, rr, ra, item
+"""
+
+_sql_query(
+    "ds_return_ratio_dual_rank", _Q_RETURN_RATIO_RANK,
+    ("lineitem", "orders"),
+    """TPC-DS q49 shape (reference resources/sql/tpcds/49.sql: per
+    channel, items dual-ranked by currency ratio and return ratio, kept
+    if either rank <= 10, channels unioned): here the three priority
+    channels share one scan, each item carries RANK() by exact integer
+    return-ratio (cross-multiplied to micros — no float decides a rank)
+    and by amount, kept if either rank <= 5.  Two windows over one
+    aggregate, disjunctive rank filter."""
+)
+
+
+# ---------------------------------------------------------------------------
+# 34. TPC-DS q72 shape: date-offset residual join (late shipments)
+# ---------------------------------------------------------------------------
+
+_Q_DATE_OFFSET_JOIN = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate
+                          + INTERVAL '60' DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_ships,
+       MIN(c.c_mktsegment) AS min_segment
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+_sql_query(
+    "ds_date_offset_lateness", _Q_DATE_OFFSET_JOIN,
+    ("lineitem", "orders", "customer"),
+    """TPC-DS q72 shape (resources/sql/tpcds/72.sql `d3.d_date >
+    d1.d_date + 5` — a date-arithmetic condition between columns of
+    two joined tables): equi-join with an INTERVAL-offset comparison
+    computed per row (the lateness band), aggregated per priority.
+    The interval add is the year-month/day-time arithmetic of
+    functions/__init__ at the SQL surface; identical text on DuckDB."""
+)

@@ -202,3 +202,17 @@ def test_job_selfalias_two_nation_scans_no_cartesian(spark):
     # detail section).
     assert p.count("BroadcastNestedLoopJoin") <= 2
     assert p.count("nation.parquet") == 2, p[:3000]
+
+
+def test_return_ratio_dual_rank_single_scan_two_windows(spark):
+    p = explain_str(REG["ds_return_ratio_dual_rank"]
+                    .spark_fn(spark, SF_DIR), "formatted")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_date_offset_lateness_pushes_date_range(spark):
+    p = explain_str(REG["ds_date_offset_lateness"]
+                    .spark_fn(spark, SF_DIR), "formatted")
+    assert "GreaterThanOrEqual(o_orderdate" in p, p[:4000]
+    assert "CartesianProduct" not in p
