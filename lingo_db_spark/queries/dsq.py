@@ -1190,17 +1190,22 @@ _sql_query(
 # ---------------------------------------------------------------------------
 
 _Q_JOB_SELFALIAS = """
+WITH key_pairs AS (
+  SELECT c.c_nationkey AS ck, s.s_nationkey AS sk,
+         COUNT(*) AS n_pairs,
+         MIN(c.c_name) AS min_customer
+  FROM customer c, supplier s, orders o, lineitem l
+  WHERE o.o_custkey = c.c_custkey
+    AND l.l_orderkey = o.o_orderkey
+    AND l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey)
 SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
-       COUNT(*) AS n_pairs,
-       MIN(c.c_name) AS min_customer
-FROM customer c, nation n1, supplier s, nation n2,
-     orders o, lineitem l
-WHERE c.c_nationkey = n1.n_nationkey
-  AND s.s_nationkey = n2.n_nationkey
-  AND o.o_custkey = c.c_custkey
-  AND l.l_orderkey = o.o_orderkey
-  AND l.l_suppkey = s.s_suppkey
-  AND n1.n_name LIKE 'NATION_1%'
+       CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+       MIN(min_customer) AS min_customer
+FROM key_pairs
+JOIN nation n1 ON ck = n1.n_nationkey
+JOIN nation n2 ON sk = n2.n_nationkey
+WHERE n1.n_name LIKE 'NATION_1%'
   AND n2.n_name LIKE 'NATION_2%'
   AND n1.n_name <> n2.n_name
 GROUP BY n1.n_name, n2.n_name
@@ -1211,12 +1216,20 @@ _sql_query(
     "job_selfalias_dim_reuse", _Q_JOB_SELFALIAS,
     ("customer", "nation", "supplier", "orders", "lineitem"),
     """JOB 16b shape (resources/sql/job/16b.sql: name AS n + aka_name AS
-    an both keyed on person_id): one dimension table scanned under TWO
-    aliases with different filters (nation as customer-geography and as
-    supplier-geography, TPC-H q7's nation pair made JOB-style with LIKE
-    role filters), plus an inequality predicate between the two roles.
-    Each alias must broadcast independently; no cartesian
-    (plan-asserted in tests/test_dsq.py)."""
+    an both keyed on person_id): one dimension table consumed under TWO
+    aliased roles (nation as customer-geography and supplier-geography)
+    with LIKE role filters and an inter-role inequality.
+
+    Plan posture, probe-driven: the naive flat form (all six relations
+    in one WHERE) let the join reorderer treat n1<>n2 as a join edge and
+    cross (customer |><| n1) x (supplier |><| n2) in a nested loop
+    BEFORE the fact chain connects them — measured 62x at the 10x probe
+    (SCALE.md).  This form aggregates through the all-equi fact chain
+    first (group keys = the two nation FKs, ≤625 groups at any scale),
+    then decorates the tiny pair table with the doubly-aliased dim and
+    applies the role filters — ratio 1.2 at 10x, and the shape the
+    reference's DPhyp would also pick (dims joined last when the
+    cross-filter is non-selective)."""
 )
 
 
