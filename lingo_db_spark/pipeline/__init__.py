@@ -33,6 +33,7 @@ from lingo_db_spark.pipeline.text import (  # noqa: F401
     digit_ratio,
     fingerprint,
     lang_id,
+    lm_likelihood,
     normalized_text,
     punct_ratio,
     quality_score,

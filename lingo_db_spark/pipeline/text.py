@@ -240,3 +240,59 @@ def redact_pii(col: Column | str) -> Column:
     c = F.regexp_replace(
         c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
     return F.regexp_replace(c, r"[0-9][0-9 \-]{5,}[0-9]", "<NUMBER>")
+
+
+def lm_likelihood(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus bigram-LM likelihood scoring — the perplexity-filter stage
+    of an LLM data pipeline (C4/CCNet filter documents on language-model
+    likelihood; the reference's analogue surface is its runtime string/
+    aggregation kernels composed the same way).
+
+    Two aggregation phases over one tokenization:
+      1. MODEL: corpus-level counts — vocabulary size V, bigram-prefix
+         counts c(w1), bigram counts c(w1,w2).
+      2. SCORE: every doc bigram joined to the model; add-one-smoothed
+         probability p = (c(w1,w2)+1)/(c(w1)+V); per-doc mean.
+
+    Exactness contract (oracle-hash-stable): each p is one double
+    division of exact int64 counts (bit-identical cross-engine), scaled
+    to nano-units and rounded ONCE to int64; the per-doc mean divides
+    two exact int64s with the half-up FLOOR rendering — float summation
+    order can never flip a hash.
+
+    Scale posture: the model is itself a distributed table (vocab^2
+    worst case, corpus-bounded in practice) — doc bigrams hash-join to
+    it on (w1,w2), then on w1; no driver-side model, no broadcast of a
+    corpus-sized side; both joins reuse the bigram shuffle key family.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    bigrams = (toks
+               .where(F.size("t") >= 2)
+               .select(id_col, F.explode(F.transform(
+                   F.sequence(F.lit(1), F.size("t") - 1),
+                   lambda i: F.struct(
+                       F.element_at("t", i).alias("w1"),
+                       F.element_at("t", i + 1).alias("w2")))).alias("bg"))
+               .select(id_col, "bg.w1", "bg.w2"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v"))
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (bigrams
+              .join(bi, ["w1", "w2"])
+              .join(uni, "w1")
+              .crossJoin(F.broadcast(vocab))   # 1-row corpus constant
+              .select(id_col,
+                      F.round((F.col("c2") + 1)
+                              / (F.col("c1") + F.col("v")) * 1e9)
+                      .cast("long").alias("p_nano")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("p_nano").alias("sum_nano"))
+            .select(id_col,
+                    "n_bigrams",
+                    F.col("sum_nano").cast("long").alias("sum_nano"),
+                    (F.floor((F.col("sum_nano") * 2 + F.col("n_bigrams"))
+                             / (F.col("n_bigrams") * 2)).cast("double")
+                     / 1e9).alias("mean_prob")))

@@ -904,3 +904,50 @@ def pipeline_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops.fuzzy_pairs(cust, "c_custkey", "c_name",
                           max_dist=1, n_bands=4)
     return ordered_result(out, "id_a", "id_b")
+
+
+@register("pipeline_lm_likelihood", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+pairs0 AS (
+  SELECT doc_id,
+         unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                 for i in range(1, len(t))]) AS p
+  FROM tok WHERE len(t) >= 2),
+pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs0),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM tok)),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+scored AS (
+  SELECT pr.doc_id,
+         CAST(ROUND((bi.c2 + 1) / (uni.c1 + vocab.v) * 1000000000.0)
+              AS BIGINT) AS p_nano
+  FROM pairs pr
+  JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2
+  JOIN uni ON pr.w1 = uni.w1
+  CROSS JOIN vocab)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(p_nano) AS BIGINT) AS sum_nano,
+       CAST(FLOOR((CAST(SUM(p_nano) AS BIGINT) * 2 + COUNT(*))
+                  / (COUNT(*) * 2)) AS DOUBLE) / 1000000000.0 AS mean_prob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""")
+def pipeline_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM likelihood scoring — the perplexity-filter
+    stage of an LLM training-data pipeline (C4/CCNet filter on LM
+    likelihood).  Two aggregation phases over one tokenization: the
+    corpus-level model (vocab size, prefix counts, bigram counts) and
+    the per-doc mean of add-one-smoothed bigram probabilities.  Every
+    probability is one double division of exact int64 counts rounded
+    once to nano-units; the per-doc mean divides two exact int64s via
+    the half-up FLOOR rendering — summation order cannot flip the
+    hash.  See pipeline.text.lm_likelihood for the 100 TB posture
+    (model stays a distributed table; bigram-key hash joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ordered_result(
+        pl.lm_likelihood(docs, "doc_id", "text"), "doc_id")

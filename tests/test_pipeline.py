@@ -426,3 +426,19 @@ def test_mix_and_oversample_proportions(spark):
     assert set(per_doc.values()) <= {2, 3}
     n_src0 = docs.filter(F.col("source") == "src0").count()
     assert abs(sum(per_doc.values()) / n_src0 - 2.5) < 0.4
+
+
+def test_lm_likelihood_scores_repetitive_text_higher(spark):
+    """The bigram model assigns higher mean probability to a document
+    whose bigrams dominate the corpus than to one of unique bigrams."""
+    from lingo_db_spark.pipeline import lm_likelihood
+    rows = ([(i, "the cat sat on the mat") for i in range(20)]
+            + [(100, "zebra quantum flute garden onyx")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_likelihood(df).collect()}
+    assert out[0].n_bigrams == 5
+    assert 0 < out[100].mean_prob < out[0].mean_prob <= 1.0
+    # sum/mean consistency: mean is the half-up nano rounding of sum/n
+    r = out[0]
+    assert r.mean_prob == ((r.sum_nano * 2 + r.n_bigrams)
+                           // (r.n_bigrams * 2)) / 1e9
