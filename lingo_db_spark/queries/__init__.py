@@ -113,7 +113,8 @@ ATTEST_PRIORITY: list[str] = [
     # round-4 suite packs: one flagship per new suite (SSB star flights,
     # ClickBench heavy-hitter, TPCx-BB regression + volatility)
     "ssb_q1_1", "ssb_q4_1", "cb_top_groups", "bb_category_trend_slope",
-    "bb_value_volatility_band",
+    "bb_value_volatility_band", "pipeline_lm_likelihood",
+    "job_selfalias_dim_reuse",
     # never attested: events/time-series
     "events_window_hourly", "events_value_quantiles", "events_salted_agg",
     "events_session_range_join", "events_funnel", "events_asof_join",

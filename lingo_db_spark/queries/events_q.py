@@ -406,6 +406,41 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("left_id", "right_id")
 
 
+@register("streaming_outer_interval_join", """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR - INTERVAL 30 MINUTE AS w
+            FROM events),
+l AS (SELECT event_id AS left_id, user_id, ts AS l_ts FROM events
+      WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS right_id, user_id, ts AS r_ts FROM events
+      WHERE event_type = 'click')
+SELECT l.left_id, r.right_id
+FROM l JOIN r ON l.user_id = r.user_id
+  AND r.r_ts >= l.l_ts - INTERVAL 30 MINUTE AND r.r_ts <= l.l_ts
+UNION ALL
+SELECT l.left_id, CAST(NULL AS BIGINT) AS right_id
+FROM l, wm
+WHERE l.l_ts < wm.w AND NOT EXISTS
+  (SELECT 1 FROM r WHERE r.user_id = l.user_id
+     AND r.r_ts >= l.l_ts - INTERVAL 30 MINUTE AND r.r_ts <= l.l_ts)
+ORDER BY left_id, right_id
+""")
+def streaming_outer_interval_join(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: purchases null-padded
+    when no click preceded them within 30 minutes.  The semantics
+    corner is WHEN the null rows appear: Structured Streaming emits an
+    unmatched left row only once the watermark passes l_ts + lookback
+    (state eviction with the join-delay adjustment), so unmatched
+    purchases younger than max(ts) - 2h - 30min are withheld at
+    end-of-stream.  The oracle pins that closed form exactly (matched
+    pairs unconditionally, null rows cut at the eviction watermark) —
+    probed: 1952 null + 23 matched rows at sf0.01, off-by-zero."""
+    out = st.run_stream_to_memory(
+        st.stream_interval_join(st.stream_events(spark, sf_dir),
+                                how="left_outer"), "append")
+    return out.orderBy("left_id", "right_id")
+
+
 @register("udf_python_scalar", """
 SELECT c_custkey,
        ROUND(c_acctbal * 2.0 + 1.0, 4) AS affine

@@ -110,7 +110,8 @@ def stream_interval_join(events: DataFrame, *,
                          left_type: str = "purchase",
                          right_type: str = "click",
                          lookback_minutes: int = 30,
-                         watermark: str = "2 hours") -> DataFrame:
+                         watermark: str = "2 hours",
+                         how: str = "inner") -> DataFrame:
     """Stream-stream interval join: for each LEFT event, every RIGHT event
     by the same user within the preceding lookback window.  The join-time
     constraint (r.ts in [l.ts - lookback, l.ts]) plus the watermarks is
@@ -118,7 +119,15 @@ def stream_interval_join(events: DataFrame, *,
     buffers rows younger than watermark + lookback — without the interval
     condition a stream-stream join must retain both sides forever, which
     no 100TB/day stream survives.  Works identically on a batch frame
-    (plain join, no state)."""
+    (plain join, no state).
+
+    how='left_outer' additionally emits null-padded rows for LEFT events
+    with no matching right — but only once the left row's state expires:
+    Spark evicts (and null-emits) a left row when the watermark passes
+    l_ts + lookback (the join-delay adjustment on the other side), so at
+    end-of-stream the unmatched lefts younger than
+    max(ts) - watermark_delay - lookback are NEVER emitted.  The oracle
+    for streaming_outer_interval_join pins exactly that closed form."""
     lb = f"INTERVAL {int(lookback_minutes)} MINUTES"
     left = events.filter(F.col("event_type") == left_type)
     right = events.filter(F.col("event_type") == right_type)
@@ -133,7 +142,7 @@ def stream_interval_join(events: DataFrame, *,
                      F.col("ts").alias("r_ts"))
     return (l.join(r, (F.col("l_user") == F.col("r_user"))
                    & (F.col("r_ts") >= F.col("l_ts") - F.expr(lb))
-                   & (F.col("r_ts") <= F.col("l_ts")))
+                   & (F.col("r_ts") <= F.col("l_ts")), how)
             .select("left_id", "right_id"))
 
 
