@@ -288,12 +288,22 @@ def _rewrite_quantified(sql: str) -> str:
             mx = f"(SELECT MAX({yref}) FROM {base})"
             x = f"({lhs})"
             if is_any:
-                bound = mn if op in (">", ">=") else mx
-                rewritten = (
-                    f"(CASE WHEN {cnt} = 0 THEN FALSE"
-                    f" WHEN {x} {op} {bound} THEN TRUE"
-                    f" WHEN {x} IS NULL OR {cnt_nn} < {cnt}"
-                    f" THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)")
+                if op in ("<>", "!="):
+                    # exists y <> x: some non-null y differs from x iff
+                    # min or max differs (all-equal means both equal x)
+                    rewritten = (
+                        f"(CASE WHEN {cnt} = 0 THEN FALSE"
+                        f" WHEN {x} IS NULL THEN CAST(NULL AS BOOLEAN)"
+                        f" WHEN {mn} <> {x} OR {mx} <> {x} THEN TRUE"
+                        f" WHEN {cnt_nn} < {cnt}"
+                        f" THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)")
+                else:
+                    bound = mn if op in (">", ">=") else mx
+                    rewritten = (
+                        f"(CASE WHEN {cnt} = 0 THEN FALSE"
+                        f" WHEN {x} {op} {bound} THEN TRUE"
+                        f" WHEN {x} IS NULL OR {cnt_nn} < {cnt}"
+                        f" THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)")
             else:
                 if op == "=":
                     fail = f"({mn} <> {x} OR {mx} <> {x})"
