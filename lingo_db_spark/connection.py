@@ -51,6 +51,18 @@ class Connection:
         self.tables[name] = df
         return df
 
+    def append_table(self, name: str, data: Any) -> DataFrame:
+        """Append rows to a registered table (reference
+        Connection.append_table, tools/python/lingodb/__init__.py:62):
+        the view is re-bound to the union, preserving schema by name."""
+        extra = (data if isinstance(data, DataFrame)
+                 else self.spark.createDataFrame(data))
+        base = self.tables.get(name) or self.spark.table(name)
+        df = base.unionByName(extra)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        return df
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
@@ -65,6 +77,11 @@ class Connection:
 
 def connect(sf_dir: str | None = None, **session_kwargs) -> Connection:
     return Connection(build_session(**session_kwargs), sf_dir)
+
+
+def connect_to_db(sf_dir: str | None = None, **session_kwargs) -> Connection:
+    """Exact reference entry-point name (lingodb.connect_to_db)."""
+    return connect(sf_dir, **session_kwargs)
 
 
 def create_in_memory(**session_kwargs) -> Connection:

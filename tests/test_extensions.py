@@ -447,3 +447,15 @@ def test_compact_small_files(spark, tmp_path):
     assert n == 1000
     assert len(glob.glob(p + "/part-*")) == 2
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_connection_append_table(spark):
+    """append_table matches the reference's Connection.append_table
+    (tools/python/lingodb/__init__.py:62): rows accumulate under the
+    same name and subsequent sql() sees the union."""
+    con = Connection(spark, None)
+    con.add_table("apnd", [(1, "a"), (2, "b")])
+    con.append_table("apnd", [(3, "c")])
+    got = sorted(tuple(r) for r in con.sql(
+        "SELECT * FROM apnd").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
