@@ -4,8 +4,8 @@ files its CI gates) through tools/sqllogic.py in a subprocess (the
 runner needs its own light SparkSession; the engine fixture session's
 scale-tuned confs cost ~7 s per 30-row query).
 
-Full-corpus attestation (stride 12, every file, run 2026-08-14):
-742 ran / 742 passed / 0 failed.  This test keeps a fast tripwire
+Corpus attestation (every file, run 2026-08-14): stride 4 =
+2221 ran / 2221 passed / 0 failed (stride 12 earlier: 742/742).  This test keeps a fast tripwire
 sample in CI; rerun `python tools/sqllogic.py --stride 12` for the
 full sweep.
 """
