@@ -54,6 +54,9 @@ HEADLINE_EXTRA = [
     "window_rank",
     "ssb_q2_1",
     "ssb_q4_1",
+    "cb_top_groups",
+    "bb_category_trend_slope",
+    "pipeline_lm_likelihood",
 ]
 
 

@@ -491,3 +491,38 @@ def neardup_ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
     return jac
+
+
+def decontaminate(train: DataFrame, evalset: DataFrame, id_col: str,
+                  text_col: str, shingle_k: int = 5) -> DataFrame:
+    """Train/eval DECONTAMINATION — the benchmark-leakage stage of an
+    LLM data pipeline (GPT-3/PaLM-style n-gram collision filtering):
+    flag every training document sharing at least one k-token shingle
+    with any document of the evaluation set, with the exact collision
+    count and one witness example id.
+
+    Unlike the symmetric near-dup family this is asymmetric CONTAINMENT:
+    a train doc that merely embeds one benchmark sentence must flag even
+    at ~0 Jaccard.  Shape: the eval side's distinct shingles are the
+    (small) build side of an equi-join on the shingle — at 100 TB the
+    train side streams through one shuffle keyed by shingle (or a
+    broadcast when the benchmark suite fits, as real ones do); no
+    pairwise comparison anywhere.
+
+    Returns (id, n_collisions, n_eval_docs, example_eval_id) for flagged
+    train docs only; exact by construction (no frequency prune — the
+    eval side is curated and small, boilerplate shingles in IT are
+    legitimate flags)."""
+    t_sh = (train.select(F.col(id_col),
+                         shingles(tokens(text_col), shingle_k).alias("__s"))
+            .select(id_col, F.explode("__s").alias("__sh"))
+            .distinct())
+    e_sh = (evalset.select(F.col(id_col).alias("__eid"),
+                           shingles(tokens(text_col), shingle_k).alias("__s"))
+            .select("__eid", F.explode("__s").alias("__sh"))
+            .distinct())
+    hits = t_sh.join(e_sh, "__sh")
+    return (hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_collisions"),
+                 F.countDistinct("__eid").alias("n_eval_docs"),
+                 F.min("__eid").alias("example_eval_id")))

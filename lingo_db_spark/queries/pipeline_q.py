@@ -951,3 +951,41 @@ def pipeline_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ordered_result(
         pl.lm_likelihood(docs, "doc_id", "text"), "doc_id")
+
+
+_SQL_4GRAMS = ("list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' "
+               "|| t[i+3] for i in range(1, len(t) - 2)])")
+
+
+@register("pipeline_decontaminate", f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({_SQL_4GRAMS}) AS s
+  FROM tok WHERE len(t) >= 4),
+train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+eval_sh AS (SELECT doc_id AS eid, s FROM sh WHERE doc_id % 20 = 0)
+SELECT t.doc_id,
+       COUNT(*) AS n_collisions,
+       COUNT(DISTINCT e.eid) AS n_eval_docs,
+       MIN(e.eid) AS example_eval_id
+FROM train t JOIN eval_sh e ON t.s = e.s
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""")
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (GPT-3/PaLM-style benchmark-leakage
+    filter): flag training documents sharing any 4-token shingle with
+    the held-out set (doc_id % 20 = 0 standing in for a benchmark
+    suite), with exact collision counts and a witness eval id.
+    Asymmetric containment — a train doc embedding one benchmark
+    sentence flags at ~0 Jaccard, which the symmetric near-dup family
+    would never surface.  Exact oracle: the identical shingle equi-join
+    in DuckDB.  See pipeline.dedup.decontaminate for the 100 TB shape
+    (eval shingles are the small build side; no pairwise work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return sorted_result(
+        pl.decontaminate(train, evalset, "doc_id", "text", shingle_k=4),
+        "doc_id")

@@ -442,3 +442,22 @@ def test_lm_likelihood_scores_repetitive_text_higher(spark):
     r = out[0]
     assert r.mean_prob == ((r.sum_nano * 2 + r.n_bigrams)
                            // (r.n_bigrams * 2)) / 1e9
+
+
+def test_decontaminate_flags_containment_not_jaccard(spark):
+    """A train doc embedding one benchmark sentence inside much longer
+    unrelated text must flag (containment), while clean docs must not."""
+    from lingo_db_spark.pipeline import decontaminate
+    bench = "what is the capital city of france exactly"
+    train_rows = [
+        (1, "noise " * 50 + bench + " more noise " * 50),   # embeds it
+        (2, "completely unrelated prose about spark joins " * 20),
+        (3, "what is the capital"),                          # < k overlap
+    ]
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           decontaminate(tr, ev, "doc_id", "text", shingle_k=5).collect()}
+    assert set(out) == {1}
+    assert out[1].example_eval_id == 100 and out[1].n_eval_docs == 1
+    assert out[1].n_collisions == 4  # 8-token sentence -> 4 distinct 5-grams
