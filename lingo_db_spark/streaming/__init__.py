@@ -40,11 +40,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f.name == "ts" else f.dataType,
             f.nullable)
         for f in TABLE_SCHEMAS["events"].fields])
-    df = (spark.readStream
-          .schema(raw)
-          .option("pathGlobFilter", os.path.basename(
-              os.path.join(sf_dir, "events.parquet")))
-          .parquet(sf_dir))
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        # multi-file layout (scaled copies, real ingest): stream the
+        # table directory itself
+        df = spark.readStream.schema(raw).parquet(path)
+    else:
+        # driver layout: one file per table directly in sf_dir — glob
+        # just that file
+        df = (spark.readStream
+              .schema(raw)
+              .option("pathGlobFilter", os.path.basename(path))
+              .parquet(sf_dir))
     if nanos:
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
