@@ -164,3 +164,25 @@ LIMIT 15
 """, _EV,
     """ClickBench q8/q25 shape: selective predicate then top-k by an
     aggregate — exact-cents spend so DESC ordering is engine-stable.""")
+
+
+_sql_query(
+    "cb_regex_dimension_agg", """
+SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+       COUNT(*) AS c,
+       CAST(SUM(CAST(LENGTH(props) AS BIGINT)) AS BIGINT) AS total_len,
+       MIN(props) AS sample_props
+FROM events
+WHERE props <> ''
+GROUP BY regexp_extract(props, '"k": ([0-9]+)', 1)
+HAVING COUNT(*) > 20
+ORDER BY c DESC, k_str
+LIMIT 25
+""", _EV,
+    """ClickBench q28 shape (28.sql `REGEXP_REPLACE(Referer, ...) AS key
+    ... GROUP BY key HAVING COUNT(*) > 100000 ORDER BY l DESC LIMIT 25`):
+    a dimension EXTRACTED by regex at query time (regexp_extract — the
+    one regex API whose name, argument order, and group semantics are
+    identical in Spark SQL and DuckDB; REGEXP_REPLACE backreference
+    syntax differs, $1 vs \\\\1) feeding grouped aggregates with a HAVING
+    band and a top-k.""")

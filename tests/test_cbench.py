@@ -12,6 +12,7 @@ from lingo_db_spark.queries import load_all
 REG = load_all()
 
 PACK = ["cb_scalar_aggregates", "cb_count_distinct", "cb_top_groups",
+        "cb_regex_dimension_agg",
         "cb_pair_groups", "cb_like_filtered_agg", "cb_wide_sums",
         "cb_const_group", "cb_daily_traffic", "cb_minute_series",
         "cb_point_filter_topk"]
