@@ -322,6 +322,99 @@ def _rewrite_quantified(sql: str) -> str:
         sql = sql[:lhs_start] + rewritten + sql[j:]
 
 
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on `sep` at paren depth 0."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        if depth == 0 and s.startswith(sep, i):
+            out.append("".join(cur))
+            cur = []
+            i += len(sep)
+            continue
+        cur.append(s[i])
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+_JOIN_RE = re.compile(r"^(left|right|full|inner|cross|join)\b", re.IGNORECASE)
+
+
+def pipe_to_standard(sql: str) -> str:
+    """Fallback translation of pipe SQL (`FROM t |> stage |> ...`) into a
+    standard SELECT.  Used ONLY when Spark's native |> support fails
+    analysis: Spark drops pre-projection aliases after `|> SELECT`,
+    while the corpus dialect (like the reference) keeps them in scope
+    for later WHERE/ORDER BY.  Standard-SQL clause placement restores
+    that scope; the result still value-checks against the expected
+    output, so a wrong translation fails visibly."""
+    s = sql.strip().rstrip(";")
+    # recursively translate parenthesized sub-pipes `( from ... |> ... )`
+    while True:
+        m = re.search(r"\(\s*from\b", s, re.IGNORECASE)
+        if m is None:
+            break
+        depth, j = 1, m.end() - 4  # position just after '('
+        j = m.start() + 1
+        k = j
+        while k < len(s):
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = pipe_to_standard(s[j:k])
+        s = s[:m.start()] + "(" + inner + ")" + s[k + 1:]
+    if not re.match(r"^from\b", s, re.IGNORECASE) or "|>" not in s:
+        if re.match(r"^from\b", s, re.IGNORECASE):
+            return "SELECT * " + s
+        return s
+    stages = [st.strip() for st in _split_top(s, "|>")]
+    from_parts = [stages[0]]
+    select_list = "*"
+    wheres: list[str] = []
+    group_by = order_by = limit = None
+    for st in stages[1:]:
+        low = st.lower()
+        if _JOIN_RE.match(st):
+            from_parts.append(st)
+        elif low.startswith("select"):
+            select_list = st[len("select"):].strip()
+        elif low.startswith("where"):
+            wheres.append(st[len("where"):].strip())
+        elif low.startswith("aggregate"):
+            body = st[len("aggregate"):].strip()
+            parts = re.split(r"\bgroup\s+by\b", body, flags=re.IGNORECASE)
+            aggs = parts[0].strip()
+            if len(parts) > 1:
+                group_by = parts[1].strip()
+                select_list = f"{group_by}, {aggs}"
+            else:
+                select_list = aggs
+        elif low.startswith("order by"):
+            order_by = st[len("order by"):].strip()
+        elif low.startswith("limit"):
+            limit = st[len("limit"):].strip()
+        else:
+            wheres.append(st)  # unknown stage: surfaces as a visible error
+    q = f"SELECT {select_list} {' '.join(from_parts)}"
+    if wheres:
+        q += " WHERE " + " AND ".join(f"({w})" for w in wheres)
+    if group_by:
+        q += f" GROUP BY {group_by}"
+    if order_by:
+        q += f" ORDER BY {order_by}"
+    if limit:
+        q += f" LIMIT {limit}"
+    return q
+
+
 def to_spark_sql(sql: str) -> str:
     """Corpus SQL -> Spark SQL.  Two documented shims: `/` on the
     corpus's all-integer data is truncating division (-> `div`, probed
@@ -421,6 +514,30 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
             # them) — an analysis error on a |> query is a dialect gap,
             # not a wrong answer.  Reported separately, never as a pass.
             if "|>" in sql and type(e).__name__ == "AnalysisException":
+                # Spark's native |> drops pre-projection aliases; retry
+                # through the standard-SQL translation (which restores
+                # the corpus dialect's scoping), then value-check as
+                # usual — only an untranslatable query is skipped.
+                try:
+                    rows = spark.sql(
+                        to_spark_sql(pipe_to_standard(sql))).collect()
+                    values = result_values(rows, types, sort)
+                    if types == "tsv":
+                        exp = sorted(canon_tsv_line(x)
+                                     for x in (expected or []))
+                        err = tsv_rows_equal(values, exp)
+                    else:
+                        err = check_expected(values, expected or [])
+                    if err is None:
+                        passed += 1
+                    else:
+                        failed += 1
+                        if on_fail:
+                            on_fail(path.name, qidx, sql,
+                                    "pipe-translated: " + err)
+                    continue
+                except Exception:       # noqa: BLE001
+                    pass
                 ran -= 1
                 skipped += 1
                 if on_fail:
