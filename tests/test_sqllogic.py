@@ -48,8 +48,9 @@ def test_sqllogic_select_sample_passes():
 @pytest.mark.skipif(not SMALL.exists(), reason="reference corpus absent")
 def test_sqllogic_small_semantics_corpus():
     """groupby/join/setops + a stride of the 105-query unnesting file.
-    Full-file attestation (2026-08-14): 138 ran / 138 passed / 0 failed,
-    3 dialect-skipped (pipe-SQL alias scoping), 31 engine-unsupported
+    Full-file attestation (2026-08-14): 141 ran / 141 passed / 0 failed,
+    0 dialect-skipped (pipe-SQL alias-scoping queries run through the
+    standard-SQL fallback translation), 31 engine-unsupported
     (Catalyst resolves outer refs only in the subquery's WHERE/HAVING
     and only one nesting level down — SELECT-list correlation and
     2+-level nesting are analysis-time rejections, never wrong
