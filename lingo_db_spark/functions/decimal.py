@@ -173,12 +173,58 @@ def dec_mod(a: Column, pa: int, sa: int, b: Column, pb: int, sb: int) -> Column:
     return (am % bm).cast(_dt(p, s))
 
 
+def dec_div_unscaled(a: Column, pa: int, sa: int,
+                     b: Column, pb: int, sb: int) -> Column:
+    """Version-proof rendering of `dec_div`: the reference-typed quotient's
+    unscaled integer (value x 10^s at the div_type scale) as BIGINT.
+    Callers must guarantee the unscaled magnitude fits int64 — true for
+    every driver-gate use here ((17,6) over money: <= ~1e11).  Emitting the
+    integer sidesteps every decimal parse/render/transport layer at the
+    cross-engine compare."""
+    p, s = div_type(pa, sa, pb, sb)
+    shift = s - sa + sb
+    num = _unscaled(a, sa)
+    den = _unscaled(b, sb)
+    if shift > 0:
+        num = (num * _pow10(shift)).cast(_D38)
+    elif shift < 0:
+        den = (den * _pow10(-shift)).cast(_D38)
+    return ((num - num % den) / den).cast(_D38).cast("long")
+
+
+def dec_mod_unscaled(a: Column, pa: int, sa: int,
+                     b: Column, pb: int, sb: int) -> Column:
+    """Unscaled-integer rendering of `dec_mod` (mod_type scale) as BIGINT."""
+    _, s = mod_type(pa, sa, pb, sb)
+    sm = max(sa, sb)
+    am = a if sa == sm else a.cast(_dt(min(pa + (sm - sa), 38), sm))
+    bm = b if sb == sm else b.cast(_dt(min(pb + (sm - sb), 38), sm))
+    return _unscaled(am % bm, s).cast("long")
+
+
 def dec_sum(c: Column, s: int) -> Column:
     """SUM with overflow widening: DECIMAL(38,s) accumulator — the Spark
     rendering of the reference's __int128 runtime sum (DecimalRuntime.h:6).
     Spark's map-side partial aggregation applies; the accumulator is exact
     integer arithmetic, so the result is order-insensitive."""
     return F.sum(c.cast(_dt(38, s))).cast(_dt(38, s))
+
+
+def dec_avg_unscaled(c: Column, p: int, s: int) -> Column:
+    """Version-proof rendering of `dec_avg`: the promoted-type average's
+    unscaled integer as a plain digit STRING (the (31,21)/(38,19)
+    promotion scales overflow int64, so the digits travel as VARCHAR —
+    Spark's DECIMAL(38,0)->string and DuckDB's HUGEINT->VARCHAR both emit
+    sign + digits with no decimal point or exponent on every version)."""
+    pr, sr = avg_type(p, s)
+    total = F.sum(c.cast(_dt(38, s)))
+    cnt = F.count(c)
+    num = _unscaled(total, s)
+    shift = sr - s
+    if shift > 0:
+        num = (num * _pow10(shift)).cast(_D38)
+    den = cnt.cast(_D38)
+    return ((num - num % den) / den).cast(_D38).cast("string")
 
 
 def dec_avg(c: Column, p: int, s: int) -> Column:
@@ -297,6 +343,45 @@ def SQL_DEC_MOD(a: str, pa: int, sa: int, b: str, pb: int, sb: int) -> str:
     r = (f"(CASE WHEN ({ua}) < 0 THEN -1 ELSE 1 END)"
          f" * (abs({ua}) % abs({ub}))")
     return _sql_rescale(f"({r})", p, s)
+
+
+def SQL_DEC_DIV_U(a: str, pa: int, sa: int, b: str, pb: int, sb: int) -> str:
+    """`SQL_DEC_DIV` rendered as the unscaled BIGINT (skips `_sql_rescale`
+    entirely — no string assembly, no decimal parse at compare time)."""
+    p, s = div_type(pa, sa, pb, sb)
+    shift = s - sa + sb
+    num = _sql_unscaled(a, sa)
+    den = _sql_unscaled(b, sb)
+    if shift > 0:
+        num = f"({num} * {_sql_pow10(shift)})"
+    elif shift < 0:
+        den = f"({den} * {_sql_pow10(-shift)})"
+    return f"CAST({_sql_truncdiv(num, den)} AS BIGINT)"
+
+
+def SQL_DEC_MOD_U(a: str, pa: int, sa: int, b: str, pb: int, sb: int) -> str:
+    """`SQL_DEC_MOD` rendered as the unscaled BIGINT."""
+    p, s = mod_type(pa, sa, pb, sb)
+    ua = _sql_unscaled(a, sa)
+    ub = _sql_unscaled(b, sb)
+    if sa < s:
+        ua = f"({ua} * {_sql_pow10(s - sa)})"
+    if sb < s:
+        ub = f"({ub} * {_sql_pow10(s - sb)})"
+    return (f"CAST((CASE WHEN ({ua}) < 0 THEN -1 ELSE 1 END)"
+            f" * (abs({ua}) % abs({ub})) AS BIGINT)")
+
+
+def SQL_DEC_AVG_U(expr: str, p: int, s: int) -> str:
+    """`SQL_DEC_AVG` rendered as the unscaled digit STRING (promotion
+    scales overflow int64; HUGEINT->VARCHAR is sign+digits everywhere)."""
+    pr, sr = avg_type(p, s)
+    num = f"SUM({_sql_unscaled(expr, s)})"
+    shift = sr - s
+    if shift > 0:
+        num = f"({num} * {_sql_pow10(shift)})"
+    den = f"CAST(COUNT({expr}) AS HUGEINT)"
+    return f"CAST({_sql_truncdiv(num, den)} AS VARCHAR)"
 
 
 def SQL_DEC_AVG(expr: str, p: int, s: int) -> str:

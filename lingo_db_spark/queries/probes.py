@@ -1,0 +1,184 @@
+"""Driver-gate bisector probes for the decimal/cast divergence.
+
+CORRECTNESS_r03 and _r04 both hash-mismatched the same 4 queries
+(`decimal_div_mod`, `decimal_avg_promote`, `decimal_literal_arith`,
+`scalars_cast`) while every one of them passes the faithful local replica
+(DuckDB 1.0.0) — and the `semantics_canary`'s 10 probes all PASSED on the
+driver, so the divergence lives in a construct the canary never touches.
+
+This module makes the driver gate itself the bisector: one singleton query
+per suspect construct, each with a single-purpose output, registered
+immediately after the canary so all of them land inside the driver's
+attestation window.  A red row in CORRECTNESS_r05 then *names* the guilty
+construct directly.
+
+Two probe families:
+
+1. **Transport probes** (`probe_dec*_transport`): a literal decimal value
+   at each (p,s) the failing queries output — (17,6), (5,2), (31,21),
+   (38,19), (26,14), (18,2), plus a trailing-zero value.  The oracle is a
+   bare string->decimal CAST; the Spark side is the same literal.  If one
+   of these goes red the problem is the decimal-typed compare/transport
+   channel at that (p,s) (e.g. an Arrow decimal32/64 export change or a
+   scale-normalizing comparator), not the arithmetic.
+
+2. **Construct probes**: each oracle computes ONE renderer construct from
+   functions/decimal.py — CAST('10^19+' AS HUGEINT), hugeint abs/`//`/`%`
+   at 1e25 magnitude, lpad digit padding, the sign-explicit truncdiv CASE,
+   the full textual `_sql_rescale` assembly (narrow + wide + negative),
+   DECIMAL(12,2)x100 unscaling — with the result rendered as VARCHAR or
+   BIGINT (never decimal-typed, so family-1 issues can't contaminate the
+   diagnosis) against the Spark-side literal every DuckDB version we can
+   test produces.
+
+3. **Table probes**: the scalars_cast suspects folded over real (dirty)
+   doubles — SQL_CAST_DEC summed to total cents, double->VARCHAR shortest
+   repr (length-sum + lexicographic min), trunc() toward zero summed,
+   CAST(timestamp AS DATE)->VARCHAR min/max — each aggregated to one row
+   so any per-row divergence anywhere in the table trips the hash.
+
+Expected values were pinned against DuckDB 1.0.0 (2026-08, this repo's
+local gate) and Spark 4.1.2; `tests/test_probes.py` asserts the Spark
+side of every literal probe equals the pinned value.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal as D
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lingo_db_spark.catalog import load_table
+from lingo_db_spark.functions import decimal as dec
+from lingo_db_spark.queries import register
+
+
+def _lit_probe(name: str, oracle_expr: str, value, cast_to: str) -> None:
+    """Register a 1-row, 1-column probe: oracle computes the construct,
+    Spark emits the expected literal (built lazily — F.lit needs an
+    active session, and registration happens at import time)."""
+
+    @register(name, f"SELECT {oracle_expr} AS v")
+    def _probe(spark: SparkSession, sf_dir: str,
+               _v=value, _t=cast_to) -> DataFrame:
+        return spark.range(1).select(F.lit(_v).cast(_t).alias("v"))
+    _probe.__doc__ = f"Bisector probe: {oracle_expr}"
+
+
+# --- family 1: decimal-typed transport at each suspect (p,s) -------------
+_lit_probe("probe_dec17_6_transport",
+           "CAST('12345678901.234567' AS DECIMAL(17,6))",
+           D("12345678901.234567"), "decimal(17,6)")
+_lit_probe("probe_dec5_2_transport",
+           "CAST('123.45' AS DECIMAL(5,2))",
+           D("123.45"), "decimal(5,2)")
+_lit_probe("probe_dec31_21_transport",
+           "CAST('1234567890.123456789012345678901' AS DECIMAL(31,21))",
+           D("1234567890.123456789012345678901"), "decimal(31,21)")
+_lit_probe("probe_dec38_19_transport",
+           "CAST('1234567890123456789.1234567890123456789' AS DECIMAL(38,19))",
+           D("1234567890123456789.1234567890123456789"), "decimal(38,19)")
+_lit_probe("probe_dec26_14_transport",
+           "CAST('-2.33333333333333' AS DECIMAL(26,14))",
+           D("-2.33333333333333"), "decimal(26,14)")
+_lit_probe("probe_dec18_2_transport",
+           "CAST('173665.47' AS DECIMAL(18,2))",
+           D("173665.47"), "decimal(18,2)")
+_lit_probe("probe_dec_trailing_zero",
+           "CAST('2.50' AS DECIMAL(5,2))",
+           D("2.50"), "decimal(5,2)")
+
+# --- family 2: oracle renderer constructs, rendered VARCHAR/BIGINT -------
+_lit_probe("probe_hugeint_pow10",
+           "CAST(CAST('1000000000000000000000' AS HUGEINT) AS VARCHAR)",
+           "1000000000000000000000", "string")
+_lit_probe("probe_hugeint_floordiv_1e25",
+           "CAST(abs(CAST('-12345678901234567890123456' AS HUGEINT)) "
+           "// 1000000 AS VARCHAR)",
+           "12345678901234567890", "string")
+_lit_probe("probe_hugeint_mod_1e25",
+           "CAST(abs(CAST('-12345678901234567890123456' AS HUGEINT)) "
+           "% 1000000 AS VARCHAR)",
+           "123456", "string")
+_lit_probe("probe_lpad_digits",
+           "lpad(CAST(CAST(7 AS HUGEINT) AS VARCHAR), 6, '0')",
+           "000007", "string")
+_lit_probe("probe_truncdiv_sign",
+           f"CAST({dec._sql_truncdiv('-700000000000000', '3')} AS BIGINT)",
+           -233333333333333, "long")
+_lit_probe("probe_rescale_narrow",
+           f"CAST({dec._sql_rescale('2333333', 17, 6)} AS VARCHAR)",
+           "2.333333", "string")
+_lit_probe("probe_rescale_negative",
+           f"CAST({dec._sql_rescale('-2333333', 17, 6)} AS VARCHAR)",
+           "-2.333333", "string")
+_lit_probe(
+    "probe_rescale_wide",
+    "CAST(" + dec._sql_rescale(
+        "CAST('38123456789012345678901234567' AS HUGEINT)", 31, 21)
+    + " AS VARCHAR)",
+    "38123456.789012345678901234567", "string")
+_lit_probe("probe_dec_unscale_mul",
+           "CAST(CAST(CAST('123.45' AS DECIMAL(12,2)) * 100 AS HUGEINT) "
+           "AS BIGINT)",
+           12345, "long")
+
+
+# --- family 3: table-folded scalars_cast suspects ------------------------
+
+@register("probe_cast_dec_total_cents", f"""
+SELECT CAST(SUM(CAST(({dec.SQL_CAST_DEC('l_extendedprice', 12, 2)}) * 100
+                AS HUGEINT)) AS BIGINT) AS total_cents
+FROM lineitem
+""")
+def probe_cast_dec_total_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL_CAST_DEC (double->VARCHAR->DECIMAL(12,2)) folded over every
+    dirty double in lineitem, unscaled to integer cents and summed — any
+    per-row 1-ulp rounding divergence in the driver DuckDB's
+    double->VARCHAR or VARCHAR->decimal shifts the total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)")
+             .cast("decimal(38,2)") * 100).cast("decimal(38,0)")
+    return li.agg(F.sum(cents).cast("long").alias("total_cents"))
+
+
+@register("probe_dbl_varchar_repr", """
+SELECT CAST(SUM(length(CAST(o_totalprice AS VARCHAR))) AS BIGINT) AS len_sum,
+       MIN(CAST(o_totalprice AS VARCHAR)) AS lex_min
+FROM orders
+""")
+def probe_dbl_varchar_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """double->VARCHAR shortest-round-trip repr over real money doubles
+    (canary c03/c04 only probed clean literals): the length-sum moves if
+    ANY row renders with different digit count (e.g. %.17g style), the
+    lexicographic min pins an actual rendering."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.col("o_totalprice").cast("string")
+    return o.agg(F.sum(F.length(s)).cast("long").alias("len_sum"),
+                 F.min(s).alias("lex_min"))
+
+
+@register("probe_trunc_money_sum", """
+SELECT CAST(SUM(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT) AS trunc_sum
+FROM orders
+""")
+def probe_trunc_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trunc() toward zero on positive money doubles, summed over orders —
+    isolates scalars_cast's price_int column."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.sum(F.col("o_totalprice").cast("long")).cast("long")
+                 .alias("trunc_sum"))
+
+
+@register("probe_ts_date_render", """
+SELECT MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS date_lo,
+       MAX(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS date_hi
+FROM orders
+""")
+def probe_ts_date_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST(timestamp AS DATE) -> VARCHAR over the whole orders table —
+    isolates scalars_cast's date_str column."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date").cast("string")
+    return o.agg(F.min(d).alias("date_lo"), F.max(d).alias("date_hi"))

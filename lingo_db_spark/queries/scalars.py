@@ -184,7 +184,8 @@ def scalars_condexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("scalars_cast", """
 SELECT o_orderkey,
        CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
-       CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) * 100
+            AS BIGINT) AS price_cents,
        CAST(o_orderkey AS DOUBLE) AS key_dbl,
        CAST(o_orderkey AS VARCHAR) AS key_str,
        CAST('42' AS BIGINT) + o_orderkey AS from_str,
@@ -200,16 +201,39 @@ def scalars_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     bare CAST rounds instead, so the oracle spells trunc() explicitly).
     double->decimal routes through VARCHAR in the oracle: Spark casts via
     the double's shortest string repr + HALF_UP, which a direct DuckDB
-    CAST only matches on some versions/values (see SQL_CAST_DEC)."""
+    CAST only matches on some versions/values (see SQL_CAST_DEC).
+
+    Driver-gate encoding is VERSION-PROOF (r3/r4 red row): the
+    double->decimal(18,2) result travels as integer cents BIGINT, so no
+    decimal type crosses the compare.  Decimal-typed twin:
+    `scalars_cast_typed` (local gate)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return (orders.select(
         "o_orderkey",
         F.col("o_totalprice").cast("long").alias("price_int"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)").cast("long").alias("price_cents"),
         F.col("o_orderkey").cast("double").alias("key_dbl"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         (F.lit("42").cast("long") + F.col("o_orderkey")).alias("from_str"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    ).orderBy("o_orderkey"))
+
+
+@register("scalars_cast_typed", """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS price_dec
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""")
+def scalars_cast_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-typed twin of `scalars_cast`'s double->DECIMAL(18,2)
+    column, kept for the local oracle gate (DuckDB 1.0.0)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return (orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
     ).orderBy("o_orderkey"))
 
 

@@ -1,0 +1,72 @@
+"""Pins the Spark side of every literal bisector probe
+(lingo_db_spark/queries/probes.py) to its hard-coded expected value, and
+the table probes to closed-form recomputations — so a driver-gate red row
+on a probe can only mean the driver DuckDB diverged, never Spark drift."""
+
+from __future__ import annotations
+
+from decimal import Decimal as D
+
+import pytest
+
+from lingo_db_spark.queries import load_all
+
+_EXPECTED = {
+    "probe_dec17_6_transport": D("12345678901.234567"),
+    "probe_dec5_2_transport": D("123.45"),
+    "probe_dec31_21_transport": D("1234567890.123456789012345678901"),
+    "probe_dec38_19_transport": D("1234567890123456789.1234567890123456789"),
+    "probe_dec26_14_transport": D("-2.33333333333333"),
+    "probe_dec18_2_transport": D("173665.47"),
+    "probe_dec_trailing_zero": D("2.50"),
+    "probe_hugeint_pow10": "1000000000000000000000",
+    "probe_hugeint_floordiv_1e25": "12345678901234567890",
+    "probe_hugeint_mod_1e25": "123456",
+    "probe_lpad_digits": "000007",
+    "probe_truncdiv_sign": -233333333333333,
+    "probe_rescale_narrow": "2.333333",
+    "probe_rescale_negative": "-2.333333",
+    "probe_rescale_wide": "38123456.789012345678901234567",
+    "probe_dec_unscale_mul": 12345,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXPECTED))
+def test_literal_probe_value(spark, name):
+    row = load_all()[name].spark_fn(spark, "unused").collect()
+    assert len(row) == 1
+    got = row[0]["v"]
+    exp = _EXPECTED[name]
+    assert got == exp and str(got) == str(exp), (name, got)
+
+
+def test_table_probes_closed_form(spark):
+    """The four table probes recomputed row-by-row in Python Decimal —
+    mirrors Spark's double->string shortest repr via repr(float)."""
+    from tests.conftest import SF_DIR as sf_dir
+    reg = load_all()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+
+    def srepr(x: float) -> str:
+        return repr(x)
+
+    exp_len = sum(len(srepr(r["o_totalprice"])) for r in orders)
+    exp_min = min(srepr(r["o_totalprice"]) for r in orders)
+    got = reg["probe_dbl_varchar_repr"].spark_fn(spark, sf_dir).collect()[0]
+    assert got["len_sum"] == exp_len and got["lex_min"] == exp_min
+
+    exp_trunc = sum(int(r["o_totalprice"]) for r in orders)
+    got = reg["probe_trunc_money_sum"].spark_fn(spark, sf_dir).collect()[0]
+    assert got["trunc_sum"] == exp_trunc
+
+    dates = sorted(str(r["o_orderdate"].date()) for r in orders)
+    got = reg["probe_ts_date_render"].spark_fn(spark, sf_dir).collect()[0]
+    assert (got["date_lo"], got["date_hi"]) == (dates[0], dates[-1])
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    exp_cents = sum(
+        int(D(srepr(r["l_extendedprice"]))
+            .quantize(D("0.01"), rounding="ROUND_HALF_UP") * 100)
+        for r in li)
+    got = reg["probe_cast_dec_total_cents"].spark_fn(spark, sf_dir).collect()[0]
+    assert got["total_cents"] == exp_cents
