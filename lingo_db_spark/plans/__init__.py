@@ -97,9 +97,21 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
              .distinct())
     n_nodes = nodes.count()
     out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    # nodes with no outgoing edge: their rank (dangling mass) is spread
+    # uniformly each round so ranks keep summing to 1 on sink-bearing
+    # graphs.  Id-only frame, one anti-join, computed once.
+    dangling = nodes.join(
+        edges.select(F.col(src_col).alias("node")).distinct(),
+        "node", "left_anti")
     ranks0 = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
+        # per-round scalar: total rank sitting on dangling nodes.  A
+        # single bounded agg (one double) — the same driver-side
+        # convergence-scalar pattern iterate() already uses.
+        d_mass = (ranks.join(dangling, "node")
+                  .agg(F.sum("rank")).collect()[0][0]) or 0.0
+        base = (1 - damping) / n_nodes + damping * d_mass / n_nodes
         contrib = (edges.join(ranks, edges[src_col] == ranks.node)
                    .join(out_deg, src_col)
                    .select(F.col(dst_col).alias("node"),
@@ -107,7 +119,7 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         return (nodes.join(summed, "node", "left")
                 .select("node",
-                        (F.lit((1 - damping) / n_nodes)
+                        (F.lit(base)
                          + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
                         .alias("rank")))
 

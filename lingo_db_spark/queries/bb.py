@@ -94,11 +94,15 @@ WITH daily AS (
   FROM events
   GROUP BY event_type, EXTRACT(DAY FROM ts))
 SELECT cat,
-       ROUND(CAST(COUNT(*) * CAST(SUM(x * y) AS BIGINT)
-                  - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT)
+       ROUND(CAST(CAST(COUNT(*) AS DECIMAL(19,0))
+                    * CAST(SUM(x * y) AS DECIMAL(19,0))
+                  - CAST(SUM(x) AS DECIMAL(19,0))
+                    * CAST(SUM(y) AS DECIMAL(19,0))
                   AS DOUBLE)
-             / (COUNT(*) * CAST(SUM(x * x) AS BIGINT)
-                - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT))
+             / CAST(CAST(COUNT(*) AS DECIMAL(19,0))
+                      * CAST(SUM(x * x) AS DECIMAL(19,0))
+                    - CAST(SUM(x) AS DECIMAL(19,0))
+                      * CAST(SUM(x) AS DECIMAL(19,0)) AS DOUBLE)
              / 100, 6) AS slope,
        COUNT(*) AS n_days
 FROM daily
@@ -107,9 +111,13 @@ ORDER BY cat
 """, _EV,
     """TPCx-BB q15 shape (15.sql): closed-form least-squares slope
     (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) of daily revenue per category,
-    computed entirely as SQL sum algebra.  All sums are exact int64
-    (x = day ordinal, y = cents); the slope is a single double division
-    of exact integers, identical cross-engine.""")
+    computed entirely as SQL sum algebra.  Sums are exact int64 (x =
+    day ordinal <= 31, y = daily cents); the n*Sxy / Sx*Sy cross terms
+    are widened to DECIMAL(19,0) factors (products land in 128-bit
+    decimal on both engines — Spark wraps int64 silently with ANSI off
+    while DuckDB raises, so staying in int64 would diverge cross-engine
+    past ~1e18) before ONE double division.  Exact while daily cents
+    < ~1e17 — beyond any one category-day at 100 TB.""")
 
 _sql_query(
     "bb_returned_then_repurchased", """
@@ -146,14 +154,16 @@ WITH obs AS (
   SELECT event_type, CAST(ts AS DATE) AS day, {_CENTS} AS c
   FROM events),
 stats AS (
-  SELECT event_type, day, COUNT(*) AS n,
-         CAST(SUM(c) AS BIGINT) AS sx,
-         CAST(SUM(c * c) AS BIGINT) AS sxx
+  SELECT event_type, day, CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+         CAST(SUM(c) AS DECIMAL(19,0)) AS sx,
+         CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(19,0)) AS sxx
   FROM obs GROUP BY event_type, day)
 SELECT event_type, day,
-       ROUND(CAST(sx AS DOUBLE) / n / 100, 4) AS mean_value,
-       ROUND((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-             / (CAST(n AS DOUBLE) * (n - 1)) / 10000, 4) AS var_value
+       ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100, 4) AS mean_value,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 10000, 4)
+         AS var_value
 FROM stats
 WHERE n > 1 AND 4 * n * (n * sxx - sx * sx) > sx * sx * (n - 1)
 ORDER BY event_type, day
@@ -162,5 +172,12 @@ ORDER BY event_type, day
     variance with a coefficient-of-variation band filter (std/mean >
     1/2).  The band decision is cross-multiplied into exact integer
     arithmetic — var > (1/2)^2 * mean^2 becomes 4n(n*Sxx - Sx^2) >
-    Sx^2(n-1) — so no float ulp can flip a boundary group; the
-    presented mean/variance are single divisions of exact sums.""")
+    Sx^2(n-1) — so no float ulp can flip a boundary group.  n/sx/sxx
+    are DECIMAL(19,0), so the band products evaluate in 128-bit decimal
+    on BOTH engines (int64 would silently wrap in Spark with ANSI off
+    while DuckDB raises — a cross-engine divergence past ~1e18).
+    (19,0) x (19,0) = (38,0) is the widest product both engines accept;
+    the band stays exact while Sxx < 1e19 — about 1e9 rows per (group,
+    day) at cents <= 1e5; beyond that Spark nulls out visibly rather
+    than wrapping.  The presented mean/variance are single double
+    divisions of exact sums.""")

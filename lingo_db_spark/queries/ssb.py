@@ -96,9 +96,13 @@ dim_part AS (
   FROM part)
 """
 
-# Exact-sum presentation: micros BIGINT -> dollars double, once, at the end.
+# Exact-sum presentation: micros -> dollars double, once, at the end.
+# The accumulator is DECIMAL(38,0) (per-row terms stay under int64; the
+# SUM would wrap int64 silently in Spark / raise in DuckDB past ~9e18,
+# which a 100 TB revenue sum in micros exceeds — a cross-engine
+# divergence).  38 digits covers any conceivable revenue total.
 def _money(expr: str, alias: str, scale: float = 1000000.0) -> str:
-    return (f"ROUND(CAST(CAST(SUM({expr}) AS BIGINT) AS DOUBLE)"
+    return (f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(19,0))) AS DOUBLE)"
             f" / {scale}, 4) AS {alias}")
 
 

@@ -115,6 +115,17 @@ def test_pagerank_on_known_graph(spark):
     assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-3)
 
 
+def test_pagerank_sink_node_conserves_mass(spark):
+    # node 2 is a sink (no outgoing edge): without dangling-mass
+    # redistribution the total rank leaks by ~d*rank(2) every round.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src INT, dst INT")
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=20).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-6)
+    # sink absorbs the most rank in this chain
+    assert max(ranks, key=ranks.get) == 2
+
+
 # --- sources (COPY FROM) -----------------------------------------------------
 
 def test_copy_from_csv_declared_schema(spark, tmp_path):

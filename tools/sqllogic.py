@@ -123,7 +123,7 @@ def canon_num(s: str) -> str:
 
 def fmt_tsv(v) -> str:
     """tsv-mode rendering (the reference's sqlite-tester tsv protocol,
-    test/sqlite-small/*.test): NULL, booleans as true/false, numerics
+    test/sqlite-small/*.test): NULL, booleans as 't'/'f', numerics
     scale-canonicalized, everything else str()."""
     if v is None:
         return "NULL"
@@ -140,17 +140,23 @@ def canon_tsv_line(line: str) -> str:
 
 def tsv_fields_equal(a: str, b: str) -> bool:
     """Field equality with cross-scale numeric tolerance: a repeating
-    decimal truncated at different scales ('3.33333' vs
+    decimal rendered at different scales ('3.33333' vs
     '3.333333333333333333' — Spark's avg-promoted decimal vs LingoDB's
-    scale-18) compares equal on the common prefix of digits."""
+    scale-18) compares equal after quantizing the longer to the
+    shorter's scale.  Round-trip, not common-prefix: '1.23' vs '1.2399'
+    is correctly UNEQUAL (1.2399 -> 1.24 at scale 2), closing the
+    false-PASS vector a prefix compare had."""
     if a == b:
         return True
     if _NUM_RE.match(a) and _NUM_RE.match(b):
-        fa, fb = a.split("."), b.split(".")
-        if fa[0] != fb[0]:
-            return False
-        k = min(len(fa[1]), len(fb[1]))
-        return fa[1][:k] == fb[1][:k]
+        from decimal import ROUND_HALF_UP, Decimal
+        da, db = Decimal(a), Decimal(b)
+        sa, sb = -da.as_tuple().exponent, -db.as_tuple().exponent
+        if sa == sb:
+            return da == db
+        short, long_ = (da, db) if sa < sb else (db, da)
+        q = Decimal(1).scaleb(min(sa, sb) * -1)
+        return short == long_.quantize(q, rounding=ROUND_HALF_UP)
     return False
 
 
@@ -165,14 +171,32 @@ def tsv_rows_equal(got: list[str], exp: list[str]) -> str | None:
     return None
 
 
+def tsv_compare(got: list[str], exp: list[str], ordered: bool) -> str | None:
+    """tsv-mode comparison.  No ORDER BY -> row multiset (sorted both
+    sides).  With ORDER BY the output order IS under test: compare
+    in sequence, with one normalization — rows containing a NULL field
+    may sit at either end (Spark default NULLS FIRST asc vs the corpus
+    engine's NULLS LAST), so the NULL-free subsequences must match in
+    order AND the full multisets must match."""
+    if not ordered:
+        return tsv_rows_equal(sorted(got), sorted(exp))
+    err = tsv_rows_equal(got, exp)
+    if err is None:
+        return None
+    no_null = lambda rows: [r for r in rows              # noqa: E731
+                            if "NULL" not in r.split("\t")]
+    seq_err = tsv_rows_equal(no_null(got), no_null(exp))
+    if seq_err is not None:
+        return f"ordered: {seq_err}"
+    return tsv_rows_equal(sorted(got), sorted(exp))
+
+
 def result_values(rows, types: str, sort: str) -> list[str]:
     if types == "tsv":
-        # tsv mode: one LINE per row, values tab-joined.  ALWAYS compared
-        # as a row multiset: NULLS FIRST/LAST ordering conventions differ
-        # between Spark and the corpus's engine and are presentation, not
-        # the semantics under test (value content still compares exactly).
-        formatted = ["\t".join(fmt_tsv(v) for v in row) for row in rows]
-        return sorted(formatted)
+        # tsv mode: one LINE per row, values tab-joined, in result order
+        # (ordering decisions live in tsv_compare, which knows whether
+        # the query had an ORDER BY).
+        return ["\t".join(fmt_tsv(v) for v in row) for row in rows]
     formatted = [[fmt_value(v, t) for v, t in zip(row, types)]
                  for row in rows]
     if sort == "rowsort":
@@ -218,10 +242,15 @@ _SUBQ_SPLIT_RE = re.compile(r"^\s*SELECT\s+(.*?)\s+FROM\s+(.*)$",
                             re.IGNORECASE | re.DOTALL)
 
 
-def _scan_lhs(sql: str, end: int) -> int:
-    """Return the start index of the expression ending at `end`
-    (exclusive): an identifier chain, optionally a parenthesized tail
-    (function call or scalar subquery) with its leading name."""
+_LHS_STOP_WORDS = {"and", "or", "not", "where", "when", "then", "else",
+                   "on", "having", "select", "case", "in", "like",
+                   "between", "is"}
+
+
+def _scan_operand(sql: str, end: int) -> int:
+    """Start index of the single operand ending at `end` (exclusive): an
+    identifier chain, optionally a parenthesized tail (function call or
+    scalar subquery) with its leading name."""
     i = end - 1
     while i >= 0 and sql[i].isspace():
         i -= 1
@@ -237,6 +266,49 @@ def _scan_lhs(sql: str, end: int) -> int:
     while i >= 0 and (sql[i].isalnum() or sql[i] in "._"):
         i -= 1
     return i + 1
+
+
+def _scan_lhs(sql: str, end: int) -> int:
+    """Start index of the full arithmetic expression ending at `end`
+    (exclusive): operand, then any chain of binary `+ - * % ||` joined
+    operands leftward ('a + b > ANY(...)' captures 'a + b', not just
+    'b').  A leading `-`/`+` whose left neighbour is an operator,
+    keyword, `(` or start-of-clause is unary and absorbed into the
+    expression.  Stops at comparison operators, commas, and clause
+    keywords — those delimit the predicate.  (`/` never appears here:
+    to_spark_sql has already mapped it to ` div `, whose surrounding
+    word chars end the scan naturally.)"""
+    start = _scan_operand(sql, end)
+    while True:
+        j = start - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0:
+            return start
+        ch = sql[j]
+        if ch in "+-":
+            # binary iff the token to its left is an operand end
+            k = j - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0 and (sql[k].isalnum() or sql[k] in "._)"):
+                # ...unless that "operand" is a stop keyword (WHERE -x)
+                w = k
+                while w >= 0 and (sql[w].isalnum() or sql[w] == "_"):
+                    w -= 1
+                word = sql[w + 1:k + 1].lower()
+                if word in _LHS_STOP_WORDS:
+                    return j            # unary sign: include it
+                start = _scan_operand(sql, j)
+                continue
+            return j                    # unary sign: include it
+        if ch in "*%":
+            start = _scan_operand(sql, j)
+            continue
+        if ch == "|" and j > 0 and sql[j - 1] == "|":
+            start = _scan_operand(sql, j - 1)
+            continue
+        return start
 
 
 def _rewrite_quantified(sql: str) -> str:
@@ -415,6 +487,95 @@ def pipe_to_standard(sql: str) -> str:
     return q
 
 
+_ORDER_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+
+
+def normalize_null_order(sql: str) -> str:
+    """Pin every ORDER BY item's null placement to the tsv corpus
+    engine's convention (NULLS LAST asc / NULLS FIRST desc — evidenced
+    by the expected outputs of unnesting.test's NULL-keyed orderings)
+    so Spark's opposite default can't shift rows whose sort key is not
+    part of the output.  Applied in tsv mode only: the select*.test
+    md5 corpus is SQLite-generated (NULLS FIRST), which matches
+    Spark's default untouched."""
+    repls: list[tuple[int, int, str]] = []
+    last_end = -1
+    for m in _ORDER_RE.finditer(sql):
+        if m.start() < last_end:
+            continue        # nested inside a clause already processed
+        start = m.end()
+        depth, j = 0, start
+        while j < len(sql):
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (depth == 0 and sql[j:j + 5].lower() == "limit"
+                  and not (j > 0 and (sql[j - 1].isalnum()
+                                      or sql[j - 1] == "_"))
+                  and (j + 5 >= len(sql)
+                       or not (sql[j + 5].isalnum() or sql[j + 5] == "_"))):
+                break
+            j += 1
+        items = []
+        for it in _split_top(sql[start:j], ","):
+            st = it.strip().rstrip(";")
+            if not st or re.search(r"\bnulls\s+(first|last)\b", st,
+                                   re.IGNORECASE):
+                items.append(st)
+            elif re.search(r"\bdesc\s*$", st, re.IGNORECASE):
+                items.append(st + " NULLS FIRST")
+            else:
+                items.append(st + " NULLS LAST")
+        tail = ";" if sql[start:j].rstrip().endswith(";") else ""
+        repls.append((start, j, " " + ", ".join(items) + tail + " "))
+        last_end = j
+    for start, j, rep in reversed(repls):
+        sql = sql[:start] + rep + sql[j:]
+    return sql
+
+
+def _is_correlated_scope_gap(sql: str, alias: str) -> bool:
+    """True iff `alias.<col>` is referenced inside a parenthesized
+    subselect of the ORIGINAL query text that does not itself bind
+    `alias` in its own (paren-free) FROM/JOIN items, while the text
+    outside that subselect does bind it — the shape of Catalyst's
+    correlation-scope limitation.  Checked against the original SQL, so
+    an alias reference manufactured by a rewriter bug (absent from any
+    subquery here) is NOT classified as engine-unsupported."""
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        spans.append((m.start(), j))
+    if not spans:
+        return False
+    a = re.escape(alias)
+    ref_re = re.compile(rf"\b{a}\s*\.", re.IGNORECASE)
+    # tempered scan: a binding must appear in the FROM/JOIN item list
+    # itself — stop at the next clause keyword so `FROM t WHERE x.c`
+    # does not count as binding x.
+    bind_re = re.compile(
+        rf"\b(?:from|join)\b"
+        rf"(?:(?!\b(?:where|group|order|having|select|limit)\b)[^()])*?"
+        rf"\b(?:as\s+)?{a}\b",
+        re.IGNORECASE | re.DOTALL)
+    for s, e in spans:
+        inner = sql[s:e]
+        if ref_re.search(inner) and not bind_re.search(inner):
+            if bind_re.search(sql[:s] + " " + sql[e:]):
+                return True
+    return False
+
+
 def to_spark_sql(sql: str) -> str:
     """Corpus SQL -> Spark SQL.  Two documented shims: `/` on the
     corpus's all-integer data is truncating division (-> `div`, probed
@@ -462,7 +623,7 @@ def corpus_session():
 
 
 def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
-             on_fail=None) -> tuple[int, int, int]:
+             on_fail=None) -> tuple[int, int, int, int, int]:
     """Execute one .test file.
     Returns (ran, passed, failed, dialect_skipped, engine_unsupported)."""
     import duckdb
@@ -498,14 +659,16 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
             dirty = False
         _, types, sort, label, sql, expected = rec
         ran += 1
+        has_order = bool(re.search(r"\border\s+by\b", sql, re.IGNORECASE))
         try:
-            rows = spark.sql(to_spark_sql(sql)).collect()
+            q = to_spark_sql(sql)
+            if types == "tsv" and has_order:
+                q = normalize_null_order(q)
+            rows = spark.sql(q).collect()
             values = result_values(rows, types, sort)
             if types == "tsv":
-                # multiset compare (see result_values) with canonical
-                # numeric scale on both sides
-                exp = sorted(canon_tsv_line(e) for e in (expected or []))
-                err = tsv_rows_equal(values, exp)
+                exp = [canon_tsv_line(e) for e in (expected or [])]
+                err = tsv_compare(values, exp, has_order)
             else:
                 err = check_expected(values, expected or [])
         except Exception as e:                      # noqa: BLE001
@@ -519,13 +682,14 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
                 # the corpus dialect's scoping), then value-check as
                 # usual — only an untranslatable query is skipped.
                 try:
-                    rows = spark.sql(
-                        to_spark_sql(pipe_to_standard(sql))).collect()
+                    q2 = to_spark_sql(pipe_to_standard(sql))
+                    if types == "tsv" and has_order:
+                        q2 = normalize_null_order(q2)
+                    rows = spark.sql(q2).collect()
                     values = result_values(rows, types, sort)
                     if types == "tsv":
-                        exp = sorted(canon_tsv_line(x)
-                                     for x in (expected or []))
-                        err = tsv_rows_equal(values, exp)
+                        exp = [canon_tsv_line(x) for x in (expected or [])]
+                        err = tsv_compare(values, exp, has_order)
                     else:
                         err = check_expected(values, expected or [])
                     if err is None:
@@ -555,12 +719,15 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
             if "cannot be resolved" in msg:
                 # outer-alias reference from >1 subquery level down:
                 # Spark resolves outer references one level only.  The
-                # "unresolved" name must actually be an alias defined in
-                # the query text for this classification to apply.
+                # "unresolved" name must be referenced INSIDE a subquery
+                # that does not define it while an outer scope does —
+                # i.e. an actual correlation shape.  A rewriter bug that
+                # emits a dangling alias reference fails this test and
+                # stays a counted failure.
                 um = re.search(r"name `(\w+)`\.`\w+` cannot be resolved",
                                msg)
                 nested_corr = bool(
-                    um and re.search(rf"\b(AS\s+)?{um.group(1)}\b", sql))
+                    um and _is_correlated_scope_gap(sql, um.group(1)))
             if "Cannot generate code" in msg and "outer(" in msg:
                 nested_corr = True      # correlated non-equi join-ON
             if ("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
