@@ -161,6 +161,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         decimal_q,
         dsq,
+        dsq2,
         ssb,
         cbench,
         bb,

@@ -1,0 +1,271 @@
+"""Decorrelation-class query shapes, tranche 2 (TPC-DS / JOB style) —
+the gated-suite patterns round 4's 35 shapes had not yet covered
+(reference resources/sql/tpcds/95.sql, 4.sql/11.sql, 17.sql/25.sql and
+resources/sql/job/21a/28a/29a.sql; CI
+.github/workflows/workflow-ubuntu-latest-x86_64.yml:168-193):
+
+  q95  -> ds_double_exists_shared_cte  (two IN-subqueries over ONE
+          shared self-join CTE, the second reached through another table)
+  q4/11-> ds_year_total_ratio          (UNION ALL year_total CTE
+          consumed four ways; cross-channel year-over-year ratio compare)
+  q17/25-> ds_quantity_chain_stats     (sale -> return -> re-purchase
+          chain through three aliased scans of the same date carrier,
+          with exact count/avg/variance stats per group)
+  29a  -> job_ten_way_min_chain        (9-relation all-equi chain with
+          4 aliased dim scans and MIN aggregates, no GROUP BY)
+  21a/28a-> job_mixed_predicate_chain  (NOT LIKE / IS NULL / IN-list /
+          OR-of-LIKE / <> predicate mix over a 6-relation chain)
+
+Raw SQL through spark.sql with the IDENTICAL string as the DuckDB oracle
+(the reference's interface is SQL text, SURVEY.md §3.1).  Money runs in
+exact int64 micro-units; variance is (n*Sxx - Sx^2) over exact integer
+sums with DECIMAL(19,0) widening (the r5 bb.py lesson: int64 band
+products wrap in Spark / raise in DuckDB past ~1e18), so no float or
+overflow decides a row differently across engines.
+
+100 TB posture: every join is equi (plan-asserted no-cartesian in
+tests/test_dsq2.py); the q95 self-join CTE is DISTINCT-reduced before
+reuse (bounded ~7 lineitems/order fan-out); the q17 chain joins through
+(custkey, partkey) pairs — 10x probed via tools/scale_probe.py.
+"""
+
+from __future__ import annotations
+
+from lingo_db_spark.queries.dsq import _micros, _sql_query
+
+# ---------------------------------------------------------------------------
+# 1. TPC-DS q95: double IN over one shared self-join CTE
+# ---------------------------------------------------------------------------
+
+_Q95 = f"""
+WITH multi_supp AS (
+  SELECT DISTINCT l1.l_orderkey AS okey
+  FROM lineitem l1, lineitem l2
+  WHERE l1.l_orderkey = l2.l_orderkey
+    AND l1.l_suppkey <> l2.l_suppkey)
+SELECT COUNT(DISTINCT o.o_orderkey) AS order_count,
+       CAST(SUM(CAST({_micros('l.l_extendedprice * (1 - l.l_discount)')}
+                AS DECIMAL(19,0))) AS BIGINT) AS total_revenue_micros,
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE CAST(o.o_orderdate AS DATE)
+        BETWEEN DATE '1995-02-01' AND DATE '1995-06-01'
+  AND o.o_orderkey IN (SELECT okey FROM multi_supp)
+  AND o.o_orderkey IN (SELECT r.l_orderkey
+                       FROM lineitem r, multi_supp
+                       WHERE r.l_orderkey = multi_supp.okey
+                         AND r.l_returnflag = 'R')
+"""
+
+_sql_query(
+    "ds_double_exists_shared_cte", _Q95,
+    ("orders", "lineitem"),
+    """TPC-DS q95 shape (resources/sql/tpcds/95.sql): one self-join CTE
+    (orders shipped from multiple suppliers = ws_wh's multi-warehouse
+    orders) consumed by TWO membership subqueries — directly, and
+    re-joined through a second table (returned lineitems = web_returns).
+    Catalyst plans both as semi-joins over the shared, DISTINCT-reduced
+    CTE; plan-asserted no-cartesian + semi-join in tests/test_dsq2.py.
+    The CTE's self-join fan-out is bounded by per-order line count (7),
+    and DISTINCT collapses it before reuse — the q95 scale trap (reusing
+    the raw pair set twice) is avoided.""")
+
+
+# ---------------------------------------------------------------------------
+# 2. TPC-DS q4/q11: UNION ALL year_total CTE consumed four ways
+# ---------------------------------------------------------------------------
+
+_Q_YEAR_TOTAL = f"""
+WITH year_total AS (
+  SELECT o_custkey AS cust,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         'urgent' AS channel,
+         CAST(SUM(CAST({_micros('o_totalprice')} AS DECIMAL(19,0)))
+              AS BIGINT) AS total
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+  UNION ALL
+  SELECT o_custkey AS cust,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         'routine' AS channel,
+         CAST(SUM(CAST({_micros('o_totalprice')} AS DECIMAL(19,0)))
+              AS BIGINT) AS total
+  FROM orders
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate))
+SELECT u2.cust AS c_custkey,
+       ROUND(CAST(u2.total AS DOUBLE) / 1000000.0, 4) AS urgent_y2,
+       ROUND(CAST(r2.total AS DOUBLE) / 1000000.0, 4) AS routine_y2
+FROM year_total u1
+JOIN year_total u2 ON u2.cust = u1.cust
+JOIN year_total r1 ON r1.cust = u1.cust
+JOIN year_total r2 ON r2.cust = u1.cust
+WHERE u1.channel = 'urgent' AND u1.yr = 1995
+  AND u2.channel = 'urgent' AND u2.yr = 1996
+  AND r1.channel = 'routine' AND r1.yr = 1995
+  AND r2.channel = 'routine' AND r2.yr = 1996
+  AND u1.total > 0 AND r1.total > 0
+  AND CAST(u2.total AS DECIMAL(19,0)) * CAST(r1.total AS DECIMAL(19,0))
+      > CAST(r2.total AS DECIMAL(19,0)) * CAST(u1.total AS DECIMAL(19,0))
+ORDER BY c_custkey
+"""
+
+_sql_query(
+    "ds_year_total_ratio", _Q_YEAR_TOTAL,
+    ("orders",),
+    """TPC-DS q4/q11 shape (resources/sql/tpcds/4.sql, 11.sql): a
+    UNION ALL year_total CTE (two channels x per-customer-year totals)
+    self-joined FOUR ways — first/second year of each channel — keeping
+    customers whose urgent-channel year-over-year growth exceeds the
+    routine channel's.  The ratio compare u2/u1 > r2/r1 is
+    cross-multiplied, with the products in DECIMAL(19,0) x DECIMAL(19,0)
+    = 128-bit decimal (micros totals reach ~1e12 per customer-year, so
+    the products pass 1e24 — int64 would wrap in Spark and raise in
+    DuckDB), keeping the boundary decision exact on both engines.
+    Catalyst reuses one shuffle of the CTE for all four consumers
+    (exchange reuse, asserted in tests/test_dsq2.py).""")
+
+
+# ---------------------------------------------------------------------------
+# 3. TPC-DS q17/q25: sale -> return -> re-purchase chain with stats
+# ---------------------------------------------------------------------------
+
+_Q_CHAIN = """
+WITH sale AS (
+  SELECT o.o_custkey AS cust,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         COUNT(*) AS sn
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'N'
+    AND CAST(o.o_orderdate AS DATE)
+          BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+  GROUP BY o.o_custkey),
+ret AS (
+  SELECT o.o_custkey AS cust,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS rq
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey),
+rep AS (
+  SELECT o.o_custkey AS cust,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS pq
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'N'
+    AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+  GROUP BY o.o_custkey)
+SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+       COUNT(*) AS n_chains,
+       CAST(SUM(sale.sq) AS BIGINT) AS sale_qty,
+       CAST(SUM(ret.rq) AS BIGINT) AS ret_qty,
+       CAST(SUM(rep.pq) AS BIGINT) AS rep_qty,
+       ROUND(CAST(SUM(sale.sq) AS DOUBLE) / SUM(sale.sn), 4) AS sale_avg,
+       ROUND(CAST(CAST(COUNT(*) AS DECIMAL(19,0))
+                    * CAST(SUM(sale.sq * sale.sq) AS DECIMAL(19,0))
+                  - CAST(SUM(sale.sq) AS DECIMAL(19,0))
+                    * CAST(SUM(sale.sq) AS DECIMAL(19,0)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+                * (CAST(COUNT(*) AS DOUBLE) - 1)), 4) AS sale_var
+FROM sale
+JOIN ret ON ret.cust = sale.cust
+JOIN rep ON rep.cust = ret.cust
+JOIN customer c ON c.c_custkey = sale.cust
+GROUP BY c.c_nationkey
+HAVING COUNT(*) > 1
+ORDER BY nation
+"""
+
+_sql_query(
+    "ds_quantity_chain_stats", _Q_CHAIN,
+    ("lineitem", "orders", "customer"),
+    """TPC-DS q17/q25 shape (resources/sql/tpcds/17.sql, 25.sql): the
+    sold -> returned -> re-purchased chain — three date-banded slices of
+    the same fact joined per customer, rolled up per nation with
+    count/avg/variance statistics.  The reference's three date_dim
+    aliases (d1,d2,d3) appear as the three date-band predicates on the
+    orders carrier.  Each slice is PRE-AGGREGATED per customer before
+    the chain join (the aggregate-through-fact-chain rewrite from the
+    r4 q64 scale fix, SCALE.md): the join inputs are one row per
+    customer, so slice fan-out can never multiply — the raw-pair form
+    of this chain is exactly the q64-style scale trap.  stddev_samp is
+    re-rendered as exact integer sum algebra in DECIMAL(19,0) factors
+    (bb.py lesson) with ONE double division at the end — cross-engine
+    bit-stable.""")
+
+
+# ---------------------------------------------------------------------------
+# 4. JOB 29a: 9-relation all-equi chain, 4 aliased dims, MIN aggregates
+# ---------------------------------------------------------------------------
+
+_Q_JOB10 = """
+SELECT MIN(c.c_name) AS first_customer,
+       MIN(s.s_name) AS first_supplier,
+       MIN(p.p_name) AS first_part,
+       MIN(o.o_orderdate) AS first_orderdate
+FROM region r1, region r2, nation n1, nation n2,
+     customer c, supplier s, orders o, lineitem l, part p
+WHERE r1.r_name = 'AMERICA'
+  AND r2.r_name IN ('EUROPE', 'ASIA')
+  AND n1.n_regionkey = r1.r_regionkey
+  AND n2.n_regionkey = r2.r_regionkey
+  AND c.c_nationkey = n1.n_nationkey
+  AND s.s_nationkey = n2.n_nationkey
+  AND o.o_custkey = c.c_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey
+  AND l.l_partkey = p.p_partkey
+  AND p.p_type LIKE '%BRASS'
+  AND l.l_quantity > 40
+  AND o.o_orderpriority = '1-URGENT'
+"""
+
+_sql_query(
+    "job_ten_way_min_chain", _Q_JOB10,
+    ("region", "nation", "customer", "supplier", "orders", "lineitem",
+     "part"),
+    """JOB 29a shape (resources/sql/job/29a.sql: 17 relations, 4 aliased
+    dims, all-equi chain, bare MIN aggregates): a 9-relation comma-list
+    chain with region and nation each aliased twice (customer side vs
+    supplier side — the an1/n1 aka_name/name split), selective constant
+    predicates on every dim, and MIN outputs with no GROUP BY.  All
+    joins are equi; Catalyst broadcast-joins the dims and keeps lineitem
+    as the probe side (plan-asserted).  The empty-input corner (MIN over
+    zero rows -> one all-NULL row) matches the reference's aggregate
+    semantics.""")
+
+
+# ---------------------------------------------------------------------------
+# 5. JOB 21a/28a: mixed-predicate chain (NOT LIKE / IS NULL / IN / OR)
+# ---------------------------------------------------------------------------
+
+_Q_JOB_MIX = """
+SELECT MIN(s.s_name) AS supplier_name,
+       MIN(p.p_name) AS part_name,
+       MIN(o.o_orderdate) AS first_order
+FROM supplier s, nation n, part p, lineitem l, orders o, customer c
+WHERE n.n_name <> 'BRAZIL'
+  AND (s.s_name LIKE '%000001%' OR s.s_name LIKE '%000002%')
+  AND s.s_name NOT LIKE '%9999%'
+  AND p.p_type IN ('SMALL', 'MEDIUM', 'PROMO')
+  AND p.p_name IS NOT NULL
+  AND p.p_name NOT LIKE '%zzz%complaint%'
+  AND l.l_linestatus = 'F'
+  AND o.o_orderpriority NOT LIKE '%NOT%SPECIFIED%'
+  AND c.c_mktsegment <> 'AUTOMOBILE'
+  AND s.s_nationkey = n.n_nationkey
+  AND l.l_suppkey = s.s_suppkey
+  AND l.l_partkey = p.p_partkey
+  AND l.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey
+"""
+
+_sql_query(
+    "job_mixed_predicate_chain", _Q_JOB_MIX,
+    ("supplier", "nation", "part", "lineitem", "orders", "customer"),
+    """JOB 21a/28a shape (resources/sql/job/21a.sql, 28a.sql): the
+    messy-predicate chain — <> on a dim, OR of two LIKEs, NOT LIKE with
+    a multi-wildcard pattern (the q16 'Customer%Complaints' idiom), an
+    IN-list, IS NOT NULL — over a 6-relation all-equi chain with MIN
+    outputs, re-targeted at the synthetic schema's columns.  Every
+    predicate is a pushable scan filter; the OR of LIKEs stays a single
+    scan predicate, never a union rewrite (tests/test_dsq2.py).""")

@@ -1,0 +1,74 @@
+"""Plan assertions for the tranche-2 decorrelation pack
+(queries/dsq2.py): the q95 double-membership shape must plan semi
+joins over the shared CTE, the q4/q11 four-way CTE self-join must stay
+equi (no cartesian), the q17 chain must join pre-aggregated per-customer
+slices, and both JOB chains must be pure equi-join trees with pushed
+filters — never a cartesian or per-row subquery."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR, explain_str
+
+from lingo_db_spark.queries import load_all
+
+REG = load_all()
+
+NEW = ["ds_double_exists_shared_cte", "ds_year_total_ratio",
+       "ds_quantity_chain_stats", "job_ten_way_min_chain",
+       "job_mixed_predicate_chain"]
+
+
+def _plans(spark, name):
+    df = REG[name].spark_fn(spark, SF_DIR)
+    ext = explain_str(df, "extended")
+    opt = ext.split("== Optimized Logical Plan ==", 1)[1]
+    return opt.split("== Physical Plan ==", 1)[0], ext
+
+
+def test_no_cartesians_anywhere(spark):
+    for name in NEW:
+        _, ext = _plans(spark, name)
+        assert "CartesianProduct" not in ext, name
+        assert "BroadcastNestedLoopJoin" not in ext, name
+
+
+def test_double_exists_plans_semi_joins(spark):
+    opt, _ = _plans(spark, "ds_double_exists_shared_cte")
+    # both IN-memberships become semi joins (the optimizer may push
+    # extra semi copies down the join tree; never fewer than the two)
+    assert opt.count("LeftSemi") >= 2
+    assert "correlated" not in opt.lower()
+
+
+def test_year_total_four_way_all_equi(spark):
+    opt, ext = _plans(spark, "ds_year_total_ratio")
+    # four consumers of the CTE joined on cust — every join is equi
+    assert "Join Inner" in opt
+    assert "CartesianProduct" not in ext
+
+
+def test_quantity_chain_joins_preaggregated_slices(spark):
+    opt, _ = _plans(spark, "ds_quantity_chain_stats")
+    # each slice is aggregated per customer BEFORE the chain join: the
+    # optimized plan has the three slice aggregates below the joins
+    # (aggregate-through-fact-chain — the q64 scale lesson)
+    agg_q = opt.count("Aggregate [o_custkey")
+    assert agg_q >= 3, opt[:2000]
+
+
+def test_job_chains_broadcast_dims_probe_lineitem(spark):
+    for name in ["job_ten_way_min_chain", "job_mixed_predicate_chain"]:
+        df = REG[name].spark_fn(spark, SF_DIR)
+        p = explain_str(df, "formatted")
+        # dims broadcast; lineitem is never the build side of a
+        # broadcast (it is the scaling fact)
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_year_total_products_are_decimal128(spark):
+    # the ratio compare must evaluate in decimal, not int64 (which wraps
+    # silently in Spark with ANSI off past ~1e18 micros-products)
+    df = REG["ds_year_total_ratio"].spark_fn(spark, SF_DIR)
+    ext = explain_str(df, "extended")
+    assert "decimal(19,0)" in ext
