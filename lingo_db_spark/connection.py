@@ -29,8 +29,29 @@ class Connection:
 
     def sql(self, query: str) -> DataFrame:
         """Run a query; lazy DataFrame result (reference Connection.sql
-        returns a materialized Arrow table; call .toArrow()/.collect())."""
-        return self.spark.sql(query)
+        returns a materialized Arrow table; call .toArrow()/.collect()).
+
+        Correlation-scope parity: Catalyst rejects outer references in a
+        subquery's SELECT list / GROUP BY, which the reference's general
+        unnesting accepts (Unnesting.cpp:18-333).  On that analysis
+        error the query is retried through the separable-term hoist in
+        sqlrewrite.decorrelate_select_list — corpus-value-checked in
+        tools/sqllogic.py — before the original error is re-raised."""
+        from pyspark.errors import AnalysisException
+        try:
+            df = self.spark.sql(query)
+            df.schema          # force analysis while still lazy
+            return df
+        except AnalysisException as e:
+            msg = str(e)
+            if not ("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
+                    or "cannot be resolved" in msg):
+                raise
+            from lingo_db_spark.sqlrewrite import decorrelate_select_list
+            rewritten = decorrelate_select_list(query)
+            if rewritten == query:
+                raise
+            return self.spark.sql(rewritten)
 
     def sql_arrow(self, query: str):
         """Exact reference signature: query -> materialized pyarrow.Table

@@ -470,3 +470,20 @@ def test_connection_append_table(spark):
     got = sorted(tuple(r) for r in con.sql(
         "SELECT * FROM apnd").collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_connection_sql_decorrelates_select_list(spark):
+    # Catalyst rejects SELECT-list correlation; the door must retry via
+    # sqlrewrite.decorrelate_select_list and return the right values.
+    con = Connection(spark)
+    con.add_table("ints", [(1,), (2,), (3,)])
+    # hoistable: MIN(i + 2*outer) = MIN(i) + 2*outer
+    rows = con.sql(
+        "SELECT t1.`_1` AS i, (SELECT MIN(t2.`_1` + 2 * t1.`_1`) FROM ints t2)"
+        " AS m FROM ints t1 ORDER BY i").collect()
+    assert [(r.i, r.m) for r in rows] == [(1, 3), (2, 5), (3, 7)]
+    # a genuinely unsupported shape still raises (no silent wrong answer)
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+    with _pytest.raises(AnalysisException):
+        con.sql("SELECT (SELECT SUM(t1.`_1`)) FROM ints t1").collect()

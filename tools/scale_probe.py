@@ -13,7 +13,11 @@ Prints one JSON line: {"k": .., "queries": {name: {"base_s": ..,
 "scaled_s": .., "ratio": .., "base_rows": .., "scaled_rows": ..}}}
 
 Usage: python tools/scale_probe.py [query ...]
-Env:   SCALE_DIR (default /root/repo/.scaledata/sf1), BASE_DIR, PROBE_RUNS
+Env:   SCALE_DIR (default /root/repo/.scaledata/sf1), BASE_DIR, PROBE_RUNS,
+       PROBE_COUNT=1 to measure via df.count() instead of collect() —
+       for pair-output queries whose 100x result (tens of millions of
+       rows) would make driver transfer, not the plan, the thing being
+       timed.  Applied to BOTH sides so ratios stay comparable.
 """
 
 from __future__ import annotations
@@ -55,10 +59,12 @@ def main() -> int:
         spec = registry[name]
         res: dict[str, float | int] = {}
         for label, d in (("base", base_dir), ("scaled", scale_dir)):
+            use_count = os.environ.get("PROBE_COUNT") == "1"
             samples, rows = [], 0
             for i in range(1 + runs):        # 1 warmup
                 t0 = time.perf_counter()
-                rows = len(spec.spark_fn(spark, d).collect())
+                df = spec.spark_fn(spark, d)
+                rows = df.count() if use_count else len(df.collect())
                 if i > 0:
                     samples.append(time.perf_counter() - t0)
             res[f"{label}_s"] = round(statistics.median(samples), 3)
