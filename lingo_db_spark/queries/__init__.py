@@ -146,6 +146,11 @@ ATTEST_PRIORITY: list[str] = [
     "ds_scalar_cte_gates", "ds_revenue_share_window",
     "job_transitive_equijoin_minagg", "ds_return_ratio_dual_rank",
     "ds_date_offset_lateness",
+    # --- new this round (r5): DS/JOB tranche 2 ---
+    "ds_double_exists_shared_cte", "ds_year_total_ratio",
+    "ds_quantity_chain_stats", "job_ten_way_min_chain",
+    "job_mixed_predicate_chain", "ds_fullouter_cumulative_compare",
+    "ds_returns_excluded_ratio",
 ]
 
 

@@ -15,6 +15,10 @@ resources/sql/job/21a/28a/29a.sql; CI
           4 aliased dim scans and MIN aggregates, no GROUP BY)
   21a/28a-> job_mixed_predicate_chain  (NOT LIKE / IS NULL / IN-list /
           OR-of-LIKE / <> predicate mix over a 6-relation chain)
+  q51  -> ds_fullouter_cumulative_compare (FULL OUTER join of two
+          cumulative-window series, MAX-gap-fill, band filter)
+  q78  -> ds_returns_excluded_ratio    (returns excluded via
+          null-filtered LEFT JOIN -> anti join, cross-channel join)
 
 Raw SQL through spark.sql with the IDENTICAL string as the DuckDB oracle
 (the reference's interface is SQL text, SURVEY.md §3.1).  Money runs in
@@ -269,3 +273,118 @@ _sql_query(
     outputs, re-targeted at the synthetic schema's columns.  Every
     predicate is a pushable scan filter; the OR of LIKEs stays a single
     scan predicate, never a union rewrite (tests/test_dsq2.py).""")
+
+
+# ---------------------------------------------------------------------------
+# 6. TPC-DS q51: FULL OUTER join of two cumulative-window series
+# ---------------------------------------------------------------------------
+
+_Q51 = """
+WITH urgent_v AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS DECIMAL(19,0)))
+           OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_cents
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey < 300
+  GROUP BY o_custkey, CAST(o_orderdate AS DATE)),
+routine_v AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS DECIMAL(19,0)))
+           OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_cents
+  FROM orders
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AND o_custkey < 300
+  GROUP BY o_custkey, CAST(o_orderdate AS DATE))
+SELECT cust, day,
+       CAST(urgent_cume AS BIGINT) AS urgent_cume_c,
+       CAST(routine_cume AS BIGINT) AS routine_cume_c
+FROM (
+  SELECT CASE WHEN u.cust IS NOT NULL THEN u.cust ELSE r.cust END AS cust,
+         CASE WHEN u.day IS NOT NULL THEN u.day ELSE r.day END AS day,
+         MAX(u.cume_cents)
+           OVER (PARTITION BY
+                   CASE WHEN u.cust IS NOT NULL THEN u.cust ELSE r.cust END
+                 ORDER BY
+                   CASE WHEN u.day IS NOT NULL THEN u.day ELSE r.day END
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS urgent_cume,
+         MAX(r.cume_cents)
+           OVER (PARTITION BY
+                   CASE WHEN u.cust IS NOT NULL THEN u.cust ELSE r.cust END
+                 ORDER BY
+                   CASE WHEN u.day IS NOT NULL THEN u.day ELSE r.day END
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS routine_cume
+  FROM urgent_v u FULL OUTER JOIN routine_v r
+    ON u.cust = r.cust AND u.day = r.day) x
+WHERE urgent_cume > routine_cume
+ORDER BY cust, day
+LIMIT 100
+"""
+
+_sql_query(
+    "ds_fullouter_cumulative_compare", _Q51,
+    ("orders",),
+    """TPC-DS q51 shape (resources/sql/tpcds/51.sql): two per-entity
+    cumulative series (nested SUM-over-SUM window over a grouped
+    aggregate), FULL OUTER joined on (entity, date), gap-filled with
+    MAX-over-rows-unbounded windows on the coalesced keys, then band-
+    filtered where one series exceeds the other.  Money runs as integer
+    cents in a DECIMAL(19,0) running sum (no float in the compare); the
+    full-outer + window combination is the shape Catalyst must plan as
+    one sort-merge full join plus two window passes over the SAME sort
+    order (no re-sort between the window operators).""")
+
+
+# ---------------------------------------------------------------------------
+# 7. TPC-DS q78: channel totals with returns EXCLUDED via null-filtered
+#    LEFT JOIN, cross-channel ratio
+# ---------------------------------------------------------------------------
+
+_Q78 = """
+WITH kept AS (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+         o.o_custkey AS cust,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(19,0))) AS BIGINT) AS cents
+  FROM lineitem l
+  LEFT JOIN lineitem ret
+    ON ret.l_orderkey = l.l_orderkey
+   AND ret.l_linenumber = l.l_linenumber
+   AND ret.l_returnflag = 'R'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE ret.l_orderkey IS NULL
+  GROUP BY EXTRACT(YEAR FROM o.o_orderdate), o.o_custkey),
+urgent AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         o_custkey AS cust, COUNT(*) AS n_urgent
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  GROUP BY EXTRACT(YEAR FROM o_orderdate), o_custkey)
+SELECT k.yr AS yr, k.cust AS cust, k.qty AS kept_qty,
+       ROUND(CAST(k.cents AS DOUBLE) / 100.0, 2) AS kept_value,
+       u.n_urgent AS n_urgent
+FROM kept k
+JOIN urgent u ON u.yr = k.yr AND u.cust = k.cust
+WHERE k.qty > 100
+ORDER BY yr, cust
+LIMIT 200
+"""
+
+_sql_query(
+    "ds_returns_excluded_ratio", _Q78,
+    ("lineitem", "orders"),
+    """TPC-DS q78 shape (resources/sql/tpcds/78.sql): per-(year,
+    customer) channel totals computed over rows whose RETURN match is
+    absent — the LEFT JOIN + IS NULL exclusion idiom on the returns
+    side (ws/wr, cs/cr pairs) — joined to a second channel summary on
+    the (year, customer) pair.  The anti-semantics ride a null-filtered
+    LEFT JOIN exactly as the reference writes it (Catalyst turns it
+    into an anti join); sums run in DECIMAL(19,0) then presented as
+    BIGINT cents / rounded dollars.""")

@@ -72,3 +72,24 @@ def test_year_total_products_are_decimal128(spark):
     df = REG["ds_year_total_ratio"].spark_fn(spark, SF_DIR)
     ext = explain_str(df, "extended")
     assert "decimal(19,0)" in ext
+
+
+def test_fullouter_cumulative_single_sort_per_window(spark):
+    df = REG["ds_fullouter_cumulative_compare"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "formatted")
+    assert "FullOuter" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_returns_excluded_plans_anti_semantics(spark):
+    opt, ext = _plans(spark, "ds_returns_excluded_ratio")
+    # LEFT JOIN ... WHERE right-key IS NULL: either the LeftAnti rewrite
+    # or the equi LeftOuter with the isnull filter directly above it
+    # (same shuffle/join cost; this Spark version keeps the outer form).
+    # What must NOT happen: the filter separated from the join by other
+    # operators (full outer materialization), or a cartesian.
+    if "LeftAnti" not in opt:
+        assert "Filter isnull" in opt and "Join LeftOuter" in opt
+        between = opt.split("Filter isnull", 1)[1].split("Join LeftOuter")[0]
+        assert between.count("\n") <= 2, between
+    assert "CartesianProduct" not in ext
