@@ -57,6 +57,10 @@ HEADLINE_EXTRA = [
     "cb_top_groups",
     "bb_category_trend_slope",
     "pipeline_lm_likelihood",
+    # round-5 tranche-2 flagships
+    "ds_double_exists_shared_cte",
+    "job_ten_way_min_chain",
+    "ds_fullouter_cumulative_compare",
 ]
 
 

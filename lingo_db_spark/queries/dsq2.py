@@ -35,6 +35,10 @@ reuse (bounded ~7 lineitems/order fan-out); the q17 chain joins through
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+
+from lingo_db_spark.catalog import register_views
+from lingo_db_spark.queries import register
 from lingo_db_spark.queries.dsq import _micros, _sql_query
 
 # ---------------------------------------------------------------------------
@@ -79,8 +83,7 @@ _sql_query(
 # 2. TPC-DS q4/q11: UNION ALL year_total CTE consumed four ways
 # ---------------------------------------------------------------------------
 
-_Q_YEAR_TOTAL = f"""
-WITH year_total AS (
+_YT_CTE = f"""
   SELECT o_custkey AS cust,
          CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
          'urgent' AS channel,
@@ -97,14 +100,17 @@ WITH year_total AS (
               AS BIGINT) AS total
   FROM orders
   WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate))
+  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+_YT_MAIN = """
 SELECT u2.cust AS c_custkey,
        ROUND(CAST(u2.total AS DOUBLE) / 1000000.0, 4) AS urgent_y2,
        ROUND(CAST(r2.total AS DOUBLE) / 1000000.0, 4) AS routine_y2
-FROM year_total u1
-JOIN year_total u2 ON u2.cust = u1.cust
-JOIN year_total r1 ON r1.cust = u1.cust
-JOIN year_total r2 ON r2.cust = u1.cust
+FROM {yt} u1
+JOIN {yt} u2 ON u2.cust = u1.cust
+JOIN {yt} r1 ON r1.cust = u1.cust
+JOIN {yt} r2 ON r2.cust = u1.cust
 WHERE u1.channel = 'urgent' AND u1.yr = 1995
   AND u2.channel = 'urgent' AND u2.yr = 1996
   AND r1.channel = 'routine' AND r1.yr = 1995
@@ -115,9 +121,12 @@ WHERE u1.channel = 'urgent' AND u1.yr = 1995
 ORDER BY c_custkey
 """
 
-_sql_query(
-    "ds_year_total_ratio", _Q_YEAR_TOTAL,
-    ("orders",),
+_Q_YEAR_TOTAL = (f"WITH year_total AS ({_YT_CTE})"
+                 + _YT_MAIN.format(yt="year_total"))
+
+
+@register("ds_year_total_ratio", _Q_YEAR_TOTAL)
+def ds_year_total_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q4/q11 shape (resources/sql/tpcds/4.sql, 11.sql): a
     UNION ALL year_total CTE (two channels x per-customer-year totals)
     self-joined FOUR ways — first/second year of each channel — keeping
@@ -127,8 +136,18 @@ _sql_query(
     = 128-bit decimal (micros totals reach ~1e12 per customer-year, so
     the products pass 1e24 — int64 would wrap in Spark and raise in
     DuckDB), keeping the boundary decision exact on both engines.
-    Catalyst reuses one shuffle of the CTE for all four consumers
-    (exchange reuse, asserted in tests/test_dsq2.py).""")
+
+    Spark's WITH does not materialize, and pushing the four consumers'
+    filters through the CTE leaves EIGHT full scans of the fact — the
+    q4/q11 scale trap.  The CTE is therefore persisted once (the
+    reference's relalg.tmp materialization, IntroduceTmp.cpp) and the
+    four-way self-join reads the cache: one fact scan total, asserted
+    via InMemoryTableScan in tests/test_dsq2.py.  Oracle = the plain
+    WITH form (DuckDB materializes CTEs referenced more than once)."""
+    register_views(spark, sf_dir, ("orders",))
+    yt = spark.sql(_YT_CTE).persist()
+    yt.createOrReplaceTempView("year_total_r5")
+    return spark.sql(_YT_MAIN.format(yt="year_total_r5"))
 
 
 # ---------------------------------------------------------------------------

@@ -40,11 +40,19 @@ def test_double_exists_plans_semi_joins(spark):
     assert "correlated" not in opt.lower()
 
 
-def test_year_total_four_way_all_equi(spark):
+def test_year_total_four_way_all_equi_and_cached(spark):
     opt, ext = _plans(spark, "ds_year_total_ratio")
-    # four consumers of the CTE joined on cust — every join is equi
+    # four consumers of the CTE joined on cust — every join is equi,
+    # and all four read the persisted year_total (one fact scan total,
+    # not eight pushed-down rescans)
     assert "Join Inner" in opt
     assert "CartesianProduct" not in ext
+    df = REG["ds_year_total_ratio"].spark_fn(spark, SF_DIR)
+    p = explain_str(df, "simple")
+    # all four consumers read the cache (the FileScan lines still in the
+    # printout are the InMemoryRelation's cached-definition child, which
+    # executes once on first materialization)
+    assert p.count("InMemoryTableScan") >= 4 or "TableCacheQueryStage" in p
 
 
 def test_quantity_chain_joins_preaggregated_slices(spark):
