@@ -150,7 +150,8 @@ ATTEST_PRIORITY: list[str] = [
     "ds_double_exists_shared_cte", "ds_year_total_ratio",
     "ds_quantity_chain_stats", "job_ten_way_min_chain",
     "job_mixed_predicate_chain", "ds_fullouter_cumulative_compare",
-    "ds_returns_excluded_ratio",
+    "ds_returns_excluded_ratio", "ds_intersect_in_membership",
+    "ds_scalar_range_bounds", "ds_rank_position_join",
 ]
 
 

@@ -19,6 +19,12 @@ resources/sql/job/21a/28a/29a.sql; CI
           cumulative-window series, MAX-gap-fill, band filter)
   q78  -> ds_returns_excluded_ratio    (returns excluded via
           null-filtered LEFT JOIN -> anti join, cross-channel join)
+  q14  -> ds_intersect_in_membership   (INTERSECT CTE consumed as an
+          IN-membership + scalar above-average gate)
+  q54  -> ds_scalar_range_bounds       (date band bounded by scalar
+          subqueries, not literals)
+  q44  -> ds_rank_position_join        (opposite-order rankings joined
+          on rank position, dim decorated twice)
 
 Raw SQL through spark.sql with the IDENTICAL string as the DuckDB oracle
 (the reference's interface is SQL text, SURVEY.md §3.1).  Money runs in
@@ -407,3 +413,115 @@ _sql_query(
     LEFT JOIN exactly as the reference writes it (Catalyst turns it
     into an anti join); sums run in DECIMAL(19,0) then presented as
     BIGINT cents / rounded dollars.""")
+
+
+# ---------------------------------------------------------------------------
+# 8. TPC-DS q14: INTERSECT inside IN-membership + scalar average gate
+# ---------------------------------------------------------------------------
+
+_Q14 = """
+WITH cross_items AS (
+  SELECT p_partkey AS pk FROM part WHERE p_type IN ('PROMO', 'SMALL')
+  INTERSECT
+  SELECT l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+SELECT p.p_brand AS brand,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                AS DECIMAL(19,0))) AS BIGINT) AS cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_partkey IN (SELECT pk FROM cross_items)
+  AND CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem)
+      > (SELECT CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(19,0))) AS BIGINT) FROM lineitem)
+GROUP BY p.p_brand
+ORDER BY brand
+"""
+
+_sql_query(
+    "ds_intersect_in_membership", _Q14,
+    ("part", "lineitem", "orders"),
+    """TPC-DS q14 shape (resources/sql/tpcds/14.sql): the cross_items
+    CTE is an INTERSECT of two channels' item sets consumed as an
+    IN-membership, gated by a scalar above-average filter.  The average
+    compare is cross-multiplied into exact integer arithmetic (cents x
+    global count > global cent-sum — the same no-float-boundary
+    discipline as ds_correlated_avg_threshold), with the global sum
+    accumulated in DECIMAL(19,0).  Catalyst plans the INTERSECT as a
+    distinct semi-structure and the membership as a semi join; both
+    scalar subqueries are one-row broadcasts.""")
+
+
+# ---------------------------------------------------------------------------
+# 9. TPC-DS q54: date-window bounds from scalar subqueries
+# ---------------------------------------------------------------------------
+
+_Q54 = """
+WITH anchor AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0
+  FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT o.o_custkey AS cust,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                AS DECIMAL(19,0))) AS BIGINT) AS cents
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE)
+        BETWEEN (SELECT d0 FROM anchor) + 30
+            AND (SELECT d0 FROM anchor) + 120
+GROUP BY o.o_custkey
+HAVING COUNT(*) >= 3
+ORDER BY cust
+"""
+
+_sql_query(
+    "ds_scalar_range_bounds", _Q54,
+    ("orders",),
+    """TPC-DS q54 shape (resources/sql/tpcds/54.sql's `(select
+    distinct d_month_seq+1 ...) and (select distinct d_month_seq+3
+    ...)` window): the scan's date band is bounded by SCALAR SUBQUERIES
+    (anchor date + day offsets) rather than literals.  Both engines
+    evaluate the one-row anchor first and the band filter stays a
+    per-row comparison against two broadcast scalars — at scale this is
+    still a single fact scan with a runtime-computed band, the dynamic-
+    partition-pruning-adjacent shape.  Date + INT arithmetic is
+    identical cross-engine (calendar day add).""")
+
+
+# ---------------------------------------------------------------------------
+# 10. TPC-DS q44: best/worst rank-position join
+# ---------------------------------------------------------------------------
+
+_Q44 = """
+WITH perf AS (
+  SELECT l_suppkey AS sk,
+         CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS DECIMAL(19,0))) AS BIGINT) AS v
+  FROM lineitem GROUP BY l_suppkey),
+best AS (
+  SELECT sk, ROW_NUMBER() OVER (ORDER BY v DESC, sk ASC) AS pos FROM perf),
+worst AS (
+  SELECT sk, ROW_NUMBER() OVER (ORDER BY v ASC, sk ASC) AS pos FROM perf)
+SELECT CAST(b.pos AS BIGINT) AS pos,
+       sb.s_name AS best_supplier, sw.s_name AS worst_supplier
+FROM best b
+JOIN worst w ON w.pos = b.pos
+JOIN supplier sb ON sb.s_suppkey = b.sk
+JOIN supplier sw ON sw.s_suppkey = w.sk
+WHERE b.pos <= 10
+ORDER BY pos
+"""
+
+_sql_query(
+    "ds_rank_position_join", _Q44,
+    ("lineitem", "supplier"),
+    """TPC-DS q44 shape (resources/sql/tpcds/44.sql): two opposite-order
+    rankings of the same per-entity aggregate joined ON RANK POSITION
+    (best_i paired with worst_i), decorated with the entity dim twice
+    under different aliases.  ROW_NUMBER with an explicit key tiebreak
+    keeps both engines' pairings identical.  The global-order window
+    runs over the per-supplier AGGREGATE (one row per supplier — a
+    dimension-sized input, not the fact), so the single-partition
+    window stage is bounded at any fact scale; revenue is exact cents
+    via a DECIMAL(19,0) accumulator.""")

@@ -101,3 +101,20 @@ def test_returns_excluded_plans_anti_semantics(spark):
         between = opt.split("Filter isnull", 1)[1].split("Join LeftOuter")[0]
         assert between.count("\n") <= 2, between
     assert "CartesianProduct" not in ext
+
+
+def test_round5_late_shapes_no_cartesian(spark):
+    for name in ["ds_intersect_in_membership", "ds_scalar_range_bounds",
+                 "ds_rank_position_join"]:
+        _, ext = _plans(spark, name)
+        assert "CartesianProduct" not in ext, name
+        assert "BroadcastNestedLoopJoin" not in ext, name
+
+
+def test_rank_position_window_over_aggregate_not_fact(spark):
+    opt, _ = _plans(spark, "ds_rank_position_join")
+    # the global-order windows must sit ABOVE the per-supplier aggregate
+    # (dimension-sized input), never over raw lineitem rows
+    agg_pos = opt.index("Aggregate [l_suppkey")
+    win_pos = opt.index("Window [row_number()")
+    assert win_pos < agg_pos  # window is an ancestor in the printed tree
