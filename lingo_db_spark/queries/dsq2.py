@@ -51,12 +51,14 @@ from lingo_db_spark.queries.dsq import _micros, _sql_query
 # 1. TPC-DS q95: double IN over one shared self-join CTE
 # ---------------------------------------------------------------------------
 
-_Q95 = f"""
-WITH multi_supp AS (
+_MULTI_SUPP = """
   SELECT DISTINCT l1.l_orderkey AS okey
   FROM lineitem l1, lineitem l2
   WHERE l1.l_orderkey = l2.l_orderkey
-    AND l1.l_suppkey <> l2.l_suppkey)
+    AND l1.l_suppkey <> l2.l_suppkey
+"""
+
+_Q95_MAIN = f"""
 SELECT COUNT(DISTINCT o.o_orderkey) AS order_count,
        CAST(SUM(CAST({_micros('l.l_extendedprice * (1 - l.l_discount)')}
                 AS DECIMAL(19,0))) AS BIGINT) AS total_revenue_micros,
@@ -64,25 +66,36 @@ SELECT COUNT(DISTINCT o.o_orderkey) AS order_count,
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE CAST(o.o_orderdate AS DATE)
         BETWEEN DATE '1995-02-01' AND DATE '1995-06-01'
-  AND o.o_orderkey IN (SELECT okey FROM multi_supp)
+  AND o.o_orderkey IN (SELECT okey FROM {{ms}})
   AND o.o_orderkey IN (SELECT r.l_orderkey
-                       FROM lineitem r, multi_supp
-                       WHERE r.l_orderkey = multi_supp.okey
+                       FROM lineitem r, {{ms}}
+                       WHERE r.l_orderkey = {{ms}}.okey
                          AND r.l_returnflag = 'R')
 """
 
-_sql_query(
-    "ds_double_exists_shared_cte", _Q95,
-    ("orders", "lineitem"),
+_Q95 = (f"WITH multi_supp AS ({_MULTI_SUPP})"
+        + _Q95_MAIN.format(ms="multi_supp"))
+
+
+@register("ds_double_exists_shared_cte", _Q95)
+def ds_double_exists_shared_cte(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
     """TPC-DS q95 shape (resources/sql/tpcds/95.sql): one self-join CTE
     (orders shipped from multiple suppliers = ws_wh's multi-warehouse
     orders) consumed by TWO membership subqueries — directly, and
     re-joined through a second table (returned lineitems = web_returns).
-    Catalyst plans both as semi-joins over the shared, DISTINCT-reduced
-    CTE; plan-asserted no-cartesian + semi-join in tests/test_dsq2.py.
-    The CTE's self-join fan-out is bounded by per-order line count (7),
-    and DISTINCT collapses it before reuse — the q95 scale trap (reusing
-    the raw pair set twice) is avoided.""")
+    Both memberships plan as semi joins; no-cartesian + semi-join
+    asserted in tests/test_dsq2.py.  The CTE's self-join fan-out is
+    bounded by per-order line count (7) and DISTINCT-collapsed before
+    reuse; since Spark's WITH does not materialize, the collapsed id
+    set is PERSISTED once so the second membership reads the cache
+    instead of re-running the fact self-join — the q95 scale trap
+    (recomputing the pair set per consumer).  Oracle = the plain WITH
+    form (DuckDB materializes multiply-referenced CTEs)."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    ms = spark.sql(_MULTI_SUPP).persist()
+    ms.createOrReplaceTempView("multi_supp_r5")
+    return spark.sql(_Q95_MAIN.format(ms="multi_supp_r5"))
 
 
 # ---------------------------------------------------------------------------
