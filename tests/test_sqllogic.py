@@ -4,10 +4,14 @@ files its CI gates) through tools/sqllogic.py in a subprocess (the
 runner needs its own light SparkSession; the engine fixture session's
 scale-tuned confs cost ~7 s per 30-row query).
 
-Corpus attestation (every file, run 2026-08-14): stride 4 =
-2221 ran / 2221 passed / 0 failed (stride 12 earlier: 742/742).  This test keeps a fast tripwire
-sample in CI; rerun `python tools/sqllogic.py --stride 12` for the
-full sweep.
+Corpus attestation (every file, run 2026-08-14, round 5): FULL
+stride-1 sweep = 8884 ran / 8884 passed / 0 failed / 0 skipped /
+0 engine-unsupported (select1 1000, select2 1000, select3 3320,
+select4 2832, select5-1..5 312+144+108+84+84).  Earlier partial
+sweeps: stride 4 = 2221/2221, stride 12 = 742/742.  This test keeps a
+fast tripwire sample in CI; rerun `python tools/sqllogic.py` for the
+full sweep (~3 h: the quantified-comparison files expand to several
+scalar subqueries per query).
 """
 
 from __future__ import annotations
