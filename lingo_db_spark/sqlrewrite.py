@@ -136,7 +136,7 @@ def _rewrite_one_subquery(body: str) -> str | None:
     m = re.match(r"^\s*select\s+(.*?)\s+(from\s+.*)$", body,
                  re.IGNORECASE | re.DOTALL)
     if m is None:
-        return None            # no FROM: SQLite outer-aggregate semantics
+        return _rewrite_no_from(body)
     selexpr, rest = m.group(1), m.group(2)
     bound = _bound_aliases(body)
     # R3: GROUP BY over outer-only keys = constant grouping -> drop
@@ -291,6 +291,40 @@ def _rewrite_product(term: str, bound: set[str], rest: str,
     return "(" + " * ".join(parts) + ")"
 
 
+def _rewrite_no_from(body: str) -> str | None:
+    """Scalar subquery with NO FROM clause: one implicit row, so an
+    aggregate over it is the identity (SUM/MIN/MAX/AVG of the single
+    value) or presence (COUNT) — the semantics both the reference and
+    DuckDB give `(SELECT SUM(i1.i))`, pinned by unnesting.test#13-15's
+    expected per-row outputs.  Catalyst instead rejects the correlated
+    reference outright, so the subquery wrapper is dropped term by
+    term.  Nested subqueries or stray clauses -> None (not this
+    shape)."""
+    m = re.match(r"^\s*select\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+    if m is None:
+        return None
+    selexpr = m.group(1).strip()
+    if re.search(r"\(\s*select\b", selexpr, re.IGNORECASE):
+        return None
+    if re.search(r"\b(from|where|group|order|limit|having)\b", selexpr,
+                 re.IGNORECASE):
+        return None
+    parts: list[tuple[str, str]] = []
+    for sign, term in _split_additive(selexpr):
+        am = _AGG_RE.match(term)
+        if am and _balanced(am.group(2)):
+            fn, arg = am.group(1).lower(), am.group(2).strip()
+            if fn == "count":
+                rep = ("1" if arg == "*" else
+                       f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
+            else:
+                rep = f"({arg})"
+            parts.append((sign, rep))
+        else:
+            parts.append((sign, f"({term})"))
+    return _join_terms(parts)
+
+
 def _join_terms(terms: list[tuple[str, str]]) -> str:
     out = ""
     for i, (sign, t) in enumerate(terms):
@@ -304,7 +338,19 @@ def _join_terms(terms: list[tuple[str, str]]) -> str:
 def decorrelate_select_list(sql: str) -> str:
     """Hoist additively-separable outer references out of scalar
     subqueries Catalyst rejects (SELECT-list / GROUP BY correlation).
-    Innermost subqueries first; unchanged text means no rewrite found."""
+    Iterates to a fixpoint (bounded): unwrapping an inner no-FROM
+    subquery can expose its parent as the next rewritable shape —
+    `(SELECT (SELECT 42+i1.i)+i1.i)` unwraps inside-out.  Unchanged
+    text means no rewrite found."""
+    for _ in range(6):
+        nxt = _decorrelate_once(sql)
+        if nxt == sql:
+            return sql
+        sql = nxt
+    return sql
+
+
+def _decorrelate_once(sql: str) -> str:
     spans: list[tuple[int, int]] = []
     for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
         depth, j = 1, m.end()

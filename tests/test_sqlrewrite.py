@@ -67,9 +67,19 @@ def test_backtick_quoted_identifiers():
     assert "(SELECT min(t2.`_1`) FROM ints t2)" in out
 
 
-def test_no_from_subquery_unchanged():
-    q = "SELECT (SELECT SUM(i1.i)) FROM integers i1"
-    assert d(q) == q
+def test_no_from_aggregate_is_identity_over_implicit_row():
+    # a no-FROM subquery has ONE implicit row: SUM over it is the value
+    # itself (semantics pinned by unnesting.test#13-15 expected outputs)
+    out = d("SELECT (SELECT SUM(i1.i)) FROM integers i1")
+    assert out == "SELECT ((i1.i)) FROM integers i1"
+    out = d("SELECT (SELECT COUNT(*)) FROM integers i1")
+    assert out == "SELECT (1) FROM integers i1"
+
+
+def test_nested_no_from_chain_unwraps_to_fixpoint():
+    out = d("SELECT i, (SELECT (SELECT (SELECT (SELECT "
+            "i1.i+i1.i+i1.i+i1.i+i1.i)))) AS j FROM integers i1")
+    assert "SELECT" not in out.split("AS j")[0].replace("SELECT i,", "")
 
 
 def test_min_of_outer_times_inner_unchanged():
