@@ -23,6 +23,7 @@ class Connection:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
+        self.last_rewritten_sql: str | None = None
         self.tables: dict[str, DataFrame] = {}
         if sf_dir is not None:
             self.tables = catalog.register_views(spark, sf_dir)
@@ -33,10 +34,19 @@ class Connection:
 
         Correlation-scope parity: Catalyst rejects outer references in a
         subquery's SELECT list / GROUP BY, which the reference's general
-        unnesting accepts (Unnesting.cpp:18-333).  On that analysis
-        error the query is retried through the separable-term hoist in
-        sqlrewrite.decorrelate_select_list — corpus-value-checked in
-        tools/sqllogic.py — before the original error is re-raised."""
+        unnesting accepts (Unnesting.cpp:18-333).  On exactly that class
+        of analysis error — UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY, or
+        an unresolved `alias.col` whose alias is bound one subquery
+        level up (the nested-correlation scope gap) — the query is
+        retried through the separable-term hoist in
+        sqlrewrite.decorrelate_select_list (corpus-value-checked in
+        tools/sqllogic.py) before the original error is re-raised.
+        Other resolution errors (typos, missing tables) re-raise
+        untouched so a rewriter bug can never swallow a real
+        diagnostic.  An applied rewrite is logged and kept on
+        `self.last_rewritten_sql` for inspection."""
+        import re as _re
+
         from pyspark.errors import AnalysisException
         try:
             df = self.spark.sql(query)
@@ -44,13 +54,25 @@ class Connection:
             return df
         except AnalysisException as e:
             msg = str(e)
-            if not ("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
-                    or "cannot be resolved" in msg):
+            from lingo_db_spark.sqlrewrite import (
+                decorrelate_select_list,
+                is_correlated_scope_gap,
+            )
+            retryable = "UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
+            if not retryable and "cannot be resolved" in msg:
+                um = _re.search(
+                    r"name `(\w+)`\.`\w+` cannot be resolved", msg)
+                retryable = bool(
+                    um and is_correlated_scope_gap(query, um.group(1)))
+            if not retryable:
                 raise
-            from lingo_db_spark.sqlrewrite import decorrelate_select_list
             rewritten = decorrelate_select_list(query)
             if rewritten == query:
                 raise
+            import logging
+            logging.getLogger(__name__).info(
+                "SQL door: SELECT-list decorrelation rewrite applied")
+            self.last_rewritten_sql = rewritten
             return self.spark.sql(rewritten)
 
     def sql_arrow(self, query: str):

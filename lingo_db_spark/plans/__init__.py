@@ -36,7 +36,8 @@ def iterate(df: DataFrame,
 
 
 def kmeans(emb: DataFrame, k: int = 4, iters: int = 5,
-           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           inertia_unit: int | None = None) -> DataFrame:
     """Lloyd's k-means over an embedding column, the reference's
     kmeans.mlir capability re-expressed Spark-first.
 
@@ -46,7 +47,13 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 5,
     k*dim cells.  Deterministic init: the k lowest-id vectors.
 
     Returns (cluster_id, n, inertia): cluster sizes and summed squared
-    distance."""
+    distance.  With `inertia_unit` the inertia column is instead
+    `inertia_u` = SUM of per-row distances rounded to integer
+    1/unit-ths BEFORE summation — each per-row distance is a
+    deterministic fold over the vector (bit-identical on any engine
+    doing f64 math in element order), so the integer sum is exact and
+    independent of cross-row order, making the whole result
+    hash-comparable against a SQL replay of the same Lloyd loop."""
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     init = (base.orderBy("_id").limit(k).collect())
     centroids = [list(map(float, r._v)) for r in init]
@@ -80,9 +87,13 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 5,
             centroids[r.cid] = list(map(float, r.c))
 
     final = assign(base)
+    if inertia_unit is not None:
+        inertia = F.sum(F.round(F.col("dist") * inertia_unit)
+                        .cast("long")).alias("inertia_u")
+    else:
+        inertia = F.round(F.sum("dist"), 2).alias("inertia")
     return (final.groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("dist"), 2).alias("inertia"))
+            .agg(F.count(F.lit(1)).alias("n"), inertia)
             .orderBy("cid"))
 
 

@@ -203,7 +203,8 @@ SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
        CAST(SUM(rep.pq) AS BIGINT) AS rep_qty,
        ROUND(CAST(SUM(sale.sq) AS DOUBLE) / SUM(sale.sn), 4) AS sale_avg,
        ROUND(CAST(CAST(COUNT(*) AS DECIMAL(19,0))
-                    * CAST(SUM(sale.sq * sale.sq) AS DECIMAL(19,0))
+                    * CAST(SUM(CAST(sale.sq AS DECIMAL(19,0)) * sale.sq)
+                           AS DECIMAL(19,0))
                   - CAST(SUM(sale.sq) AS DECIMAL(19,0))
                     * CAST(SUM(sale.sq) AS DECIMAL(19,0)) AS DOUBLE)
              / (CAST(COUNT(*) AS DOUBLE)
@@ -445,7 +446,7 @@ SELECT p.p_brand AS brand,
                 AS DECIMAL(19,0))) AS BIGINT) AS cents
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_partkey IN (SELECT pk FROM cross_items)
-  AND CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+  AND CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0))
         * (SELECT COUNT(*) FROM lineitem)
       > (SELECT CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                          AS DECIMAL(19,0))) AS BIGINT) FROM lineitem)

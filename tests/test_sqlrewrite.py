@@ -25,7 +25,8 @@ def test_plain_outer_term_guards_empty_input():
     out = d("SELECT i, (SELECT MIN(i)+i1.i FROM integers WHERE i>i1.i) "
             "FROM integers i1")
     assert "(SELECT MIN(i) FROM integers WHERE i>i1.i)" in out
-    assert "CASE WHEN (SELECT COUNT(*) FROM integers WHERE i>i1.i) = 0" in out
+    assert ("CASE WHEN COALESCE((SELECT COUNT(*) FROM integers "
+            "WHERE i>i1.i), 0) = 0" in out)
 
 
 def test_group_by_constant_becomes_having():
@@ -39,7 +40,7 @@ def test_sum_of_pure_outer_multiplies_count():
     out = d("SELECT (SELECT SUM(i)+SUM(i1.i) FROM integers) "
             "FROM integers i1")
     assert "(SELECT SUM(i) FROM integers)" in out
-    assert "(i1.i) * (SELECT COUNT(*) FROM integers)" in out
+    assert "(i1.i) * COALESCE((SELECT COUNT(*) FROM integers), 0)" in out
 
 
 def test_sum_mixed_additive_uses_count_of_inner():
@@ -58,7 +59,7 @@ def test_product_of_aggregates_splits_per_factor():
     out = d("SELECT i, (SELECT SUM(i1.i)*SUM(i) FROM integers) AS k "
             "FROM integers i1 GROUP BY i")
     assert "(SELECT SUM(i) FROM integers)" in out
-    assert "* (SELECT COUNT(*) FROM integers)" in out
+    assert "* COALESCE((SELECT COUNT(*) FROM integers), 0)" in out
 
 
 def test_backtick_quoted_identifiers():
@@ -96,3 +97,46 @@ def test_count_mixed_unchanged():
 def test_uncorrelated_subquery_unchanged():
     q = "SELECT (SELECT MIN(i) FROM integers) FROM integers i1"
     assert d(q) == q
+
+
+def test_empty_group_count_guard_uses_coalesce():
+    # GROUP BY outer-const + pure-outer MIN: the COUNT(*) guard carries
+    # the injected HAVING, so on empty input it yields NO row (NULL) —
+    # COALESCE(...,0) keeps the CASE arm reading 0 there so the rewrite
+    # returns NULL exactly where the grouped original yields no row.
+    out = d("SELECT i, (SELECT MIN(i1.i) FROM integers i2 "
+            "WHERE i2.i>i1.i GROUP BY i1.i) FROM integers i1")
+    assert "HAVING COUNT(*) > 0" in out
+    assert "COALESCE((SELECT COUNT(*)" in out
+    assert "CASE WHEN COALESCE(" in out
+
+
+def test_derived_table_in_subquery_from_bails():
+    # `FROM (SELECT 1 AS a) t` binds t invisibly to the textual scoper;
+    # hoisting `t.a + o.b` wholesale would be silently wrong — bail.
+    q = ("SELECT (SELECT MIN(t.a + o.b) FROM (SELECT 1 AS a) t) "
+         "FROM outer_tbl o")
+    assert d(q) == q
+
+
+def test_from_position_derived_table_not_unwrapped():
+    # a no-FROM derived table is NOT a scalar subquery: unwrap would
+    # produce invalid `FROM (1 AS a) t`
+    q = "SELECT t.a FROM (SELECT 1 AS a) t"
+    assert d(q) == q
+    q2 = "SELECT t.a, u.b FROM tbl u, (SELECT 1 AS a) t"
+    assert d(q2) == q2
+
+
+def test_cte_and_set_op_arms_not_unwrapped():
+    q = "WITH c AS (SELECT 1 AS a) SELECT a FROM c"
+    assert d(q) == q
+    q2 = "SELECT 1 UNION ALL (SELECT 2)"
+    assert d(q2) == q2
+
+
+def test_in_exists_predicate_subqueries_not_unwrapped():
+    q = "SELECT i FROM integers i1 WHERE i IN (SELECT i1.i)"
+    assert d(q) == q
+    q2 = "SELECT i FROM integers i1 WHERE EXISTS (SELECT i1.i)"
+    assert d(q2) == q2

@@ -566,48 +566,13 @@ def normalize_null_order(sql: str) -> str:
     return sql
 
 
-def _is_correlated_scope_gap(sql: str, alias: str) -> bool:
-    """True iff `alias.<col>` is referenced inside a parenthesized
-    subselect of the ORIGINAL query text that does not itself bind
-    `alias` in its own (paren-free) FROM/JOIN items, while the text
-    outside that subselect does bind it — the shape of Catalyst's
-    correlation-scope limitation.  Checked against the original SQL, so
-    an alias reference manufactured by a rewriter bug (absent from any
-    subquery here) is NOT classified as engine-unsupported."""
-    spans: list[tuple[int, int]] = []
-    for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
-        spans.append((m.start(), j))
-    if not spans:
-        return False
-    a = re.escape(alias)
-    ref_re = re.compile(rf"\b{a}\s*\.", re.IGNORECASE)
-    # tempered scan: a binding must appear in the FROM/JOIN item list
-    # itself — stop at the next clause keyword so `FROM t WHERE x.c`
-    # does not count as binding x.
-    bind_re = re.compile(
-        rf"\b(?:from|join)\b"
-        rf"(?:(?!\b(?:where|group|order|having|select|limit)\b)[^()])*?"
-        rf"\b(?:as\s+)?{a}\b",
-        re.IGNORECASE | re.DOTALL)
-    for s, e in spans:
-        inner = sql[s:e]
-        if ref_re.search(inner) and not bind_re.search(inner):
-            if bind_re.search(sql[:s] + " " + sql[e:]):
-                return True
-    return False
-
-
 # SELECT-list decorrelation pre-rewrite: lives in the engine package
 # (lingo_db_spark/sqlrewrite.py) so the user-facing SQL door gets the
 # same retry; the corpus runner below value-checks every rewrite.
-from lingo_db_spark.sqlrewrite import decorrelate_select_list  # noqa: E402
+from lingo_db_spark.sqlrewrite import (  # noqa: E402
+    decorrelate_select_list,
+    is_correlated_scope_gap as _is_correlated_scope_gap,
+)
 
 
 def to_spark_sql(sql: str) -> str:
