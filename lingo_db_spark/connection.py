@@ -58,7 +58,9 @@ class Connection:
                 decorrelate_select_list,
                 is_correlated_scope_gap,
             )
-            retryable = "UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
+            retryable = (
+                "UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
+                or "SCALAR_SUBQUERY_IS_IN_GROUP_BY" in msg)
             if not retryable and "cannot be resolved" in msg:
                 um = _re.search(
                     r"name `(\w+)`\.`\w+` cannot be resolved", msg)
@@ -66,7 +68,14 @@ class Connection:
                     um and is_correlated_scope_gap(query, um.group(1)))
             if not retryable:
                 raise
-            rewritten = decorrelate_select_list(query)
+
+            def _cols(t: str):
+                try:
+                    return self.spark.table(t).columns
+                except Exception:       # noqa: BLE001
+                    return None
+
+            rewritten = decorrelate_select_list(query, columns_of=_cols)
             if rewritten == query:
                 raise
             import logging

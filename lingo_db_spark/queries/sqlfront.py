@@ -185,3 +185,73 @@ def sql_copy_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ldb_copy_") + "/li_orc"
     sel.write.mode("overwrite").orc(out)
     return spark.read.orc(out).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# Correlation-scope parity through the SQL door (round 6): these shapes
+# are exactly what the reference's general Neumann/Kemper unnesting
+# (Unnesting.cpp:18-333) evaluates and Catalyst rejects; Connection.sql
+# retries them through sqlrewrite.decorrelate_select_list.  DuckDB's
+# own unnesting evaluates the ORIGINAL text natively, so the untouched
+# SQL string doubles as the oracle — the driver gate value-checks the
+# rewrite end-to-end.  The correlated-ON variant (unnesting.test#75/#78)
+# stays corpus-gated only: Spark accepts it at analysis and fails at
+# codegen, which a lazy door cannot intercept.
+# ---------------------------------------------------------------------------
+
+_CORR_SELECT_LIST = """
+SELECT n.n_nationkey AS nk,
+       (SELECT MIN(c.c_custkey + n.n_nationkey * 10) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) AS m
+FROM nation n ORDER BY nk
+"""
+
+
+@register("sql_corr_select_list", _CORR_SELECT_LIST)
+def sql_corr_select_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer reference inside an aggregate argument in the subquery's
+    SELECT list: MIN(f + c) hoists to MIN(f) + c with an empty-input
+    guard (sqlrewrite._additive_hoist)."""
+    from lingo_db_spark.connection import Connection
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return Connection(spark).sql(_CORR_SELECT_LIST)
+
+
+_CORR_HAVING_PIN = """
+SELECT n.n_nationkey AS nk,
+       (SELECT MIN(c.c_custkey + n.n_nationkey) FROM customer c
+        GROUP BY c.c_nationkey HAVING c.c_nationkey = n.n_nationkey) AS m
+FROM nation n ORDER BY nk
+"""
+
+
+@register("sql_corr_having_pin", _CORR_HAVING_PIN)
+def sql_corr_having_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY inner key + HAVING pinning the key to the outer row:
+    the pin moves to WHERE, the group collapses, HAVING COUNT(*) > 0
+    preserves empty-group NULL (unnesting.test#31 family)."""
+    from lingo_db_spark.connection import Connection
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return Connection(spark).sql(_CORR_HAVING_PIN)
+
+
+_CORR_TWO_LEVEL = """
+SELECT n.n_nationkey AS nk,
+       (SELECT r.r_regionkey FROM region r
+        WHERE r.r_regionkey = (SELECT COUNT(*) FROM customer c
+                               WHERE c.c_nationkey > n.n_nationkey) % 5) AS m
+FROM nation n ORDER BY nk
+"""
+
+
+@register("sql_corr_two_level", _CORR_TWO_LEVEL)
+def sql_corr_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation two subquery levels deep: the inner aggregate pulls
+    into LEFT JOIN LATERAL ... ON true at the outer level
+    (sqlrewrite._lateral_hoist; unnesting.test#57/#64/#66 family)."""
+    from lingo_db_spark.connection import Connection
+
+    register_views(spark, sf_dir, ("nation", "region", "customer"))
+    return Connection(spark).sql(_CORR_TWO_LEVEL)

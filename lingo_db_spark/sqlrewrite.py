@@ -1,21 +1,39 @@
-"""SELECT-list decorrelation rewrite — the correlation class Catalyst
+"""SELECT-list decorrelation rewrite — the correlation classes Catalyst
 rejects but the reference's general Neumann/Kemper unnesting evaluates
 (reference src/compiler/Dialect/RelAlg/Transforms/Unnesting.cpp:18-333):
-outer references in a scalar subquery's SELECT list or GROUP BY.
+outer references in a scalar subquery's SELECT list, GROUP BY, HAVING,
+or join-ON condition, and correlation nested two subquery levels deep.
 
-For additively/multiplicatively separable shapes a textual hoist closes
-the gap: outer-only terms move out of the subquery, outer terms inside
-MIN/MAX/SUM/AVG arguments hoist by linearity (SUM(f+c) -> SUM(f) +
-c*COUNT(f), SUM(c*f) -> c*SUM(f)), GROUP BY over a per-row constant
-becomes HAVING COUNT(*) > 0 (preserving the empty-group no-row
-behavior), and product terms are rewritten per factor.
+Rewrites, applied to a fixpoint:
+- additive/multiplicative term hoisting: outer-only terms move out of
+  the subquery; outer terms inside MIN/MAX/SUM/AVG arguments hoist by
+  linearity (SUM(f+c) -> SUM(f) + c*COUNT(f), SUM(c*f) -> c*SUM(f));
+  COUNT(f+c) -> CASE WHEN c IS NULL THEN 0 ELSE COUNT(f) END;
+- GROUP BY over a per-row-constant (outer) key -> HAVING COUNT(*) > 0
+  (preserving the empty-group no-row behavior);
+- GROUP BY inner keys + HAVING that pins every key to an outer
+  expression -> the pins move to WHERE (the group collapses to at most
+  one) + HAVING COUNT(*) > 0;
+- aggregate extraction: in an ungrouped subquery whose leftover
+  expression references ONLY outer scope, each inner-only AGG(...)
+  becomes its own scalar subquery and the whole expression hoists
+  (closes `(SELECT (SUM(i)+i1.i)/2 FROM ...)` shapes);
+- INNER-join ON conjuncts carrying outer references (inside a
+  subquery) or subqueries (at top level) move to WHERE — equivalent
+  for inner joins, and exactly the positions Catalyst rejects;
+- LATERAL hoist: a two-level-deep correlated ungrouped-aggregate
+  subquery is pulled into `LEFT JOIN LATERAL (...) ON true` at the
+  outer level, leaving only one-level correlations behind.
+
+An optional `columns_of(table) -> list[str] | None` resolver classifies
+BARE identifiers (no alias qualifier) as inner/outer by schema; without
+it bare identifiers conservatively block hoisting.
 
 Used by the engine's SQL door (connection.Connection.sql retries a
 rejected query through this rewrite) and by tools/sqllogic.py's corpus
 runner, where every rewritten query is value-checked against the
 reference corpus's expected output — the gate that keeps this rewriter
-honest (sqlite-small: 154/154 pass, 13 queries flipped from
-engine-unsupported by this module).
+honest (sqlite-small: 164/164 pass).
 """
 
 from __future__ import annotations
@@ -42,25 +60,46 @@ def _split_top(s: str, sep: str) -> list[str]:
     return out
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split a predicate on top-level AND (case-insensitive, word
+    boundaries)."""
+    out, depth, cur, i = [], 0, [], 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if (depth == 0 and s[i:i + 3].lower() == "and"
+                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                and (i + 3 >= n or not (s[i + 3].isalnum()
+                                        or s[i + 3] == "_"))):
+            out.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
 # ---------------------------------------------------------------------------
-# SELECT-list decorrelation pre-rewrite
-#
-# Catalyst only accepts outer references inside a subquery's WHERE/HAVING;
-# the reference's general Neumann/Kemper unnesting (Unnesting.cpp:18-333)
-# also evaluates outer refs in the subquery's SELECT list and GROUP BY.
-# For the shapes in the reference corpus the outer-ref parts are additively
-# separable, so a textual hoist closes the gap: pull outer-only terms (and
-# outer-only additive terms inside MIN/MAX/SUM/AVG arguments, by linearity)
-# OUT of the subquery, leaving a purely inner subquery Spark accepts.
-# Applied only as a retry after Catalyst rejects the original; the result
-# still value-checks against the expected output, so a wrong hoist fails
-# visibly rather than silently passing.
+# Term classification
 # ---------------------------------------------------------------------------
 
 _SQL_KEYWORDS = {"case", "when", "then", "else", "end", "is", "null", "not",
                  "and", "or", "in", "like", "between", "distinct", "as",
                  "true", "false", "cast", "integer", "bigint", "double",
-                 "varchar", "boolean", "string", "div"}
+                 "varchar", "boolean", "string", "div",
+                 # structural keywords: never data references
+                 "select", "from", "where", "group", "order", "by",
+                 "having", "limit", "offset", "on", "join", "inner",
+                 "outer", "left", "right", "full", "cross", "lateral",
+                 "union", "intersect", "except", "exists", "any", "all",
+                 "some", "asc", "desc", "nulls", "first", "last", "using",
+                 "natural", "over", "partition"}
 _AGG_RE = re.compile(r"^(min|max|sum|avg|count)\s*\((.*)\)$",
                      re.IGNORECASE | re.DOTALL)
 
@@ -93,6 +132,19 @@ def _split_additive(s: str) -> list[tuple[str, str]]:
     return [(sg, t) for sg, t in terms if t]
 
 
+def _strip_parens(s: str) -> str:
+    """Remove redundant WHOLE-expression parens: '((a+b))' -> 'a+b';
+    '(a)+(b)' is left alone (the wrapping parens are not a single
+    group)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        inner = s[1:-1]
+        if not _balanced(inner):
+            break
+        s = inner.strip()
+    return s
+
+
 def _alias_refs(expr: str) -> set[str]:
     expr = expr.replace("`", "")        # backticks are quoting, not syntax
     return {m.lower() for m in re.findall(r"\b([A-Za-z_]\w*)\s*\.", expr)}
@@ -114,7 +166,8 @@ def _bound_aliases(subq: str) -> set[str]:
     out: set[str] = set()
     for m in re.finditer(
             r"\b(?:from|join)\b"
-            r"((?:(?!\b(?:where|group|order|having|limit|select)\b)[^()])*)",
+            r"((?:(?!\b(?:where|group|order|having|limit|select|on)\b)"
+            r"[^()])*)",
             subq, re.IGNORECASE | re.DOTALL):
         for w in re.findall(r"\b([A-Za-z_]\w*)\b", m.group(1)):
             if w.lower() not in {"as", "on", "inner", "left", "right",
@@ -123,21 +176,180 @@ def _bound_aliases(subq: str) -> set[str]:
     return out
 
 
-def _is_outer_only(term: str, bound: set[str]) -> bool:
+def _inner_columns(body: str, columns_of) -> set[str] | None:
+    """Union of column names of the tables bound in `body`'s FROM, via
+    the optional schema resolver.  None when no table resolves (keeps
+    the conservative bare-ident behavior)."""
+    if columns_of is None:
+        return None
+    cols: set[str] = set()
+    found = False
+    for tok in _bound_aliases(body):
+        try:
+            c = columns_of(tok)
+        except Exception:               # noqa: BLE001
+            c = None
+        if c:
+            found = True
+            cols |= {str(x).lower() for x in c}
+    return cols if found else None
+
+
+def _has_outer(term: str, bound: set[str],
+               inner_cols: set[str] | None) -> bool:
+    if _alias_refs(term) - bound:
+        return True
+    return bool(inner_cols is not None
+                and (_bare_idents(term) - inner_cols))
+
+
+def _is_outer_only(term: str, bound: set[str],
+                   inner_cols: set[str] | None = None) -> bool:
     refs = _alias_refs(term)
-    return (bool(refs) and refs.isdisjoint(bound)
-            and not _bare_idents(term))
+    bare = _bare_idents(term)
+    if refs & bound:
+        return False
+    if inner_cols is None:
+        return bool(refs) and not bare
+    if bare & inner_cols:
+        return False
+    return bool(refs or bare)
 
 
-def _rewrite_one_subquery(body: str) -> str | None:
+def _balanced(s: str) -> bool:
+    depth = 0
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _split_mul(s: str) -> list[str]:
+    """Split a term into top-level '*' factors (no '/': division is not
+    commutative-separable and the corpus `div` keyword would collide)."""
+    return [f.strip() for f in _split_top(s, "*") if f.strip()]
+
+
+# ---------------------------------------------------------------------------
+# ON -> WHERE moves (INNER joins only — exactly equivalent there)
+# ---------------------------------------------------------------------------
+
+_NON_INNER_RE = re.compile(r"\b(left|right|full|cross|semi|anti|natural)\b",
+                           re.IGNORECASE)
+_CLAUSE_RE = re.compile(r"\b(where|group|order|having|limit|union"
+                        r"|intersect|except)\b", re.IGNORECASE)
+
+
+def _top_find(text: str, regex: re.Pattern, start: int = 0) -> int:
+    """Index of the first depth-0 match of `regex` in text, or -1."""
+    depth = 0
+    for m in regex.finditer(text):
+        depth = text.count("(", 0, m.start()) - text.count(")", 0, m.start())
+        if depth == 0 and m.start() >= start:
+            return m.start()
+    return -1
+
+
+def _move_on_conjuncts(rest: str, should_move) -> str | None:
+    """Move ON conjuncts selected by `should_move(conjunct)` from
+    INNER-join ON clauses into WHERE.  `rest` starts at FROM.  Returns
+    the transformed rest or None when nothing applies / joins are not
+    all inner."""
+    end = _top_find(rest, _CLAUSE_RE)
+    region, tail = (rest, "") if end < 0 else (rest[:end], rest[end:])
+    if re.search(r"\bjoin\b", region, re.IGNORECASE) is None:
+        return None
+    if _NON_INNER_RE.search(_blank_parens(region)):
+        return None
+    on_re = re.compile(r"\bon\b", re.IGNORECASE)
+    join_re = re.compile(r"\b(join|inner)\b", re.IGNORECASE)
+    moved: list[str] = []
+    out: list[str] = []
+    i = 0
+    blanked = _blank_parens(region)
+    while True:
+        m = on_re.search(blanked, i)
+        if m is None:
+            out.append(region[i:])
+            break
+        nxt = join_re.search(blanked, m.end())
+        cond_end = nxt.start() if nxt else len(region)
+        cond = region[m.end():cond_end]
+        keep, mv = [], []
+        for c in _split_top_and(cond):
+            (mv if should_move(c) else keep).append(c)
+        moved.extend(mv)
+        out.append(region[i:m.end()])
+        out.append(" " + (" AND ".join(f"({c})" for c in keep)
+                          if keep else "1=1") + " ")
+        i = cond_end
+    if not moved:
+        return None
+    new_region = "".join(out)
+    add = " AND ".join(f"({c})" for c in moved)
+    wm = re.search(r"\bwhere\b", tail, re.IGNORECASE)
+    if wm is not None and _top_find(tail, re.compile(r"\bwhere\b",
+                                                    re.IGNORECASE)) >= 0:
+        wpos = _top_find(tail, re.compile(r"\bwhere\b", re.IGNORECASE))
+        tail = tail[:wpos + 5] + f" ({add}) AND " + tail[wpos + 5:]
+        return new_region + tail
+    return new_region + f" WHERE {add} " + tail
+
+
+def _blank_parens(text: str) -> str:
+    """Replace paren-group interiors with spaces (same length) so
+    depth-0 regex scans can't match inside them."""
+    out = list(text)
+    depth = 0
+    for i, c in enumerate(text):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            continue
+        if depth > 0 and c != "(":
+            out[i] = " "
+    return "".join(out)
+
+
+def _on_subquery_to_where(sql: str) -> str:
+    """Top-level pass: INNER-join ON conjuncts that CONTAIN a subquery
+    (Catalyst: UNSUPPORTED_CORRELATED_SCALAR_SUBQUERY in join
+    conditions) move to WHERE.  `FROM a JOIN b ON (SELECT ...)` ->
+    `... ON 1=1 WHERE (SELECT ...)`."""
+    fpos = _top_find(sql, re.compile(r"\bfrom\b", re.IGNORECASE))
+    if fpos < 0:
+        return sql
+    rest = sql[fpos:]
+    moved = _move_on_conjuncts(
+        rest, lambda c: re.search(r"\(\s*select\b", c, re.IGNORECASE))
+    if moved is None:
+        return sql
+    return sql[:fpos] + moved
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery body rewrite
+# ---------------------------------------------------------------------------
+
+def _rewrite_one_subquery(body: str, columns_of=None) -> str | None:
     """Decorrelate one scalar subquery body `SELECT e FROM rest`.
     Returns the replacement EXPRESSION (not re-parenthesized) or None
     if no safe rewrite applies."""
-    m = re.match(r"^\s*select\s+(.*?)\s+(from\s+.*)$", body,
-                 re.IGNORECASE | re.DOTALL)
-    if m is None:
+    sm = re.match(r"^\s*select\s+", body, re.IGNORECASE)
+    if sm is None:
+        return None
+    # split at the DEPTH-0 FROM: the old non-greedy regex grabbed a FROM
+    # inside a nested subquery (`SELECT CASE WHEN (SELECT .. FROM ..)`)
+    # and hoisted against a garbage parse.
+    fpos = _top_find(body, re.compile(r"\bfrom\b", re.IGNORECASE), sm.end())
+    if fpos < 0:
         return _rewrite_no_from(body)
-    selexpr, rest = m.group(1), m.group(2)
+    selexpr, rest = body[sm.end():fpos].strip(), body[fpos:]
     # derived tables in the subquery's own FROM bind aliases this
     # textual scoper cannot see (`FROM (SELECT 1 AS a) t` binds t);
     # hoisting against an incomplete bound-set would silently move
@@ -148,11 +360,59 @@ def _rewrite_one_subquery(body: str) -> str | None:
     if fm and re.search(r"\(\s*select\b", fm.group(1), re.IGNORECASE):
         return None
     bound = _bound_aliases(body)
-    # R3: GROUP BY over outer-only keys = constant grouping -> drop
+    inner_cols = _inner_columns(body, columns_of)
+    changed = False
+    # INNER-join ON conjuncts with outer refs are rejected by Catalyst
+    # ("Cannot generate code ... outer()"); for inner joins ON == WHERE,
+    # so move them.
+    moved = _move_on_conjuncts(
+        rest, lambda c: _has_outer(c, bound, inner_cols)
+        or re.search(r"\(\s*select\b", c, re.IGNORECASE))
+    if moved is not None:
+        rest = moved
+        changed = True
+    empty_is_null = False   # does the (rewritten) subquery yield NO row
+    #                         (NULL scalar) on empty input?
+    # GROUP BY inner keys + HAVING pinning EVERY key to an outer
+    # expression: the pins are group-key predicates, so they move to
+    # WHERE; the group then collapses to at most one, and
+    # HAVING COUNT(*) > 0 preserves the no-group-on-empty behavior.
+    ghm = re.search(r"\bgroup\s+by\s+(.*?)\bhaving\b(.*?)"
+                    r"(?=\border\b|\blimit\b|$)", rest,
+                    re.IGNORECASE | re.DOTALL)
+    if ghm and _AGG_RE.match(selexpr.strip()):
+        keys = {re.sub(r"\s+", "", k).lower().replace("`", "")
+                for k in _split_top(ghm.group(1), ",") if k.strip()}
+        conjs = _split_top_and(ghm.group(2))
+        pinned: set[str] = set()
+        ok = bool(keys) and bool(conjs)
+        for c in conjs:
+            sides = _split_eq(c)
+            if sides is None:
+                ok = False
+                break
+            ln = re.sub(r"\s+", "", sides[0]).lower().replace("`", "")
+            rn = re.sub(r"\s+", "", sides[1]).lower().replace("`", "")
+            if ln in keys and _is_outer_only(sides[1], bound, inner_cols):
+                pinned.add(ln)
+            elif rn in keys and _is_outer_only(sides[0], bound, inner_cols):
+                pinned.add(rn)
+            else:
+                ok = False
+                break
+        if ok and pinned == keys:
+            pre = rest[:ghm.start()]
+            post = rest[ghm.end():]
+            add = " AND ".join(f"({c})" for c in conjs)
+            glue = (" AND " if re.search(r"\bwhere\b", pre, re.IGNORECASE)
+                    else " WHERE ")
+            rest = pre.rstrip() + glue + add + " HAVING COUNT(*) > 0 " + post
+            changed = True
+            empty_is_null = True
+    # GROUP BY over outer-only keys = constant grouping -> drop
     gm = re.search(r"\bgroup\s+by\s+(.*?)(\border\b|\blimit\b|$)", rest,
                    re.IGNORECASE | re.DOTALL)
-    changed = False
-    if gm and _is_outer_only(gm.group(1), bound):
+    if gm and _is_outer_only(gm.group(1), bound, inner_cols):
         agg_only = bool(_AGG_RE.match(selexpr.strip()))
         if not agg_only or re.search(r"\bhaving\b", rest, re.IGNORECASE):
             return None        # non-agg select / existing HAVING: differs
@@ -163,12 +423,47 @@ def _rewrite_one_subquery(body: str) -> str | None:
         rest = (rest[:gm.start()] + " HAVING COUNT(*) > 0 "
                 + rest[gm.end(1):])
         changed = True
-    # (outer refs in the remaining WHERE are fine — Catalyst supports them)
-    # COALESCE: after the HAVING COUNT(*) > 0 injection the count
+        empty_is_null = True
+    out = _additive_hoist(selexpr, rest, bound, inner_cols, changed,
+                          empty_is_null)
+    if out is not None:
+        return out
+    return _agg_extract(selexpr, rest, bound, inner_cols)
+
+
+def _split_eq(c: str) -> tuple[str, str] | None:
+    """Split a conjunct on its single top-level '=' (not <=, >=, <>,
+    !=, ==)."""
+    depth = 0
+    pos = -1
+    for i, ch in enumerate(c):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "=" and depth == 0:
+            if i > 0 and c[i - 1] in "<>!=":
+                continue
+            if i + 1 < len(c) and c[i + 1] == "=":
+                continue
+            if pos >= 0:
+                return None
+            pos = i
+    if pos < 0:
+        return None
+    return c[:pos].strip(), c[pos + 1:].strip()
+
+
+def _additive_hoist(selexpr: str, rest: str, bound: set[str],
+                    inner_cols: set[str] | None, changed: bool,
+                    empty_is_null: bool) -> str | None:
+    """The separable-term hoist over the subquery's SELECT expression.
+    Returns the replacement expression or None."""
+    # COALESCE: after a HAVING COUNT(*) > 0 injection the count
     # subquery itself returns NO row (NULL) on empty input; the
-    # CASE WHEN ... = 0 empty-group guards below need it to read 0 there,
-    # not NULL (NULL = 0 falls to ELSE and would return the outer value
-    # where the original yields NULL).
+    # CASE WHEN ... = 0 empty-group guards below need it to read 0
+    # there, not NULL (NULL = 0 falls to ELSE and would return the
+    # outer value where the original yields NULL).
     cnt_all = f"COALESCE((SELECT COUNT(*) {rest.strip()}), 0)"
     inner_terms: list[tuple[str, str]] = []
     hoisted: list[tuple[str, str]] = []
@@ -176,36 +471,38 @@ def _rewrite_one_subquery(body: str) -> str | None:
         am = _AGG_RE.match(term)
         if am and not _balanced(am.group(2)):
             am = None          # e.g. SUM(a)*SUM(b): not one aggregate
-        if not am and _is_outer_only(term, bound):
+        if not am and _is_outer_only(term, bound, inner_cols):
             hoisted.append((sign, f"(CASE WHEN {cnt_all} = 0 THEN NULL "
                                   f"ELSE ({term}) END)"))
             changed = True
             continue
-        if not am and _alias_refs(term) - bound:
+        if not am and _has_outer(term, bound, inner_cols):
             # product term: hoist outer-only factors, wrap inner
             # aggregate factors in their own scalar subqueries
-            rep = _rewrite_product(term, bound, rest, cnt_all)
+            rep = _rewrite_product(term, bound, rest, cnt_all, inner_cols)
             if rep is None:
                 return None
             hoisted.append((sign, rep))
             changed = True
             continue
-        if am and _alias_refs(term) - bound:
+        if am and _has_outer(term, bound, inner_cols):
             fn = am.group(1).lower()
-            arg_terms = _split_additive(am.group(2))
+            arg_terms = _split_additive(_strip_parens(am.group(2)))
             inner_arg = [(sg, t) for sg, t in arg_terms
-                         if not _is_outer_only(t, bound)]
+                         if not _is_outer_only(t, bound, inner_cols)]
             outer_arg = [(sg, t) for sg, t in arg_terms
-                         if _is_outer_only(t, bound)]
+                         if _is_outer_only(t, bound, inner_cols)]
             if len(arg_terms) == 1 and fn in ("sum", "avg"):
                 # multiplicative separation: SUM(c*f) = c * SUM(f),
                 # AVG(c*f) = c * AVG(f) (MIN/MAX would flip on negative
                 # c, so only the linear aggregates)
                 facs = _split_mul(arg_terms[0][1])
-                of = [f for f in facs if _is_outer_only(f, bound)]
-                inf = [f for f in facs if not _is_outer_only(f, bound)]
+                of = [f for f in facs
+                      if _is_outer_only(f, bound, inner_cols)]
+                inf = [f for f in facs
+                       if not _is_outer_only(f, bound, inner_cols)]
                 if of and inf and all(
-                        not (_alias_refs(f) - bound) for f in inf):
+                        not _has_outer(f, bound, inner_cols) for f in inf):
                     sub = (f"(SELECT {fn}({' * '.join(inf)}) "
                            f"{rest.strip()})")
                     combined = "+" if sign == arg_terms[0][0] else "-"
@@ -213,6 +510,24 @@ def _rewrite_one_subquery(body: str) -> str | None:
                         (combined, f"(({') * ('.join(of)}) * {sub})"))
                     changed = True
                     continue
+            if fn == "count" and outer_arg:
+                # COUNT(f + c) counts rows where f+c IS NOT NULL =
+                # 0 when the outer constant c is NULL, else COUNT(f).
+                c = _join_terms(outer_arg)
+                if inner_arg:
+                    f_expr = _join_terms(inner_arg)
+                    body_cnt = (f"COALESCE((SELECT COUNT({f_expr}) "
+                                f"{rest.strip()}), 0)")
+                else:
+                    body_cnt = cnt_all
+                rep = (f"(CASE WHEN ({c}) IS NULL THEN 0 "
+                       f"ELSE {body_cnt} END)")
+                if empty_is_null:
+                    rep = (f"(CASE WHEN {cnt_all} = 0 THEN NULL "
+                           f"ELSE {rep} END)")
+                hoisted.append((sign, rep))
+                changed = True
+                continue
             if not outer_arg or fn == "count":
                 return None    # outer ref not additively separable
             if not inner_arg:
@@ -238,7 +553,7 @@ def _rewrite_one_subquery(body: str) -> str | None:
                 hoisted.append((sign, f"({c})"))
             changed = True
             continue
-        if _alias_refs(term) - bound:
+        if _has_outer(term, bound, inner_cols):
             return None        # outer ref tangled non-additively
         inner_terms.append((sign, term))
     if not changed:
@@ -251,26 +566,9 @@ def _rewrite_one_subquery(body: str) -> str | None:
     return _join_terms(parts)
 
 
-def _balanced(s: str) -> bool:
-    depth = 0
-    for c in s:
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth < 0:
-                return False
-    return depth == 0
-
-
-def _split_mul(s: str) -> list[str]:
-    """Split a term into top-level '*' factors (no '/': division is not
-    commutative-separable and the corpus `div` keyword would collide)."""
-    return [f.strip() for f in _split_top(s, "*") if f.strip()]
-
-
 def _rewrite_product(term: str, bound: set[str], rest: str,
-                     cnt_all: str) -> str | None:
+                     cnt_all: str,
+                     inner_cols: set[str] | None = None) -> str | None:
     """Rewrite a non-aggregate product term mixing outer refs with inner
     aggregates, e.g. SUM(i1.i)*SUM(i): each inner-aggregate factor
     becomes its own scalar subquery, pure-outer aggregate factors become
@@ -284,9 +582,9 @@ def _rewrite_product(term: str, bound: set[str], rest: str,
         am = _AGG_RE.match(f)
         if am and not _balanced(am.group(2)):
             am = None
-        if not am and _is_outer_only(f, bound):
+        if not am and _is_outer_only(f, bound, inner_cols):
             parts.append(f"({f})")
-        elif am and _is_outer_only(am.group(2), bound):
+        elif am and _is_outer_only(am.group(2), bound, inner_cols):
             fn, c = am.group(1).lower(), am.group(2)
             if fn == "sum":
                 parts.append(f"(CASE WHEN {cnt_all} = 0 THEN NULL "
@@ -296,13 +594,72 @@ def _rewrite_product(term: str, bound: set[str], rest: str,
                              f"ELSE ({c}) END)")
             else:
                 return None
-        elif am and not (_alias_refs(f) - bound):
+        elif am and not _has_outer(f, bound, inner_cols):
             parts.append(f"(SELECT {f} {rest.strip()})")
-        elif not (_alias_refs(f) - bound) and not _bare_idents(f):
+        elif not _has_outer(f, bound, inner_cols) and not _bare_idents(f):
             parts.append(f"({f})")      # literal factor
         else:
             return None
     return "(" + " * ".join(parts) + ")"
+
+
+def _agg_extract(selexpr: str, rest: str, bound: set[str],
+                 inner_cols: set[str] | None) -> str | None:
+    """Ungrouped aggregate extraction: when every AGG(...) argument is
+    inner-only and the LEFTOVER expression references only outer scope,
+    each aggregate becomes its own uncorrelated scalar subquery and the
+    whole SELECT expression hoists out.  Exact for ungrouped subqueries
+    (they always yield exactly one row).  Closes
+    `(SELECT (SUM(i)+i1.i)/2 FROM integers WHERE i=1)`
+    (unnesting.test#34) where the outer term is trapped under a
+    non-distributable operator."""
+    if re.search(r"\bgroup\s+by\b|\bhaving\b", rest, re.IGNORECASE):
+        return None
+    if re.search(r"\(\s*select\b", selexpr, re.IGNORECASE):
+        return None                     # nested subquery: too opaque
+    pieces: list[str] = []
+    last = 0
+    n_aggs = 0
+    for m in re.finditer(r"\b(min|max|sum|avg|count)\s*\(", selexpr,
+                         re.IGNORECASE):
+        if m.start() < last:
+            continue                    # overlaps a previous span
+        depth, j = 1, m.end()
+        while j < len(selexpr) and depth:
+            if selexpr[j] == "(":
+                depth += 1
+            elif selexpr[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return None
+        fn = m.group(1)
+        arg = selexpr[m.end():j - 1]
+        if _has_outer(arg, bound, inner_cols):
+            return None                 # additive path's job, not ours
+        pieces.append(selexpr[last:m.start()])
+        pieces.append(f"(SELECT {fn}({arg}) {rest.strip()})")
+        last = j
+        n_aggs += 1
+    if not n_aggs:
+        return None
+    pieces.append(selexpr[last:])
+    leftover = "".join(p for i, p in enumerate(pieces) if i % 2 == 0)
+    refs = _alias_refs(leftover)
+    bare = _bare_idents(leftover)
+    if refs & bound:
+        return None
+    if inner_cols is None:
+        if bare:
+            return None
+        outer_present = bool(refs)
+    else:
+        if bare & inner_cols:
+            return None
+        outer_present = bool(refs or bare)
+    if not outer_present:
+        return None                     # nothing correlated: pointless
+    return "".join(pieces)
 
 
 def _rewrite_no_from(body: str) -> str | None:
@@ -361,16 +718,7 @@ def is_correlated_scope_gap(sql: str, alias: str) -> bool:
     manufactured by a rewriter bug (absent from any subquery here) is
     NOT classified as a scope gap.  Shared by tools/sqllogic.py's
     engine-unsupported classifier and Connection.sql's retry gate."""
-    spans: list[tuple[int, int]] = []
-    for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
-        spans.append((m.start(), j))
+    spans = _select_spans(sql)
     if not spans:
         return False
     a = re.escape(alias)
@@ -391,19 +739,23 @@ def is_correlated_scope_gap(sql: str, alias: str) -> bool:
     return False
 
 
-def decorrelate_select_list(sql: str) -> str:
-    """Hoist additively-separable outer references out of scalar
-    subqueries Catalyst rejects (SELECT-list / GROUP BY correlation).
-    Iterates to a fixpoint (bounded): unwrapping an inner no-FROM
-    subquery can expose its parent as the next rewritable shape —
-    `(SELECT (SELECT 42+i1.i)+i1.i)` unwraps inside-out.  Unchanged
-    text means no rewrite found."""
-    for _ in range(6):
-        nxt = _decorrelate_once(sql)
-        if nxt == sql:
-            return sql
-        sql = nxt
-    return sql
+# ---------------------------------------------------------------------------
+# Span machinery
+# ---------------------------------------------------------------------------
+
+def _select_spans(sql: str) -> list[tuple[int, int]]:
+    """All `(SELECT ...)` spans as (start, end) index pairs."""
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        spans.append((m.start(), j))
+    return spans
 
 
 _NONEXPR_ANYWHERE = {"from", "join", "lateral"}
@@ -457,19 +809,178 @@ def _expr_position(sql: str, s: int) -> bool:
     return True                 # start of statement (e.g. bare subquery)
 
 
-def _decorrelate_once(sql: str) -> str:
-    spans: list[tuple[int, int]] = []
-    for m in re.finditer(r"\(\s*select\b", sql, re.IGNORECASE):
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
-        if not _expr_position(sql, m.start()):
+# ---------------------------------------------------------------------------
+# LATERAL hoist: 2-level-deep correlation
+# ---------------------------------------------------------------------------
+
+def _lateral_hoist(sql: str) -> str:
+    """Pull ONE two-level-deep correlated ungrouped-AGGREGATE subquery
+    up into `LEFT JOIN LATERAL (SELECT ... AS __v <rest>) __latN ON
+    true` on the top-level FROM, replacing the span with `__latN.__v`.
+    The hoisted body's outer refs then sit one level from their binding
+    (legal lateral correlation), and the enclosing subquery's reference
+    to `__latN.__v` is one-level too.  Only aggregate bodies hoist —
+    an ungrouped aggregate yields exactly one row, so the LEFT JOIN
+    preserves cardinality and scalar semantics exactly.  Closes
+    unnesting.test#57/#64/#66 (reference Unnesting.cpp handles these
+    via its general dependent-join construction)."""
+    if re.match(r"^\s*select\s+(distinct\s+)?\*", sql, re.IGNORECASE):
+        return sql              # lateral would widen SELECT *
+    spans = _select_spans(sql)
+    blanked = list(sql)
+    for s, e in spans:
+        for k in range(s + 1, e - 1):
+            if blanked[k] not in "()":
+                blanked[k] = " "
+    top_text = "".join(blanked)
+    if re.search(r"\bgroup\s+by\b", top_text, re.IGNORECASE):
+        return sql
+    top_bound = _bound_aliases(top_text)
+    if not top_bound:
+        return sql
+    fpos = _top_find(sql, re.compile(r"\bfrom\b", re.IGNORECASE))
+    if fpos < 0:
+        return sql
+    # insertion point: end of the top-level FROM region
+    tail_off = _top_find(sql, _CLAUSE_RE, fpos)
+    ip = len(sql) if tail_off < 0 else tail_off
+    counter = len(re.findall(r"__lat\d+", sql))
+    for s, e in sorted(spans, key=lambda p: -p[0]):
+        enclosing = [(s2, e2) for s2, e2 in spans
+                     if s2 < s and e <= e2 and (s2, e2) != (s, e)]
+        if not enclosing:
+            continue            # depth-1 correlation is Catalyst's job
+        body = sql[s + 1:e - 1]
+        if re.search(r"\(\s*select\b", body, re.IGNORECASE):
+            continue            # not innermost
+        bsm = re.match(r"^\s*select\s+", body, re.IGNORECASE)
+        if bsm is None:
             continue
-        spans.append((m.start(), j))
+        bfpos = _top_find(body, re.compile(r"\bfrom\b", re.IGNORECASE),
+                          bsm.end())
+        if bfpos < 0:
+            continue
+        sel, rest = body[bsm.end():bfpos].strip(), body[bfpos:]
+        if re.search(r"\bgroup\s+by\b|\blimit\b", rest, re.IGNORECASE):
+            continue
+        if not re.search(r"\b(min|max|sum|avg|count)\s*\(", sel,
+                         re.IGNORECASE):
+            continue            # non-aggregate: row count not guaranteed 1
+        free = _alias_refs(body) - _bound_aliases(body)
+        if not free or not free <= top_bound:
+            continue
+        # free aliases must skip every intermediate scope (else the
+        # correlation is 1-level and legal where it is)
+        ok = True
+        for s2, e2 in enclosing:
+            enc = sql[s2 + 1:s] + " " + sql[e:e2 - 1]
+            if free & _bound_aliases(enc):
+                ok = False
+                break
+        if not ok:
+            continue
+        var = f"__lat{counter}"
+        lateral = (f" LEFT JOIN LATERAL (SELECT {sel} AS __v "
+                   f"{rest.strip()}) {var} ON true ")
+        repl = f"{var}.__v"
+        if ip <= s:
+            return sql[:ip] + lateral + sql[ip:s] + repl + sql[e:]
+        return sql[:s] + repl + sql[e:ip] + lateral + sql[ip:]
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def _min_wrap_grouped(sql: str) -> str:
+    """Under a top-level GROUP BY, a CORRELATED scalar subquery in the
+    SELECT list must sit inside an aggregate function (Spark:
+    SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION).  The
+    reference's unnesting evaluates it per-group directly — legal there
+    only when the subquery's outer refs are group-key-determined, in
+    which case its value is constant per group and MIN() is the
+    identity.  So wrap each correlated select-list span in MIN(...)
+    (uncorrelated spans are group constants Spark already accepts)."""
+    top = _blank_span_interiors(sql)
+    if _top_find(top, re.compile(r"\bgroup\s+by\b", re.IGNORECASE)) < 0:
+        return sql
+    fpos = _top_find(sql, re.compile(r"\bfrom\b", re.IGNORECASE))
+    if fpos < 0:
+        return sql
+    top_bound = _bound_aliases(top)
+    out = sql
+    for s, e in sorted(_select_spans(sql), key=lambda p: -p[0]):
+        if e > fpos or not _expr_position(sql, s):
+            continue            # not in the top SELECT list
+        if _inside_aggregate(sql, s):
+            continue            # MIN(..) would nest aggregates
+        body = sql[s + 1:e - 1]
+        free = _alias_refs(body) - _bound_aliases(body)
+        if free and free <= top_bound:
+            out = out[:s] + "MIN(" + out[s:e] + ")" + out[e:]
+    return out
+
+
+def _inside_aggregate(sql: str, s: int) -> bool:
+    """True iff position `s` sits inside an aggregate-function call."""
+    depth, i = 0, s - 1
+    while i >= 0:
+        c = sql[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                j = i - 1
+                while j >= 0 and sql[j].isspace():
+                    j -= 1
+                k = j
+                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                    k -= 1
+                if sql[k + 1:j + 1].lower() in ("min", "max", "sum",
+                                                "avg", "count"):
+                    return True
+                i -= 1
+                continue
+            depth -= 1
+        i -= 1
+    return False
+
+
+def _blank_span_interiors(sql: str) -> str:
+    blanked = list(sql)
+    for s, e in _select_spans(sql):
+        for k in range(s + 1, e - 1):
+            if blanked[k] not in "()":
+                blanked[k] = " "
+    return "".join(blanked)
+
+
+def decorrelate_select_list(sql: str, columns_of=None) -> str:
+    """Hoist additively-separable outer references out of scalar
+    subqueries Catalyst rejects (SELECT-list / GROUP BY / HAVING /
+    join-ON correlation, 2-level nesting).  Iterates to a fixpoint
+    (bounded): unwrapping an inner no-FROM subquery can expose its
+    parent as the next rewritable shape — `(SELECT (SELECT 42+i1.i)
+    +i1.i)` unwraps inside-out, and a LATERAL hoist can expose a
+    no-FROM unwrap.  `columns_of(table) -> columns|None` optionally
+    resolves bare identifiers against table schemas.  Unchanged text
+    means no rewrite found."""
+    sql = _on_subquery_to_where(sql)
+    sql = _min_wrap_grouped(sql)
+    for _ in range(8):
+        nxt = _decorrelate_once(sql, columns_of)
+        if nxt == sql:
+            nxt = _lateral_hoist(sql)
+            if nxt == sql:
+                return sql
+        sql = nxt
+    return sql
+
+
+def _decorrelate_once(sql: str, columns_of=None) -> str:
+    spans = [(s, e) for s, e in _select_spans(sql)
+             if _expr_position(sql, s)]
     # innermost = spans contained in another; rewrite right-to-left so
     # indices stay valid, skipping spans that contain an already-edited one
     edited: list[tuple[int, int]] = []
@@ -477,10 +988,8 @@ def _decorrelate_once(sql: str) -> str:
         if any(s <= es and ee <= e for es, ee in edited):
             continue
         body = sql[s + 1:e - 1]
-        rep = _rewrite_one_subquery(body)
+        rep = _rewrite_one_subquery(body, columns_of)
         if rep is not None:
             sql = sql[:s] + "(" + rep + ")" + sql[e:]
             edited.append((s, e))
     return sql
-
-

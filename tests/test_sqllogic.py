@@ -54,16 +54,17 @@ def test_sqllogic_small_semantics_corpus():
     """groupby/join/setops/uni + a stride of the 105-query unnesting
     file.  Full-file attestation (2026-08-14, r6 runner: strict ordered
     tsv compare with pinned null placement, round-trip numeric
-    tolerance, SELECT-list decorrelation incl. no-FROM unwrap):
-    154 ran / 154 passed / 0 failed, 0 dialect-skipped (pipe-SQL
-    alias-scoping queries run through the standard-SQL fallback
-    translation), 8 engine-unsupported — down from 31 in r4 and 18
-    mid-r5: the decorrelation hoist (decorrelate_select_list) flips
-    additively/multiplicatively separable SELECT-list correlation and
-    unwraps no-FROM outer aggregation to the corpus-pinned per-row
-    reading; what remains is non-separable mixed-aggregate correlation
-    and 2+-level nesting — analysis-time rejections, never wrong
-    answers; udf.test is C-language UDFs, inapplicable by design."""
+    tolerance, full decorrelation pipeline): 172 ran / 172 passed /
+    0 failed, 0 dialect-skipped (pipe-SQL alias-scoping queries run
+    through the standard-SQL fallback translation), 0
+    engine-unsupported — down from 31 in r4, 18 mid-r5, 8 at r5 HEAD:
+    decorrelate_select_list now closes every correlation class in the
+    suite (additive/multiplicative hoisting, no-FROM unwrap, HAVING
+    key-pins, ungrouped aggregate extraction, INNER-join ON->WHERE
+    moves, MIN-wrap under outer GROUP BY, and a LEFT JOIN LATERAL
+    hoist for 2-level nesting), each rewrite value-checked against the
+    corpus expected output; udf.test is C-language UDFs, inapplicable
+    by design."""
     ran, passed, failed_n, _, _ = _run(
         [SMALL / "groupby.test", SMALL / "join.test",
          SMALL / "setops.test", SMALL / "uni.test"])
@@ -71,4 +72,4 @@ def test_sqllogic_small_semantics_corpus():
     ran, passed, failed_n, _, unsup = _run(
         [SMALL / "unnesting.test"], ["--stride", "4"])
     assert failed_n == 0 and passed == ran
-    assert ran >= 15 and unsup <= 8
+    assert ran >= 20 and unsup == 0

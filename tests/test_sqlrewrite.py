@@ -89,9 +89,13 @@ def test_min_of_outer_times_inner_unchanged():
     assert d(q) == q
 
 
-def test_count_mixed_unchanged():
-    q = "SELECT (SELECT COUNT(i + i1.i) FROM integers) FROM integers i1"
-    assert d(q) == q
+def test_count_mixed_rewrites_null_guarded():
+    # COUNT(f + c) counts rows where f+c IS NOT NULL: 0 when the outer
+    # constant is NULL, else COUNT(f)
+    out = d("SELECT (SELECT COUNT(i + i1.i) FROM integers) "
+            "FROM integers i1")
+    assert "CASE WHEN (i1.i) IS NULL THEN 0" in out
+    assert "(SELECT COUNT(i) FROM integers)" in out
 
 
 def test_uncorrelated_subquery_unchanged():
@@ -140,3 +144,90 @@ def test_in_exists_predicate_subqueries_not_unwrapped():
     assert d(q) == q
     q2 = "SELECT i FROM integers i1 WHERE EXISTS (SELECT i1.i)"
     assert d(q2) == q2
+
+
+_COLS = {"integers": ["i"], "test": ["a", "b", "str"],
+         "test2": ["a", "c", "str2"]}.get
+
+
+def test_having_pin_moves_to_where():
+    # GROUP BY inner key + HAVING key=outer: the pin moves to WHERE,
+    # the group collapses, HAVING COUNT(*) > 0 keeps empty -> NULL
+    # (unnesting.test#31)
+    out = d("SELECT i AS j, (SELECT MIN(i1.i) FROM integers "
+            "GROUP BY i HAVING i=i1.i) FROM integers i1 "
+            "GROUP BY i ORDER BY j", columns_of=_COLS)
+    assert "GROUP BY i HAVING" not in out
+    assert "WHERE (i=i1.i) HAVING COUNT(*) > 0" in out
+
+
+def test_agg_extraction_hoists_trapped_outer():
+    # (SUM(i)+i1.i) div 2: the outer term is under a non-distributable
+    # operator; SUM extracts to its own scalar subquery and the whole
+    # expression hoists (unnesting.test#34)
+    out = d("SELECT SUM(i) FROM integers i1 WHERE i>"
+            "(SELECT (SUM(i)+i1.i) div 2 FROM integers WHERE i=1)",
+            columns_of=_COLS)
+    assert out == ("SELECT SUM(i) FROM integers i1 WHERE i>"
+                   "(((SELECT SUM(i) FROM integers WHERE i=1)+i1.i)"
+                   " div 2)")
+
+
+def test_lateral_hoist_two_level_nesting():
+    # 2-level correlation pulls into LEFT JOIN LATERAL ... ON true;
+    # an ungrouped aggregate body guarantees exactly one lateral row
+    # (unnesting.test#57)
+    out = d("SELECT i, (SELECT i FROM integers i2 WHERE i="
+            "(SELECT SUM(i) FROM integers i2 WHERE i2.i>i1.i)) "
+            "FROM integers i1 ORDER BY 1", columns_of=_COLS)
+    assert "LEFT JOIN LATERAL (SELECT SUM(i) AS __v" in out
+    assert "WHERE i=__lat0.__v" in out
+
+
+def test_lateral_then_no_from_unwrap_chain():
+    # unnesting.test#66: lateral hoist exposes a no-FROM unwrap
+    out = d("SELECT i, (SELECT CASE WHEN (SELECT COUNT(*) FROM integers"
+            " i2 WHERE i2.i>i1.i)=0 THEN 1 ELSE 0 END) FROM integers i1"
+            " ORDER BY i", columns_of=_COLS)
+    assert "LEFT JOIN LATERAL (SELECT COUNT(*) AS __v" in out
+    assert "((CASE WHEN __lat0.__v=0 THEN 1 ELSE 0 END))" in out
+
+
+def test_on_outer_conjunct_moves_to_where():
+    # correlated conjunct in an INNER-join ON inside a subquery moves
+    # to WHERE (unnesting.test#75)
+    out = d("SELECT i, (SELECT s1.i FROM integers s1 INNER JOIN "
+            "integers s2 ON s1.i=s2.i AND s1.i=4-i1.i) AS j "
+            "FROM integers i1 ORDER BY i", columns_of=_COLS)
+    assert "ON (s1.i=s2.i)" in out
+    assert "WHERE (s1.i=4-i1.i)" in out
+
+
+def test_on_subquery_conjunct_moves_to_where_toplevel():
+    # subquery as an INNER-join ON condition moves to WHERE at the
+    # top level (unnesting.test#78)
+    out = d("SELECT * FROM integers s1 INNER JOIN integers s2 ON "
+            "(SELECT s1.i=i FROM integers WHERE s2.i=i) ORDER BY s1.i",
+            columns_of=_COLS)
+    assert "ON 1=1" in out
+    assert "WHERE ((SELECT s1.i=i FROM integers WHERE s2.i=i))" in out
+
+
+def test_resolver_classifies_bare_outer_idents():
+    # with a schema resolver, bare `b` (not a test2 column) hoists as
+    # an outer constant; bare `c` (a test2 column) stays inner
+    # (unnesting.test#70's quantifier-translated aggregates)
+    out = d("SELECT a, (SELECT MIN((test2.a+c-b)) FROM test2 "
+            "WHERE c>=b AND str=str2) AS m FROM test ORDER BY 1",
+            columns_of=_COLS)
+    assert "(SELECT min(test2.a + c) FROM test2" in out
+    assert "+ (-b)" in out
+
+
+def test_left_join_on_never_moved():
+    # ON -> WHERE is only valid for inner joins
+    q = ("SELECT i, (SELECT s1.i FROM integers s1 LEFT JOIN integers s2"
+         " ON s1.i=s2.i AND s1.i=4-i1.i) AS j FROM integers i1")
+    out = d(q, columns_of=_COLS)
+    assert "LEFT JOIN" in out and "ON" in out
+    assert "WHERE (s1.i=4-i1.i)" not in out

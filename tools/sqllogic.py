@@ -717,10 +717,23 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
             # rejected) is the query counted engine-unsupported.
             msg = str(e)
             if ("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
-                    or "cannot be resolved" in msg):
+                    or "cannot be resolved" in msg
+                    or "SCALAR_SUBQUERY_IS_IN_GROUP_BY" in msg
+                    # correlated non-equi join-ON passes analysis but
+                    # dies at codegen — the ON->WHERE move fixes it
+                    or ("Cannot generate code" in msg
+                        and "outer(" in msg)):
                 try:
+                    def _duck_cols(t):
+                        try:
+                            info = con.execute(
+                                f"PRAGMA table_info('{t}')").fetchall()
+                            return [c[1] for c in info] or None
+                        except Exception:       # noqa: BLE001
+                            return None
                     base = to_spark_sql(sql)
-                    q3 = decorrelate_select_list(base)
+                    q3 = decorrelate_select_list(base,
+                                                 columns_of=_duck_cols)
                     if q3 != base:
                         if types == "tsv" and has_order:
                             q3 = normalize_null_order(q3)
