@@ -140,6 +140,7 @@ def load_all() -> dict[str, QuerySpec]:
     from lingo_db_spark.queries import (  # noqa: F401
         canary,
         probes,
+        cse_q,
         pipeline_q,
         scalars,
         decimal_q,
