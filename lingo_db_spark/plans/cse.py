@@ -146,15 +146,21 @@ def _of_rows(spark: SparkSession, jplan: Any) -> DataFrame:
 
 
 class CseScope:
-    """Holds the persisted fragments backing one auto-CSE'd query.
+    """Holds the persisted fragments (and any backing temp views) of one
+    auto-CSE'd query.
 
     Unpersist when the consuming query (and anything else sharing the
     fragments) is done: ``scope.unpersist_all()`` or use as a context
-    manager.
+    manager.  Dropping the scope also drops its ``__cse_*`` temp views —
+    a long-lived session must not accumulate one view per execution.
     """
 
-    def __init__(self, fragments: list[DataFrame]):
+    def __init__(self, fragments: list[DataFrame],
+                 views: list[str] | None = None,
+                 spark: SparkSession | None = None):
         self.fragments = fragments
+        self.views = views or []
+        self._spark = spark
 
     def __enter__(self) -> "CseScope":
         return self
@@ -166,6 +172,10 @@ class CseScope:
         for f in self.fragments:
             f.unpersist()
         self.fragments = []
+        if self._spark is not None:
+            for v in self.views:
+                self._spark.catalog.dropTempView(v)
+        self.views = []
 
 
 def auto_persist_common_subtrees(df: DataFrame) -> CseScope:
@@ -178,7 +188,12 @@ def auto_persist_common_subtrees(df: DataFrame) -> CseScope:
     spark = df.sparkSession
     frags = [_of_rows(spark, p) for p in find_repeated_subtrees(df)]
     for f in frags:
-        f.persist()
+        # idempotent: re-running the same query must not re-persist a
+        # fragment the CacheManager already holds (storageLevel consults
+        # the cache by plan, not by DataFrame identity)
+        sl = f.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            f.persist()
     return CseScope(frags)
 
 
@@ -242,26 +257,75 @@ def _split_quoted(sql: str) -> list[tuple[bool, str]]:
     return out
 
 
-def _count_refs(sql: str, name: str) -> int:
-    pat = re.compile(r"\b%s\b" % re.escape(name), re.IGNORECASE)
-    return sum(
-        len(pat.findall(seg)) for lit, seg in _split_quoted(sql) if not lit
-    )
+def _masked(sql: str) -> str:
+    """Same-length text with string-literal bodies blanked."""
+    return "".join(" " * len(seg) if lit else seg
+                   for lit, seg in _split_quoted(sql))
 
 
-def _sub_refs(sql: str, mapping: dict[str, str]) -> str:
+_NONALIAS_KEYWORDS = {
+    "where", "group", "order", "having", "limit", "union", "intersect",
+    "except", "on", "join", "inner", "left", "right", "full", "cross",
+    "natural", "using", "select", "from", "and", "or", "when", "then",
+    "else", "end", "asc", "desc",
+}
+
+
+def _classify_refs(sql: str, names) -> list[tuple[int, int, str, bool]] | None:
+    """Occurrences of CTE `names` in TABLE-REFERENCE position (after
+    FROM/JOIN).  Returns [(start, end, name_lower, alias_follows)], or
+    None when an occurrence is ambiguous — after a comma, which this
+    scanner cannot prove is a SELECT-list comma rather than a FROM-list
+    item (a FROM-list table ref it failed to rewrite would dangle).
+    Occurrences in every other position (output alias `AS revenue`,
+    qualifier `revenue.x`, bare column) are intentionally NOT table
+    refs — the blanket word-boundary substitution this replaces
+    rewrote output aliases and same-named columns too, silently
+    changing result schemas."""
+    text = _masked(sql)
+    pat = re.compile(
+        r"\b(%s)\b" % "|".join(re.escape(n) for n in names), re.IGNORECASE)
+    out: list[tuple[int, int, str, bool]] = []
+    for m in pat.finditer(text):
+        s, e = m.span()
+        before = text[:s].rstrip()
+        after = text[e:].lstrip()
+        if before.endswith(".") or after.startswith("."):
+            continue                      # qualifier / qualified column
+        prev_word = re.search(r"([A-Za-z_]\w*)\s*$", before)
+        prev = prev_word.group(1).lower() if prev_word else ""
+        if prev in ("from", "join"):
+            am = re.match(r"(?:as\s+)?([A-Za-z_]\w*)", after, re.IGNORECASE)
+            alias_follows = bool(
+                am and (after[:2].lower() == "as"
+                        or am.group(1).lower() not in _NONALIAS_KEYWORDS))
+            out.append((s, e, m.group(1).lower(), alias_follows))
+        elif before.endswith(","):
+            return None                   # can't prove not a FROM list
+    return out
+
+
+def _count_refs(sql: str, name: str) -> int | None:
+    """Table-position reference count, or None on an ambiguous text."""
+    refs = _classify_refs(sql, [name])
+    return None if refs is None else len(refs)
+
+
+def _sub_refs(sql: str, mapping: dict[str, str]) -> str | None:
+    """Replace table-position references per `mapping`, binding the
+    original name as the item alias (`FROM revenue` ->
+    `FROM __cse_revenue_1 AS revenue`) so qualified refs keep working;
+    items with their own alias keep it.  None on ambiguous text."""
     if not mapping:
         return sql
-    pat = re.compile(
-        r"\b(%s)\b" % "|".join(re.escape(k) for k in mapping), re.IGNORECASE
-    )
-    out = []
-    for lit, seg in _split_quoted(sql):
-        if lit:
-            out.append(seg)
-        else:
-            out.append(pat.sub(lambda m: mapping[m.group(1).lower()], seg))
-    return "".join(out)
+    refs = _classify_refs(sql, list(mapping))
+    if refs is None:
+        return None
+    for s, e, name, alias_follows in sorted(refs, reverse=True):
+        rep = mapping[name] if alias_follows else (
+            f"{mapping[name]} AS {sql[s:e]}")
+        sql = sql[:s] + rep + sql[e:]
+    return sql
 
 
 def parse_ctes(sql: str) -> tuple[list[tuple[str, str]], str] | None:
@@ -321,7 +385,15 @@ def persist_repeated_ctes(
     if parsed is None:
         return sql, CseScope([])
     ctes, main = parsed
+    # Dry-run the classification over every text the rewrite will touch:
+    # an ambiguous occurrence (comma position) bails BEFORE any view or
+    # persist side effect, falling back to plain execution.
+    probe = {n.lower(): n.lower() for n, _ in ctes}
+    if any(_sub_refs(b, probe) is None for _, b in ctes) or (
+            _sub_refs(main, probe) is None):
+        return sql, CseScope([])
     persisted: list[DataFrame] = []
+    views: list[str] = []
     mapping: dict[str, str] = {}
     for idx, (name, body) in enumerate(ctes):
         _CSE_VIEW_SEQ[0] += 1
@@ -329,12 +401,15 @@ def persist_repeated_ctes(
         rest = " ".join(b for _, b in ctes[idx + 1 :]) + " " + main
         refs = _count_refs(rest, name)
         cdf = spark.sql(_sub_refs(body, mapping))
-        if refs >= min_refs:
-            cdf.persist()
+        if refs is not None and refs >= min_refs:
+            sl = cdf.storageLevel     # idempotent across repeated runs
+            if not (sl.useMemory or sl.useDisk):
+                cdf.persist()
             persisted.append(cdf)
         cdf.createOrReplaceTempView(uniq)
+        views.append(uniq)
         mapping[name.lower()] = uniq
-    return _sub_refs(main, mapping), CseScope(persisted)
+    return _sub_refs(main, mapping), CseScope(persisted, views, spark)
 
 
 def sql_with_cte_cse(spark: SparkSession, sql: str) -> tuple[DataFrame, CseScope]:

@@ -20,9 +20,21 @@ from lingo_db_spark.plans.cse import (
 )
 from lingo_db_spark.queries import register, sorted_result
 
-# Keep the persisted fragments referenced for the session so the
-# ContextCleaner doesn't unpersist them mid-collect.
-_SCOPES: list[object] = []
+# Keep ONE live scope per query so the ContextCleaner doesn't unpersist
+# fragments mid-collect; re-running the same query drains its previous
+# scope first (unpersist + temp-view drop), so a long-lived session holds
+# a bounded cache/namespace footprint instead of accumulating one scope
+# per execution.
+_SCOPES: dict[str, object] = {}
+
+
+def _drain_scope(key: str) -> None:
+    """Release the previous run's scope BEFORE building the new plan —
+    draining after would unpersist the cache entry the new run's
+    idempotent-persist check just decided to reuse."""
+    old = _SCOPES.pop(key, None)
+    if old is not None:
+        old.unpersist_all()
 
 _SELFJOIN_ORACLE = """
 WITH per AS (
@@ -46,6 +58,7 @@ def cse_selfjoin_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     must find exactly one duplicated fragment and persist it; the
     threshold compare stays in exact integers (qty * n > total) so no
     float boundary can flip a row between engines."""
+    _drain_scope("cse_selfjoin_auto")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     per = li.groupBy("l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty")
@@ -60,7 +73,7 @@ def cse_selfjoin_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scope = auto_persist_common_subtrees(q)
     assert len(scope.fragments) == 1, "CSE detection regressed"
-    _SCOPES.append(scope)
+    _SCOPES["cse_selfjoin_auto"] = scope
     return sorted_result(q, "l_suppkey")
 
 
@@ -83,8 +96,9 @@ def cse_cte_reused_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass cannot see this case — Spark only duplicates the CTE subtree at
     optimization time, after cache substitution).  Identical SQL text is
     the DuckDB oracle."""
+    _drain_scope("cse_cte_reused_auto")
     register_views(spark, sf_dir, ("lineitem",))
     df, scope = sql_with_cte_cse(spark, _CTE_SQL)
     assert len(scope.fragments) == 1, "reused CTE not materialized"
-    _SCOPES.append(scope)
+    _SCOPES["cse_cte_reused_auto"] = scope
     return df

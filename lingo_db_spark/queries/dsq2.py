@@ -47,6 +47,18 @@ from lingo_db_spark.catalog import register_views
 from lingo_db_spark.queries import register
 from lingo_db_spark.queries.dsq import _micros, _sql_query
 
+
+def _persist_once(df: DataFrame) -> DataFrame:
+    """Idempotent persist: repeated executions in a long-lived session
+    must reuse the CacheManager's existing entry, not stack
+    'already cached' re-persists (storageLevel consults the cache by
+    canonicalized plan, so a re-built identical DataFrame sees it)."""
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        df.persist()
+    return df
+
+
 # ---------------------------------------------------------------------------
 # 1. TPC-DS q95: double IN over one shared self-join CTE
 # ---------------------------------------------------------------------------
@@ -93,7 +105,7 @@ def ds_double_exists_shared_cte(spark: SparkSession,
     (recomputing the pair set per consumer).  Oracle = the plain WITH
     form (DuckDB materializes multiply-referenced CTEs)."""
     register_views(spark, sf_dir, ("orders", "lineitem"))
-    ms = spark.sql(_MULTI_SUPP).persist()
+    ms = _persist_once(spark.sql(_MULTI_SUPP))
     ms.createOrReplaceTempView("multi_supp_r5")
     return spark.sql(_Q95_MAIN.format(ms="multi_supp_r5"))
 
@@ -164,7 +176,7 @@ def ds_year_total_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     via InMemoryTableScan in tests/test_dsq2.py.  Oracle = the plain
     WITH form (DuckDB materializes CTEs referenced more than once)."""
     register_views(spark, sf_dir, ("orders",))
-    yt = spark.sql(_YT_CTE).persist()
+    yt = _persist_once(spark.sql(_YT_CTE))
     yt.createOrReplaceTempView("year_total_r5")
     return spark.sql(_YT_MAIN.format(yt="year_total_r5"))
 

@@ -176,23 +176,54 @@ def _bound_aliases(subq: str) -> set[str]:
     return out
 
 
+_FROM_ITEM_KEYWORDS = {"as", "on", "inner", "left", "right", "full",
+                       "outer", "cross", "join", "using", "natural",
+                       "semi", "anti", "lateral"}
+
+
+def _from_tables(subq: str) -> set[str]:
+    """TABLE-NAME tokens of `subq`'s FROM/JOIN items: the first
+    identifier of each comma- or JOIN-separated item (later tokens are
+    aliases).  Distinct from _bound_aliases, which unions tables AND
+    aliases for scoping."""
+    out: set[str] = set()
+    for m in re.finditer(
+            r"\b(?:from|join)\b"
+            r"((?:(?!\b(?:where|group|order|having|limit|select|on)\b)"
+            r"[^()])*)",
+            subq, re.IGNORECASE | re.DOTALL):
+        for part in re.split(r",|\bjoin\b", m.group(1),
+                             flags=re.IGNORECASE):
+            for w in re.findall(r"\b([A-Za-z_]\w*)\b", part):
+                if w.lower() not in _FROM_ITEM_KEYWORDS:
+                    out.add(w.lower())
+                    break       # first non-keyword ident = the table
+    return out
+
+
 def _inner_columns(body: str, columns_of) -> set[str] | None:
     """Union of column names of the tables bound in `body`'s FROM, via
-    the optional schema resolver.  None when no table resolves (keeps
-    the conservative bare-ident behavior)."""
+    the optional schema resolver.  None unless EVERY table token
+    resolves: on partial resolution a bare column of the unresolved
+    table would be misclassified as outer and silently hoisted
+    (`SELECT MIN(x + y) FROM t1, other` with only t1 known rebinds y
+    to the outer row), so partial knowledge keeps the conservative
+    bare-ident behavior instead."""
     if columns_of is None:
         return None
+    tables = _from_tables(body)
+    if not tables:
+        return None
     cols: set[str] = set()
-    found = False
-    for tok in _bound_aliases(body):
+    for tok in tables:
         try:
             c = columns_of(tok)
         except Exception:               # noqa: BLE001
             c = None
-        if c:
-            found = True
-            cols |= {str(x).lower() for x in c}
-    return cols if found else None
+        if not c:
+            return None
+        cols |= {str(x).lower() for x in c}
+    return cols
 
 
 def _has_outer(term: str, bound: set[str],
@@ -278,6 +309,11 @@ def _move_on_conjuncts(rest: str, should_move) -> str | None:
             break
         nxt = join_re.search(blanked, m.end())
         cond_end = nxt.start() if nxt else len(region)
+        # a top-level comma after ON starts a new FROM item, not a
+        # conjunct: `FROM a JOIN b ON p, c` must not fold `, c` into p
+        cpos = blanked.find(",", m.end())
+        if 0 <= cpos < cond_end:
+            cond_end = cpos
         cond = region[m.end():cond_end]
         keep, mv = [], []
         for c in _split_top_and(cond):
@@ -377,13 +413,18 @@ def _rewrite_one_subquery(body: str, columns_of=None) -> str | None:
     # expression: the pins are group-key predicates, so they move to
     # WHERE; the group then collapses to at most one, and
     # HAVING COUNT(*) > 0 preserves the no-group-on-empty behavior.
+    # Searched on the paren-blanked text so the clause match can't
+    # splice inside a nested predicate subquery's own GROUP BY/HAVING
+    # (indices map 1:1 — _blank_parens preserves length).
+    blanked_rest = _blank_parens(rest)
     ghm = re.search(r"\bgroup\s+by\s+(.*?)\bhaving\b(.*?)"
-                    r"(?=\border\b|\blimit\b|$)", rest,
+                    r"(?=\border\b|\blimit\b|$)", blanked_rest,
                     re.IGNORECASE | re.DOTALL)
     if ghm and _AGG_RE.match(selexpr.strip()):
         keys = {re.sub(r"\s+", "", k).lower().replace("`", "")
-                for k in _split_top(ghm.group(1), ",") if k.strip()}
-        conjs = _split_top_and(ghm.group(2))
+                for k in _split_top(rest[ghm.start(1):ghm.end(1)], ",")
+                if k.strip()}
+        conjs = _split_top_and(rest[ghm.start(2):ghm.end(2)])
         pinned: set[str] = set()
         ok = bool(keys) and bool(conjs)
         for c in conjs:
@@ -410,11 +451,15 @@ def _rewrite_one_subquery(body: str, columns_of=None) -> str | None:
             changed = True
             empty_is_null = True
     # GROUP BY over outer-only keys = constant grouping -> drop
-    gm = re.search(r"\bgroup\s+by\s+(.*?)(\border\b|\blimit\b|$)", rest,
-                   re.IGNORECASE | re.DOTALL)
-    if gm and _is_outer_only(gm.group(1), bound, inner_cols):
+    # (depth-0 anchored, same reasoning as above)
+    blanked_rest = _blank_parens(rest)
+    gm = re.search(r"\bgroup\s+by\s+(.*?)(\border\b|\blimit\b|$)",
+                   blanked_rest, re.IGNORECASE | re.DOTALL)
+    if gm and _is_outer_only(rest[gm.start(1):gm.end(1)], bound,
+                             inner_cols):
         agg_only = bool(_AGG_RE.match(selexpr.strip()))
-        if not agg_only or re.search(r"\bhaving\b", rest, re.IGNORECASE):
+        if not agg_only or re.search(r"\bhaving\b", blanked_rest,
+                                     re.IGNORECASE):
             return None        # non-agg select / existing HAVING: differs
         # grouping by a per-row constant = ungrouped aggregation EXCEPT
         # on empty input (grouped -> no row, ungrouped -> one row, which
@@ -901,7 +946,11 @@ def _min_wrap_grouped(sql: str) -> str:
     only when the subquery's outer refs are group-key-determined, in
     which case its value is constant per group and MIN() is the
     identity.  So wrap each correlated select-list span in MIN(...)
-    (uncorrelated spans are group constants Spark already accepts)."""
+    (uncorrelated spans are group constants Spark already accepts) —
+    but ONLY when every free outer reference textually matches a
+    top-level GROUP BY key: a non-key-determined correlation wrapped
+    in MIN would return the group minimum instead of per-group values,
+    so those spans keep the original Catalyst error instead."""
     top = _blank_span_interiors(sql)
     if _top_find(top, re.compile(r"\bgroup\s+by\b", re.IGNORECASE)) < 0:
         return sql
@@ -909,6 +958,7 @@ def _min_wrap_grouped(sql: str) -> str:
     if fpos < 0:
         return sql
     top_bound = _bound_aliases(top)
+    keys = _top_group_keys(sql, top)
     out = sql
     for s, e in sorted(_select_spans(sql), key=lambda p: -p[0]):
         if e > fpos or not _expr_position(sql, s):
@@ -917,9 +967,33 @@ def _min_wrap_grouped(sql: str) -> str:
             continue            # MIN(..) would nest aggregates
         body = sql[s + 1:e - 1]
         free = _alias_refs(body) - _bound_aliases(body)
-        if free and free <= top_bound:
+        if not free or not free <= top_bound:
+            continue
+        # soundness gate: every outer-qualified ref must BE a group key
+        refs = {f"{a.lower()}.{c.lower()}" for a, c in
+                re.findall(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)",
+                           body.replace("`", ""))
+                if a.lower() in free}
+        if all(r in keys or r.split(".", 1)[1] in keys for r in refs):
             out = out[:s] + "MIN(" + out[s:e] + ")" + out[e:]
     return out
+
+
+def _top_group_keys(sql: str, top: str) -> set[str]:
+    """Normalized top-level GROUP BY key expressions of `sql` (`top` =
+    the span-interior-blanked text, so a subquery's GROUP BY can't
+    match)."""
+    gpos = _top_find(top, re.compile(r"\bgroup\s+by\b", re.IGNORECASE))
+    if gpos < 0:
+        return set()
+    start = gpos + len(re.match(r"group\s+by", top[gpos:],
+                                re.IGNORECASE).group(0))
+    end = _top_find(top, re.compile(
+        r"\b(order|having|limit|union|intersect|except)\b",
+        re.IGNORECASE), start)
+    keys_text = sql[start:end if end >= 0 else len(sql)]
+    return {re.sub(r"\s+", "", k).lower().replace("`", "")
+            for k in _split_top(keys_text, ",") if k.strip()}
 
 
 def _inside_aggregate(sql: str, s: int) -> bool:

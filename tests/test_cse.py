@@ -150,3 +150,63 @@ def test_chained_cte_bodies_resolve(spark):
         assert (row.sd, row.n) == (12, 4)
     finally:
         scope.unpersist_all()
+
+
+def test_cte_name_as_output_alias_kept(spark):
+    # The CTE name doubles as an OUTPUT ALIAS and a qualifier: the
+    # substitution must touch only the table-reference positions, not
+    # the alias or the qualified refs (year_total/`AS revenue` pattern).
+    spark.range(3).createOrReplaceTempView("cse_r3b")
+    sql = (
+        "WITH revenue AS (SELECT id, id * 10 AS amt FROM cse_r3b) "
+        "SELECT revenue.id AS id, revenue.amt AS revenue "
+        "FROM revenue JOIN revenue r2 ON revenue.id = r2.id "
+        "ORDER BY revenue.id"
+    )
+    df, scope = sql_with_cte_cse(spark, sql)
+    try:
+        assert df.columns == ["id", "revenue"]
+        assert [r.revenue for r in df.collect()] == [0, 10, 20]
+    finally:
+        scope.unpersist_all()
+
+
+def test_cte_ambiguous_comma_bails(spark):
+    # A bare occurrence of the CTE name right after a comma cannot be
+    # proven a SELECT-list item vs a FROM-list table ref; the rewrite
+    # must bail to plain execution (no views, no persists) and still
+    # return a runnable statement.
+    spark.range(3).createOrReplaceTempView("cse_r3c")
+    sql = (
+        "WITH t AS (SELECT id, id + 1 AS t FROM cse_r3c) "
+        "SELECT a.id, t FROM t a ORDER BY a.id"
+    )
+    df, scope = sql_with_cte_cse(spark, sql)
+    try:
+        assert scope.fragments == [] and scope.views == []
+        assert [r.t for r in df.collect()] == [1, 2, 3]
+    finally:
+        scope.unpersist_all()
+
+
+def test_cte_repeated_run_is_cache_stable(spark):
+    # Re-running the same CSE'd statement must not stack persists or
+    # leak __cse_* temp views once the previous scope is drained.
+    spark.range(4).createOrReplaceTempView("cse_r4b")
+    sql = (
+        "WITH p AS (SELECT id, SUM(id) OVER () AS s FROM cse_r4b) "
+        "SELECT a.id FROM p a JOIN p b ON a.id = b.id ORDER BY a.id"
+    )
+    df1, scope1 = sql_with_cte_cse(spark, sql)
+    df1.collect()
+    scope1.unpersist_all()
+    df2, scope2 = sql_with_cte_cse(spark, sql)
+    try:
+        assert [r.id for r in df2.collect()] == [0, 1, 2, 3]
+        leftover = [t.name for t in spark.catalog.listTables()
+                    if t.name.startswith("__cse_p_")]
+        assert len(leftover) == len(scope2.views)
+    finally:
+        scope2.unpersist_all()
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("__cse_p_")]
