@@ -195,8 +195,11 @@ def sql_copy_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # own unnesting evaluates the ORIGINAL text natively, so the untouched
 # SQL string doubles as the oracle — the driver gate value-checks the
 # rewrite end-to-end.  The correlated-ON variant (unnesting.test#75/#78)
-# stays corpus-gated only: Spark accepts it at analysis and fails at
-# codegen, which a lazy door cannot intercept.
+# is door-covered too (r7): Spark 4.1.2 rejects these at ANALYSIS
+# (UNSUPPORTED_CORRELATED_SCALAR_SUBQUERY on the join condition), which
+# the lazy retry catches; any residual codegen-time rejection is caught
+# by the eager door (Connection.sql_arrow) through the same rewrite —
+# sql_corr_on_condition below driver-gates the class.
 # ---------------------------------------------------------------------------
 
 _CORR_SELECT_LIST = """
@@ -235,6 +238,28 @@ def sql_corr_having_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("nation", "customer"))
     return Connection(spark).sql(_CORR_HAVING_PIN)
+
+
+_CORR_ON_CONDITION = """
+SELECT s1.n_nationkey AS nk, s2.n_nationkey AS nk2
+FROM nation s1 INNER JOIN nation s2
+  ON (SELECT s1.n_nationkey = s2.n_nationkey)
+ORDER BY nk
+"""
+
+
+@register("sql_corr_on_condition", _CORR_ON_CONDITION)
+def sql_corr_on_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery AS the join-ON condition (unnesting.test#78
+    family; reference Unnesting.cpp evaluates it directly): Catalyst
+    rejects the correlated subquery in the join condition, and the
+    door's retry moves the ON conjunct to WHERE via
+    sqlrewrite._on_subquery_to_where — exactly equivalent for inner
+    joins.  DuckDB runs the untouched original text as the oracle."""
+    from lingo_db_spark.connection import Connection
+
+    register_views(spark, sf_dir, ("nation",))
+    return Connection(spark).sql(_CORR_ON_CONDITION)
 
 
 _CORR_TWO_LEVEL = """

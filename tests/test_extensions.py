@@ -516,3 +516,21 @@ def test_connection_sql_empty_group_yields_null(spark):
         " WHERE t2.`_1` > t1.`_1` GROUP BY t1.`_1`) AS m"
         " FROM ints_eg t1 ORDER BY i").collect()
     assert [(r.i, r.m) for r in rows] == [(1, 1), (2, 2), (3, None)]
+
+
+def test_sql_door_correlated_on_condition(spark):
+    # unnesting.test#78 family: scalar subquery AS the join-ON
+    # condition.  Catalyst rejects it (analysis in Spark 4.1.2); the
+    # door's retry moves it to WHERE — value-pinned expected rows.
+    spark.range(1, 4).selectExpr("id AS i").createOrReplaceTempView(
+        "corr_on_ints")
+    con = Connection(spark)
+    q = ("SELECT * FROM corr_on_ints s1 INNER JOIN corr_on_ints s2 "
+         "ON (SELECT s1.i = s2.i) ORDER BY s1.i")
+    rows = [tuple(r) for r in con.sql(q).collect()]
+    assert rows == [(1, 1), (2, 2), (3, 3)]
+    assert con.last_rewritten_sql is not None
+    # the EAGER reference-parity door must carry the same coverage
+    tbl = con.sql_arrow(q)
+    assert sorted(map(tuple, tbl.to_pylist()[0].items()))  # materialized
+    assert tbl.num_rows == 3
