@@ -366,7 +366,14 @@ def parse_ctes(sql: str) -> tuple[list[tuple[str, str]], str] | None:
         return ctes, sql[i:]
 
 
-_CSE_VIEW_SEQ = [0]
+def _view_tag(sql: str) -> str:
+    """Deterministic per-statement tag: re-running the same statement
+    reuses the same __cse_* view names (createOrReplaceTempView makes
+    that idempotent), so a long-lived session's catalog stays stable
+    instead of accumulating sequence-numbered names; distinct
+    statements still get distinct names."""
+    import hashlib
+    return hashlib.md5(sql.encode()).hexdigest()[:8]
 
 
 def persist_repeated_ctes(
@@ -395,9 +402,9 @@ def persist_repeated_ctes(
     persisted: list[DataFrame] = []
     views: list[str] = []
     mapping: dict[str, str] = {}
+    tag = _view_tag(sql)
     for idx, (name, body) in enumerate(ctes):
-        _CSE_VIEW_SEQ[0] += 1
-        uniq = "__cse_%s_%d" % (name.lower(), _CSE_VIEW_SEQ[0])
+        uniq = "__cse_%s_%s" % (name.lower(), tag)
         rest = " ".join(b for _, b in ctes[idx + 1 :]) + " " + main
         refs = _count_refs(rest, name)
         cdf = spark.sql(_sub_refs(body, mapping))
