@@ -124,7 +124,9 @@ ATTEST_PRIORITY: list[str] = [
     "pipeline_embed_neardup", "pipeline_neardup_clusters",
     "pipeline_decontaminate", "pipeline_lm_likelihood",
     "text_quality_stats", "events_asof_join", "events_session_range_join",
-    "events_salted_agg", "window_rank",
+    "events_salted_agg",
+    # --- new this round: sampling-based cardinality estimation ---
+    "cardest_broadcast_probe",
 ]
 
 

@@ -102,3 +102,37 @@ def cse_cte_reused_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(scope.fragments) == 1, "reused CTE not materialized"
     _SCOPES["cse_cte_reused_auto"] = scope
     return df
+
+
+_CARDEST_ORACLE = """
+SELECT o.o_orderpriority AS pri,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT c.c_custkey) AS n_custs
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY pri ORDER BY pri
+"""
+
+
+@register("cardest_broadcast_probe", _CARDEST_ORACLE)
+def cardest_broadcast_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based cardinality estimation end-to-end — the last
+    SURVEY §4.1 reference rewrite (QueryGraph.cpp:264-294
+    estimateUsingSample): the dimension's post-predicate cardinality is
+    estimated by evaluating the REAL predicate on a bounded seeded
+    sample, and the broadcast hint is applied iff the estimated bytes
+    fit the session threshold (plans/cardest.py).  The chosen strategy
+    cannot change values — the oracle pins the result, and the
+    BroadcastHashJoin plan shape is asserted in tests/test_cardest.py."""
+    from lingo_db_spark.catalog import load_table
+    from lingo_db_spark.plans.cardest import SampledTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = SampledTable(cust).hint(F.col("c_mktsegment") == "BUILDING")
+    return sorted_result(
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.countDistinct("c_custkey").alias("n_custs")),
+        "pri")
