@@ -191,14 +191,28 @@ def tsv_compare(got: list[str], exp: list[str], ordered: bool) -> str | None:
     return tsv_rows_equal(sorted(got), sorted(exp))
 
 
+def _infer_type_char(v) -> str:
+    if isinstance(v, bool):
+        return "I"
+    if isinstance(v, float):
+        return "R"
+    if isinstance(v, int):
+        return "I"
+    return "T"
+
+
 def result_values(rows, types: str, sort: str) -> list[str]:
     if types == "tsv":
         # tsv mode: one LINE per row, values tab-joined, in result order
         # (ordering decisions live in tsv_compare, which knows whether
         # the query had an ORDER BY).
         return ["\t".join(fmt_tsv(v) for v in row) for row in rows]
-    formatted = [[fmt_value(v, t) for v, t in zip(row, types)]
-                 for row in rows]
+    if types == "infer":
+        formatted = [[fmt_value(v, _infer_type_char(v)) for v in row]
+                     for row in rows]
+    else:
+        formatted = [[fmt_value(v, t) for v, t in zip(row, types)]
+                     for row in rows]
     if sort == "rowsort":
         formatted.sort()
     flat = [v for row in formatted for v in row]
@@ -634,6 +648,14 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
     qidx = -1
     for rec in recs:
         if rec[0] == "stmt":
+            # CREATE FUNCTION ... LANGUAGE C (udf.test): the reference
+            # JIT-compiles the C body (UDFImplementer.cpp); our door
+            # translates it to a pandas UDF registered on the SPARK
+            # session — DuckDB never sees the statement.
+            from lingo_db_spark.functions import cudf
+            if cudf.is_c_function_stmt(rec[1]):
+                cudf.register_c_function(spark, rec[1])
+                continue
             con.execute(rec[1])
             dirty = True
             continue
@@ -659,6 +681,14 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
         _, types, sort, label, sql, expected = rec
         ran += 1
         has_order = has_toplevel_order(sql)
+        if types != "tsv" and not set(types) <= set("IRT"):
+            # udf.test-style header (`query 1`): the token is a LABEL,
+            # not a type string — infer formatting per value (ints
+            # plain, floats %.3f like R) and compare as a multiset
+            # unless the query orders its output.
+            types = "infer"
+            if not has_order and sort == "nosort":
+                sort = "rowsort"
         try:
             q = to_spark_sql(sql)
             if types == "tsv" and has_order:
