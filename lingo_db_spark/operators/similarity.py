@@ -294,17 +294,30 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     """Approximate top-k: bucket both sides with the same hyperplanes,
     equi-join on (table_id, bucket), dedupe candidates, exact cosine
     re-rank.  Expected recall for a neighbor at angle θ is
-    1-(1-p^n_planes)^n_tables with p = 1-θ/π."""
-    e_b = lsh_buckets(emb.select(id_col, vec_col), vec_col, dim,
-                      n_planes, n_tables, seed)
-    q_b = lsh_buckets(queries.select(q_id_col, q_vec_col), q_vec_col, dim,
-                      n_planes, n_tables, seed)
-    cands = (e_b.join(q_b, ["table_id", "bucket"])
-             .select(q_id_col, id_col, vec_col, q_vec_col)
+    1-(1-p^n_planes)^n_tables with p = 1-θ/π.
+
+    The candidate join and dedup carry IDS ONLY (the embed_neardup
+    pattern): the bucketing pass explodes n_tables rows per vector, so
+    shuffling the vector column through it would move n_tables copies
+    of every embedding; instead the deduped (q_id, id) pairs re-join
+    the single-copy vector table and broadcast-join the query
+    vectors."""
+    e_b = (lsh_buckets(emb.select(id_col, vec_col), vec_col, dim,
+                       n_planes, n_tables, seed)
+           .select(id_col, "table_id", "bucket"))
+    q_b = (lsh_buckets(queries.select(q_id_col, q_vec_col), q_vec_col,
+                       dim, n_planes, n_tables, seed)
+           .select(q_id_col, "table_id", "bucket"))
+    cands = (e_b.join(F.broadcast(q_b), ["table_id", "bucket"])
+             .select(q_id_col, id_col)
              .dropDuplicates([q_id_col, id_col]))
-    scored = cands.select(
-        F.col(q_id_col), F.col(id_col),
-        cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+    scored = (cands
+              .join(emb.select(id_col, vec_col), id_col)
+              .join(F.broadcast(queries.select(q_id_col, q_vec_col)),
+                    q_id_col)
+              .select(F.col(q_id_col), F.col(id_col),
+                      cosine_batch(F.col(vec_col),
+                                   F.col(q_vec_col)).alias("cos")))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
