@@ -120,7 +120,20 @@ class Connection:
             return self.spark.sql(rewritten).toArrow()
 
     def sql_stmt(self, stmt: str) -> None:
-        """DDL/DML statement with no result."""
+        """DDL/DML statement with no result.
+
+        CREATE FUNCTION ... LANGUAGE C / LANGUAGE python (the
+        reference's UDF surfaces, UDFImplementer.cpp and the
+        ENABLE_PYTHON embedded-CPython build) are intercepted and
+        registered as Arrow-batched pandas UDFs under the SQL name —
+        Spark's own parser has no LANGUAGE clause."""
+        from lingo_db_spark.functions import cudf, pyudf
+        if cudf.is_c_function_stmt(stmt):
+            cudf.register_c_function(self.spark, stmt)
+            return
+        if pyudf.is_py_function_stmt(stmt):
+            pyudf.register_py_function(self.spark, stmt)
+            return
         self.spark.sql(stmt)
 
     def add_table(self, name: str, data: Any) -> DataFrame:

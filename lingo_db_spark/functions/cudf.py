@@ -150,8 +150,10 @@ def compile_c_function(stmt: str):
     raw = ns[f"__c_{name}"]
     coercions = [c for _, c in params]
 
+    from lingo_db_spark.functions.udfbridge import is_null
+
     def scalar(*args):
-        if any(a is None for a in args):          # NULL in, NULL out
+        if any(is_null(a) for a in args):         # NULL in, NULL out
             return None
         r = raw(*[c(a) for c, a in zip(coercions, args)])
         return None if r is None else ret_coerce(r)
@@ -161,25 +163,8 @@ def compile_c_function(stmt: str):
 
 def register_c_function(spark, stmt: str) -> str:
     """Register the translated function as an Arrow-batched pandas UDF
-    under its SQL name (create-or-replace semantics: re-registration
-    rebinds the name, as udf.test's addOne redefinition requires)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
+    under its SQL name (shared shim: functions/udfbridge.py)."""
+    from lingo_db_spark.functions.udfbridge import register_scalar
 
     name, scalar, ret_spark, n_args = compile_c_function(stmt)
-
-    def _apply(cols):
-        if not cols or len(cols[0]) == 0:
-            return pd.Series([], dtype=object)
-        return pd.Series([scalar(*vals) for vals in zip(*cols)],
-                         dtype=object)
-
-    # pandas_udf requires a FIXED-arity annotated signature — generate
-    # one matching the declared C parameter list.
-    params = ", ".join(f"c{i}: pd.Series" for i in range(n_args))
-    arglist = ", ".join(f"c{i}" for i in range(n_args))
-    ns: dict = {"pd": pd, "_apply": _apply}
-    exec(f"def _u({params}) -> pd.Series:\n"
-         f"    return _apply([{arglist}])\n", ns)   # noqa: S102
-    spark.udf.register(name, F.pandas_udf(ns["_u"], ret_spark))
-    return name
+    return register_scalar(spark, name, scalar, ret_spark, n_args)

@@ -462,6 +462,36 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")
 
 
+@register("udf_sql_create_python", """
+SELECT doc_id,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+            ELSE (length(text) * 31 + ascii(substr(text, 1, 1))) % 1000
+       END AS INTEGER) AS sig
+FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+""")
+def udf_sql_create_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CREATE FUNCTION ... LANGUAGE python surface
+    (ENABLE_PYTHON build, gated by test/sqlite-small-python/
+    python-udfs.test): the SQL-door statement execs the body and
+    registers it as an Arrow-batched pandas UDF (functions/pyudf.py).
+    The oracle recomputes the same signature natively in DuckDB —
+    ord(first char) == ascii() (both Unicode code points)."""
+    from lingo_db_spark.functions import pyudf
+    pyudf.register_py_function(spark, """
+CREATE OR REPLACE FUNCTION py_doc_sig(s varchar) RETURNS int AS $$
+def py_doc_sig(s):
+    if not s:
+        return 0
+    return (len(s) * 31 + ord(s[0])) % 1000
+$$ LANGUAGE python;""")
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        SELECT doc_id, py_doc_sig(text) AS sig
+        FROM documents WHERE doc_id < 300 ORDER BY doc_id""")
+
+
 def _kmeans_replay_oracle(k: int = 4, iters: int = 5,
                           unit: int = 10000,
                           cunit: int = 1 << 20) -> str:
