@@ -23,8 +23,11 @@ class Connection:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
+        self.base_dir = sf_dir          # COPY relative-path anchor
         self.last_rewritten_sql: str | None = None
         self.tables: dict[str, DataFrame] = {}
+        self.declared: dict[str, Any] = {}       # name -> StructType
+        self.primary_keys: dict[str, list[str]] = {}
         if sf_dir is not None:
             self.tables = catalog.register_views(spark, sf_dir)
 
@@ -126,13 +129,64 @@ class Connection:
         reference's UDF surfaces, UDFImplementer.cpp and the
         ENABLE_PYTHON embedded-CPython build) are intercepted and
         registered as Arrow-batched pandas UDFs under the SQL name —
-        Spark's own parser has no LANGUAGE clause."""
+        Spark's own parser has no LANGUAGE clause.
+
+        Reference-dialect loading statements (the initialize.sql
+        journey — CREATE TABLE with not-null/primary-key constraints,
+        COPY ... FROM, INSERT INTO a declared table) route through
+        lingo_db_spark.ddl; everything else goes straight to
+        Catalyst."""
+        from lingo_db_spark import ddl
         from lingo_db_spark.functions import cudf, pyudf
         if cudf.is_c_function_stmt(stmt):
             cudf.register_c_function(self.spark, stmt)
             return
         if pyudf.is_py_function_stmt(stmt):
             pyudf.register_py_function(self.spark, stmt)
+            return
+        if (ct := ddl.parse_create_table(stmt)) is not None:
+            name, schema, pk = ct
+            self.declared[name] = schema
+            self.primary_keys[name] = pk
+            empty = self.spark.createDataFrame([], schema)
+            empty.createOrReplaceTempView(name)
+            self.tables[name] = empty
+            return
+        if (cp := ddl.parse_copy(stmt)) is not None:
+            name, path, opts = cp
+            import os
+            if not os.path.isabs(path) and self.base_dir:
+                path = os.path.join(self.base_dir, path)
+            schema = self.declared.get(name)
+            if schema is None:
+                schema = self.spark.table(name).schema
+            reader = self.spark.read.options(
+                sep=opts["sep"], escape=opts["escape"],
+                header=str(opts["header"]).lower())
+            if opts.get("nullValue") is not None:
+                reader = reader.option("nullValue", opts["nullValue"])
+            if opts.get("quote"):
+                reader = reader.option("quote", opts["quote"])
+            df = reader.schema(schema).csv(path)
+            df.createOrReplaceTempView(name)
+            self.tables[name] = df
+            return
+        if (ins := ddl.parse_insert(stmt)) is not None and \
+                ins[0] in self.declared:
+            name, cols, source = ins
+            src = self.spark.sql(
+                source if ddl.is_query(source) and
+                not source.lower().startswith("values")
+                else f"SELECT * FROM ({source})")
+            schema = self.declared[name]
+            names = cols or [f.name for f in schema.fields][:len(src.columns)]
+            src = src.toDF(*names)
+            from pyspark.sql import functions as F
+            full = src.select(*[
+                (F.col(f.name) if f.name in names
+                 else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in schema.fields])
+            self.append_table(name, full)
             return
         self.spark.sql(stmt)
 
@@ -155,6 +209,27 @@ class Connection:
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         return df
+
+    def run_script(self, text: str,
+                   base_dir: str | None = None) -> list[DataFrame]:
+        """Execute a multi-statement SQL script (the reference's
+        initialize.sql loading journey: SET / CREATE TABLE / COPY /
+        INSERT / queries).  Returns the lazy DataFrames of any query
+        statements, in order.  `base_dir` anchors COPY's relative
+        paths for the duration of the script."""
+        from lingo_db_spark import ddl
+        prev, results = self.base_dir, []
+        if base_dir is not None:
+            self.base_dir = base_dir
+        try:
+            for stmt in ddl.split_script(text):
+                if ddl.is_query(stmt):
+                    results.append(self.sql(stmt))
+                else:
+                    self.sql_stmt(stmt)
+        finally:
+            self.base_dir = prev
+        return results
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

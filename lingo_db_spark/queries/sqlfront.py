@@ -121,6 +121,59 @@ def sql_copy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copy_from_csv(spark, out, schema).orderBy("doc_id")
 
 
+@register("sql_ddl_script_journey", """
+SELECT n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY n.n_name
+""")
+def sql_ddl_script_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's database-loading journey as one statement script
+    (resources/sql/tpch/initialize.sql shape — parser.y:2851-2870 CREATE
+    TABLE with not-null/primary-key, :575 COPY with delimiter): export
+    region+nation to '|'-delimited dbgen-style files, run the
+    reference-dialect script verbatim through Connection.run_script
+    (SET + CREATE TABLE + COPY routed by lingo_db_spark/ddl.py), and
+    join the loaded tables.  The oracle reads the same parquet the
+    export came from, so a row lost or retyped anywhere in the
+    create/copy path fails the hash.  The COPY scan is lazy and
+    distributed — at 100 TB this is a parallel CSV read feeding the
+    join, not a driver materialization."""
+    import tempfile
+
+    from lingo_db_spark.catalog import load_table
+    from lingo_db_spark.connection import Connection
+
+    base = tempfile.mkdtemp(prefix="ldb_ddl_")
+    load_table(spark, sf_dir, "region").selectExpr(
+        "r_regionkey", "r_name").coalesce(1).write.mode("overwrite") \
+        .option("sep", "|").csv(base + "/region_tbl")
+    load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "n_name", "n_regionkey").coalesce(1) \
+        .write.mode("overwrite").option("sep", "|").csv(base + "/nation_tbl")
+    con = Connection(spark)
+    con.run_script("""
+set persist=1;
+create table ref_region (
+    r_regionkey integer     not null,
+    r_name      varchar(25) not null,
+    primary key (r_regionkey)
+);
+create table ref_nation (
+    n_nationkey integer     not null,
+    n_name      varchar(25) not null,
+    n_regionkey integer     not null,
+    primary key (n_nationkey)
+);
+copy ref_region from 'region_tbl' delimiter '|';
+copy ref_nation from 'nation_tbl' delimiter '|';
+""", base_dir=base)
+    return con.sql("""
+        SELECT n.n_name, r.r_name
+        FROM ref_nation n JOIN ref_region r
+          ON n.n_regionkey = r.r_regionkey
+        ORDER BY n.n_name""")
+
+
 _WINDOW_SQL = """
 SELECT o_custkey, o_orderkey, CAST(rnk_i AS BIGINT) AS rnk FROM (
   SELECT o_custkey, o_orderkey,
