@@ -50,11 +50,36 @@ class Connection:
         `self.last_rewritten_sql` for inspection."""
         import re as _re
 
-        from pyspark.errors import AnalysisException
+        from pyspark.errors import AnalysisException, ParseException
         try:
             df = self.spark.sql(query)
             df.schema          # force analysis while still lazy
             return df
+        except ParseException as e:
+            # Reference-dialect constructs Spark's GRAMMAR lacks:
+            # quantified ANY/ALL/SOME comparisons (parser.y binds them
+            # natively) and postgres cast type names.  Retry through
+            # the same rewrites the corpus runner uses — every rewrite
+            # class is value-checked by the 8,884-query select-corpus
+            # sweep.  If nothing applies, the original parse error
+            # stands.
+            from lingo_db_spark.dialect import (
+                apply_parse_shims,
+                pipe_to_standard,
+            )
+            shimmed = apply_parse_shims(query)
+            if shimmed == query and "|>" in query:
+                # pipe-SQL stages Spark's |> rejects (e.g. AGGREGATE
+                # with GROUP BY ROLLUP) — the corpus runner's fallback
+                # translation, value-checked there
+                try:
+                    shimmed = pipe_to_standard(query)
+                except Exception:       # noqa: BLE001 — keep original
+                    raise e from None
+            if shimmed == query:
+                raise
+            self.last_rewritten_sql = shimmed
+            return self.sql(shimmed)
         except AnalysisException as e:
             msg = str(e)
             from lingo_db_spark.sqlrewrite import (

@@ -63,14 +63,17 @@ def test_normalize_null_order_pins_placement():
 
 
 def test_scan_lhs_captures_compound_expression():
+    # machinery moved to lingo_db_spark.dialect in r7 (shared with the
+    # Connection door); the runner re-exports the public rewrite
+    from lingo_db_spark import dialect as D
     sql = "SELECT 1 WHERE a + b > ANY (SELECT i FROM t)"
-    m = S._QUANT_RE.search(sql)
-    start = S._scan_lhs(sql, m.start())
+    m = D._QUANT_RE.search(sql)
+    start = D._scan_lhs(sql, m.start())
     assert sql[start:m.start()].strip() == "a + b"
     # unary minus stays with its operand, not treated as binary
     sql2 = "SELECT 1 WHERE -b > ANY (SELECT i FROM t)"
-    m2 = S._QUANT_RE.search(sql2)
-    start2 = S._scan_lhs(sql2, m2.start())
+    m2 = D._QUANT_RE.search(sql2)
+    start2 = D._scan_lhs(sql2, m2.start())
     assert sql2[start2:m2.start()].strip() == "-b"
 
 
