@@ -298,8 +298,56 @@ def type_name_shim(sql: str) -> str:
     return sql
 
 
+def quoted_ident_shim(sql: str) -> str:
+    """Postgres-style double-quoted identifiers -> Spark backticks.
+
+    The reference's bison grammar (parser.y, derived from postgres)
+    treats `"name"` as a quoted identifier — never a string literal
+    (strings are single-quoted) — e.g. resources/sql/tpch/11.sql's
+    `as "value"`.  Spark's default parser reserves double quotes for
+    strings, so a faithful translation scans outside single-quoted
+    literals and rewrites each "..." span to `...` (doubled "" inside
+    an identifier is the escaped quote char; `` is Spark's escape)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":                       # string literal: copy verbatim
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif c == '"':                     # quoted identifier
+            j = i + 1
+            ident: list[str] = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        ident.append('"')
+                        j += 2
+                        continue
+                    break
+                ident.append(sql[j])
+                j += 1
+            out.append("`" + "".join(ident).replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def apply_parse_shims(sql: str) -> str:
     """The shims safe for ANY SQL (no data assumptions): quantified
-    comparisons and cast type-name aliases.  Returns the input
-    unchanged when nothing applies."""
-    return type_name_shim(rewrite_quantified(sql))
+    comparisons, cast type-name aliases, and double-quoted
+    identifiers.  Returns the input unchanged when nothing applies."""
+    out = type_name_shim(rewrite_quantified(sql))
+    if '"' in out:
+        out = quoted_ident_shim(out)
+    return out

@@ -106,10 +106,11 @@ ATTEST_PRIORITY: list[str] = [
     # --- invariant oracles land: first possible greens for these ---
     "scalars_erf", "ann_topk_lsh", "ann_topk_ivf",
     # --- never attested ---
-    "sql_corr_on_condition",
+    "sql_corr_on_condition", "sql_tpch11_verbatim",
     "cse_selfjoin_auto", "cse_cte_reused_auto",
     "sql_corr_select_list", "sql_corr_having_pin", "sql_corr_two_level",
     "ds_scalar_range_bounds", "ds_rank_position_join",
+    "udf_sql_create_python", "sql_ddl_script_journey",
     # --- code paths changed this round: re-attest ---
     "iter_kmeans",
     "ds_double_exists_shared_cte", "ds_year_total_ratio",
@@ -122,9 +123,9 @@ ATTEST_PRIORITY: list[str] = [
     "probe_dec_trailing_zero",
     # --- freshness fill: TPC-H corpus (last attested r2) ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6",
-    "tpch_q8", "tpch_q10", "tpch_q12",
+    "tpch_q10",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q20", "tpch_q21", "tpch_q22",
     # --- freshness fill: pipeline/events flagships ---
     "pipeline_dedup_exact", "pipeline_minhash_neardup",
     "pipeline_embed_neardup", "pipeline_neardup_clusters",

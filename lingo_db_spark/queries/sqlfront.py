@@ -333,3 +333,85 @@ def sql_corr_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("nation", "region", "customer"))
     return Connection(spark).sql(_CORR_TWO_LEVEL)
+
+
+# ---------------------------------------------------------------------------
+# Verbatim benchmark text through the door (round 7): the reference
+# ships its TPC-H queries as SQL files a user runs unmodified
+# (resources/sql/tpch/1.sql..22.sql; all 22 are value-checked against
+# DuckDB on identical loaded files in tests/test_ddl.py).  This entry
+# driver-gates the one file Spark's own grammar cannot parse — 11.sql
+# uses postgres-style double-quoted identifiers (`as "value"`, parser.y
+# quoted-ident lexing) — so the dialect.quoted_ident_shim retry inside
+# Connection.sql is what makes the text run.  The synthetic tables are
+# mapped onto the dbgen value domains with portable SQL
+# (lingo_db_spark/tpch_domains.py) so 'GERMANY' selects real rows; the
+# DuckDB oracle applies the IDENTICAL mapping as CTEs and runs the
+# IDENTICAL verbatim text, so only engine semantics are under test.
+# ---------------------------------------------------------------------------
+
+def _tpch11_setup_sql() -> dict[str, str]:
+    """Portable relation definitions shared by both engines verbatim."""
+    from lingo_db_spark import tpch_domains as dom
+    return {
+        "nation": ("SELECT n_nationkey, "
+                   f"{dom.nation_name_sql()} AS n_name FROM {{nation}}"),
+        "supplier": ("SELECT s_suppkey, "
+                     f"{dom.supplier_nation_sql()} AS s_nationkey "
+                     "FROM {supplier}"),
+        "partsupp": dom.partsupp_sql("{part}"),
+    }
+
+
+def _tpch11_verbatim_text() -> str | None:
+    from pathlib import Path
+    p = Path("/root/reference/resources/sql/tpch/11.sql")
+    return p.read_text() if p.exists() else None
+
+
+def _tpch11_oracle() -> str | None:
+    body = _tpch11_verbatim_text()
+    if body is None:
+        return None
+    setup = _tpch11_setup_sql()
+    # CTEs shadow the pre-registered DuckDB views of the same names;
+    # partsupp's scalar (SELECT COUNT(*) FROM supplier) resolves to the
+    # mapped CTE on both engines identically.
+    # base tables schema-qualified: a CTE named `supplier` reading
+    # `FROM supplier` would be a self-reference in DuckDB
+    ctes = ", ".join(
+        f"{name} AS ({sql.format(nation='main.nation', supplier='main.supplier', part='main.part')})"
+        for name, sql in setup.items())
+    # transport: "value" has exactly 2 decimals (DECIMAL(12,2) cost x
+    # int qty); x100 as BIGINT rides the compare channel exactly
+    # (decimal-typed values float-roundtrip in the driver compare).
+    return (f"WITH {ctes} SELECT ps_partkey, "
+            f'CAST("value" * 100 AS BIGINT) AS value_cents '
+            f"FROM ({body}) v")
+
+
+@register("sql_tpch11_verbatim", _tpch11_oracle())
+def sql_tpch11_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's resources/sql/tpch/11.sql byte-for-byte through
+    Connection.sql: Spark's parser rejects the double-quoted output
+    alias, the door retries through dialect.apply_parse_shims
+    (quoted_ident_shim), and the group/having-subquery plan runs over
+    the domain-mapped views."""
+    from lingo_db_spark.connection import Connection
+
+    body = _tpch11_verbatim_text()
+    assert body is not None, "reference checkout absent"
+    base = register_views(spark, sf_dir, ("nation", "supplier", "part"))
+    # stage the mapped relations under internal names, then expose them
+    # under the names the verbatim text uses
+    base["nation"].createOrReplaceTempView("__tpch11_nation")
+    base["supplier"].createOrReplaceTempView("__tpch11_supplier")
+    base["part"].createOrReplaceTempView("__tpch11_part")
+    for name, sql in _tpch11_setup_sql().items():
+        spark.sql(sql.format(nation="__tpch11_nation",
+                             supplier="__tpch11_supplier",
+                             part="__tpch11_part")
+                  ).createOrReplaceTempView(name)
+    df = Connection(spark).sql(body)
+    return df.selectExpr("ps_partkey",
+                         "CAST(`value` * 100 AS BIGINT) AS value_cents")

@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import types as T
 
 from lingo_db_spark import ddl
+from lingo_db_spark import tpch_domains as dom
 from lingo_db_spark.connection import Connection
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -107,37 +108,70 @@ def test_create_copy_insert_door(spark, tmp_path):
 # the reference initialize.sql declares full dbgen schemas; our synthetic
 # parquet is a subset, so missing columns are synthesized at export time —
 # both engines then read the IDENTICAL exported files, so the synthetic
-# values cancel out of the comparison.
+# values cancel out of the comparison.  Columns the verbatim benchmark
+# queries FILTER on are mapped deterministically onto the real dbgen
+# value domains (lingo_db_spark/tpch_domains.py) so 'GERMANY' / 'PROMO%'
+# / 'MED BOX' / phone country codes select real rows instead of
+# vacuously-matching empty sets.
 _EXPORTS = {
-    "part": "p_partkey, p_name, 'mfgr#' || (p_partkey % 5) AS p_mfgr, "
-            "p_brand, p_type, p_size, 'cont' || (p_partkey % 7) AS "
-            "p_container, p_retailprice, 'pc' || p_partkey AS p_comment",
-    "region": "r_regionkey, r_name, 'rc' || r_regionkey AS r_comment",
-    "nation": "n_nationkey, n_name, n_regionkey, "
+    "part": f"p_partkey, {dom.part_name_sql()} AS p_name, "
+            "'Manufacturer#' || (p_partkey % 5 + 1) AS p_mfgr, "
+            f"p_brand, {dom.part_type_sql()} AS p_type, p_size, "
+            f"{dom.part_container_sql()} AS p_container, "
+            "p_retailprice, 'pc' || p_partkey AS p_comment",
+    "region": f"r_regionkey, {dom.region_name_sql()} AS r_name, "
+              "'rc' || r_regionkey AS r_comment",
+    "nation": f"n_nationkey, {dom.nation_name_sql()} AS n_name, "
+              f"{dom.nation_region_sql()} AS n_regionkey, "
               "'nc' || n_nationkey AS n_comment",
     "supplier": "s_suppkey, s_name, 'addr' || s_suppkey AS s_address, "
-                "s_nationkey, 'ph' || s_suppkey AS s_phone, s_acctbal, "
-                "'sc' || s_suppkey AS s_comment",
+                f"{dom.supplier_nation_sql()} AS s_nationkey, "
+                f"{dom.phone_sql(dom.supplier_nation_sql(), 's_suppkey')} "
+                "AS s_phone, s_acctbal, "
+                # q16 greps s_comment for '%Customer%Complaints%'
+                "CASE s_suppkey % 10 WHEN 0 THEN "
+                "'xCustomer noisyComplaintsx' ELSE 'sc' || s_suppkey END "
+                "AS s_comment",
     "customer": "c_custkey, c_name, 'addr' || c_custkey AS c_address, "
-                "c_nationkey, 'ph' || c_custkey AS c_phone, c_acctbal, "
-                "c_mktsegment, 'cc' || c_custkey AS c_comment",
-    "orders": "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
-              "CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority, "
-              "'clerk' || (o_orderkey % 100) "
-              "AS o_clerk, 0 AS o_shippriority, 'oc' || o_orderkey AS "
-              "o_comment",
+                f"c_nationkey, {dom.phone_sql('c_nationkey', 'c_custkey')} "
+                "AS c_phone, c_acctbal, c_mktsegment, "
+                "'cc' || c_custkey AS c_comment",
+    # the synthetic date range is 1995-2001; dbgen's is 1992-1998 and
+    # the verbatim queries filter on 1993/1994 literals — shift 3 years
+    # dbgen never assigns orders to custkeys divisible by 3 (q22's
+    # NOT EXISTS population); nudge those onto the next key
+    "orders": "o_orderkey, o_custkey + CASE WHEN o_custkey % 3 = 0 "
+              "THEN 1 ELSE 0 END AS o_custkey, o_orderstatus, "
+              "o_totalprice, "
+              "CAST(o_orderdate - INTERVAL 3 YEAR AS DATE) "
+              "AS o_orderdate, o_orderpriority, "
+              "'Clerk#' || (o_orderkey % 100) AS o_clerk, "
+              "0 AS o_shippriority, "
+              # q13 excludes o_comment like '%special%requests%'
+              "CASE o_orderkey % 7 WHEN 0 THEN "
+              "'special handling requests' ELSE 'oc' || o_orderkey END "
+              "AS o_comment",
     # l_linenumber regenerated: the synthetic parquet has duplicate
     # (l_orderkey, l_linenumber) pairs and DuckDB enforces the declared
-    # primary key on its side of the journey
+    # primary key on its side of the journey.  commit/receipt dates are
+    # jittered per row so q4/q12/q21's date inequalities split real
+    # true/false populations instead of a constant offset.
     "lineitem": "l_orderkey, l_partkey, l_suppkey, "
                 "ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY "
                 "l_linenumber, l_partkey, l_suppkey) AS l_linenumber, "
                 "l_quantity, l_extendedprice, l_discount, l_tax, "
                 "l_returnflag, l_linestatus, "
-                "CAST(l_shipdate AS DATE) AS l_shipdate, "
-                "CAST(l_shipdate + INTERVAL 2 DAY AS DATE) AS l_commitdate, "
-                "CAST(l_shipdate + INTERVAL 5 DAY AS DATE) AS l_receiptdate, "
-                "'NONE' AS l_shipinstruct, 'TRUCK' AS l_shipmode, "
+                "CAST(l_shipdate - INTERVAL 3 YEAR AS DATE) AS l_shipdate, "
+                "CAST(l_shipdate - INTERVAL 3 YEAR AS DATE) + "
+                "CAST((l_orderkey * 31 + "
+                "l_partkey) % 60 - 30 AS INTEGER) AS l_commitdate, "
+                "CAST(l_shipdate - INTERVAL 3 YEAR AS DATE) + "
+                "CAST((l_suppkey * 17 + "
+                "l_orderkey) % 30 AS INTEGER) AS l_receiptdate, "
+                f"{dom.ship_instruct_sql('l_orderkey + l_partkey')} "
+                "AS l_shipinstruct, "
+                f"{dom.ship_mode_sql('l_orderkey * 7 + l_partkey')} "
+                "AS l_shipmode, "
                 "'lc' || l_orderkey AS l_comment",
 }
 
@@ -149,13 +183,13 @@ def _export_tbls(dest: Path) -> None:
             f"COPY (SELECT {proj} FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet') ORDER BY 1) TO "
             f"'{dest}/{t}.tbl' (DELIMITER '|', HEADER false)")
+    con.execute(f"CREATE VIEW part AS FROM read_parquet("
+                f"'{SF_DIR}/part.parquet')")
+    con.execute(f"CREATE VIEW supplier AS FROM read_parquet("
+                f"'{SF_DIR}/supplier.parquet')")
     con.execute(
-        f"COPY (SELECT p_partkey AS ps_partkey, (p_partkey % 10) + 1 AS "
-        f"ps_suppkey, p_size * 10 AS ps_availqty, "
-        f"ROUND(p_retailprice / 2, 2) AS ps_supplycost, 'psc' || p_partkey "
-        f"AS ps_comment FROM read_parquet('{SF_DIR}/part.parquet') "
-        f"ORDER BY 1) TO '{dest}/partsupp.tbl' "
-        f"(DELIMITER '|', HEADER false)")
+        f"COPY (SELECT * FROM ({dom.partsupp_sql()}) ORDER BY 1, 2) TO "
+        f"'{dest}/partsupp.tbl' (DELIMITER '|', HEADER false)")
 
 
 def _rows_equal(a, b, tol=1e-6) -> bool:
@@ -176,11 +210,16 @@ def _rows_equal(a, b, tol=1e-6) -> bool:
 
 
 @pytest.mark.skipif(not REF_TPCH.exists(), reason="reference absent")
-def test_verbatim_initialize_and_queries(spark, tmp_path):
+def test_verbatim_initialize_and_all_22_queries(spark, tmp_path):
     """resources/sql/tpch/initialize.sql runs UNMODIFIED through
-    Connection.run_script; 1.sql / 4.sql / 6.sql run UNMODIFIED through
-    Connection.sql; DuckDB executes the same script (minus the
-    engine-settings SET) and query text on the same files."""
+    Connection.run_script, then ALL 22 of the reference's own benchmark
+    files (resources/sql/tpch/1.sql .. 22.sql — the exact text a
+    reference user runs today) run UNMODIFIED through Connection.sql;
+    DuckDB executes the same script (minus the engine-settings SET) and
+    the same query text on the same files.  The dbgen-domain export
+    mapping makes most queries row-bearing even at sf0.001 — the test
+    asserts a floor on how many, so a domain regression that silently
+    empties the comparisons fails loudly."""
     _export_tbls(tmp_path)
     init = (REF_TPCH / "initialize.sql").read_text()
 
@@ -206,11 +245,17 @@ def test_verbatim_initialize_and_queries(spark, tmp_path):
     finally:
         os.chdir(cwd)
 
-    for qf in ("1.sql", "4.sql", "6.sql"):
-        qtext = (REF_TPCH / qf).read_text()
+    mismatches, row_bearing = [], 0
+    for i in range(1, 23):
+        qtext = (REF_TPCH / f"{i}.sql").read_text()
         got = [tuple(r) for r in con.sql(qtext).collect()]
         want = duck.execute(qtext).fetchall()
-        assert _rows_equal(got, want), (qf, got[:3], want[:3])
+        if not _rows_equal(got, want):
+            mismatches.append((f"{i}.sql", got[:3], want[:3]))
+        if want:
+            row_bearing += 1
+    assert mismatches == []
+    assert row_bearing == 22, f"only {row_bearing}/22 row-bearing"
     # sanity: the journey loaded real rows
     assert con.table("lineitem").count() == \
         duck.execute("select count(*) from lineitem").fetchone()[0] > 0
