@@ -75,8 +75,11 @@ def _parse_type(s: str) -> T.DataType | None:
 # statement parsers (return None when the statement isn't theirs)
 # ---------------------------------------------------------------------------
 
+# the table name may be double-quoted (reference parser.y quoted
+# identifiers — resources/sql/ssb/initialize.sql declares `"date"`)
 _CREATE_RE = re.compile(
-    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s*\(",
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
+    r"\"?([A-Za-z_]\w*)\"?\s*\(",
     re.IGNORECASE)
 _CONSTRAINT_RE = re.compile(
     r"^(?:primary\s+key|unique|foreign\s+key|check|constraint)\b",
@@ -151,7 +154,7 @@ def parse_create_table(stmt: str):
 
 
 _COPY_RE = re.compile(
-    r"^\s*copy\s+([A-Za-z_]\w*)\s+from\s+'([^']+)'\s*(.*?)\s*;?\s*$",
+    r"^\s*copy\s+\"?([A-Za-z_]\w*)\"?\s+from\s+'([^']+)'\s*(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 

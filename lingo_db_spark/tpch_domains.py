@@ -40,10 +40,11 @@ NATION_REGION = [0, 1, 1, 1, 4, 0, 3, 3, 2, 2, 4, 4, 2, 4, 0,
 # the synthetic supplier table covers only 10 of the 25 nations and
 # misses every nation the verbatim queries name; exports remap
 # s_nationkey onto a fixed 10-nation set that covers all 5 regions and
-# every supplier-side literal: FRANCE+GERMANY (q7), GERMANY (q11),
-# BRAZIL (q8), CANADA (q20), SAUDI ARABIA (q21), plus IRAN, MOROCCO,
-# RUSSIA, EGYPT, CHINA for spread.
-SUPPLIER_NATIONS = [6, 7, 2, 3, 20, 10, 15, 22, 4, 18]
+# every supplier-side literal: FRANCE+GERMANY (tpch q7), GERMANY (q11),
+# BRAZIL (q8), CANADA (q20), SAUDI ARABIA (q21), UNITED KINGDOM (ssb
+# q3.3/q3.4 city filters), UNITED STATES (ssb q3.2/q4.3), plus IRAN,
+# MOROCCO, CHINA for spread.
+SUPPLIER_NATIONS = [6, 7, 2, 3, 20, 10, 15, 23, 24, 18]
 
 TYPE_2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
 TYPE_3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
@@ -150,3 +151,40 @@ SELECT p_partkey,
        'psd' || CAST(p_partkey AS STRING)
 FROM {part_rel}
 """
+
+
+# ---------------------------------------------------------------------------
+# SSB (star-schema benchmark) domains — the reference ships the suite in
+# resources/sql/ssb/ (13 queries + initialize.sql over a lineorder star)
+# ---------------------------------------------------------------------------
+
+def ssb_city_sql(nation_name_expr: str, key_expr: str) -> str:
+    """SSB city = first 9 chars of the nation name + one digit
+    ('UNITED KI1').  The digit mixes in key/10 so nations whose members
+    share a key residue class (suppliers get their nation FROM
+    key % 10) still spread across all ten cities."""
+    return (f"(SUBSTR({nation_name_expr} || '         ', 1, 9) || "
+            f"CAST(({key_expr} + CAST(({key_expr}) / 10 AS INTEGER)) % 10 "
+            f"AS STRING))")
+
+
+def ssb_mfgr_sql(key_expr: str = "p_partkey") -> str:
+    return f"('MFGR#' || CAST(({key_expr}) % 5 + 1 AS STRING))"
+
+
+def ssb_category_sql(key_expr: str = "p_partkey") -> str:
+    """category digit comes from key/5 so it varies independently of
+    the mfgr digit (key%5) — an affine map of the same key would pin
+    each mfgr to a single category and 'MFGR#22' would never exist."""
+    return (f"({ssb_mfgr_sql(key_expr)} || "
+            f"CAST(CAST(({key_expr}) / 5 AS INTEGER) % 5 + 1 AS STRING))")
+
+
+def ssb_brand1_sql(key_expr: str = "p_partkey") -> str:
+    """brand = category + a fixed-width 2-digit 10..49 suffix so the
+    string BETWEEN 'MFGR#2221' AND 'MFGR#2228' range behaves; the
+    suffix strides key/25 by 7 (coprime with 40) so every category
+    class reaches all 40 brands as the key grows."""
+    return (f"({ssb_category_sql(key_expr)} || "
+            f"CAST((CAST(({key_expr}) / 25 AS INTEGER) * 7 + {key_expr}) "
+            f"% 40 + 10 AS STRING))")
