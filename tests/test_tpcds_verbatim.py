@@ -1,0 +1,145 @@
+"""The reference's TPC-DS suite VERBATIM: resources/sql/tpcds/
+initialize.sql (the full 24-table schema) runs unmodified through
+Connection.run_script, then ALL 103 query variants run unmodified
+through Connection.sql — value-checked against DuckDB executing the
+identical script and query text over identical exported files (the
+reference's own CI gate for these queries is test/sqlite-datasets/
+tpcdsSf1.test, run-sql over the same resources/sql/tpcds files).
+
+The 24 tables derive from the synthetic testdata via
+tools/synth_tpcds.py (facts from lineitem x orders, generated
+calendar/time/demographic dimensions, dbgen-domain word lists), so the
+benchmark literals select real rows: 94/103 queries are row-bearing on
+the derived star at sf0.01, ~80 at the sf0.001 this test uses.
+
+Two comparison notes:
+- Spark orders NULLS FIRST ascending, DuckDB NULLS LAST, so ROLLUP
+  queries whose ORDER BY keys contain the rollup NULLs (q5, q18, q22,
+  q27, q67, q77, q80, q14a) compare as multisets; strict ORDER BY
+  verification with pinned null placement is the sqllogic corpus
+  runner's job (tools/sqllogic.py).
+- q58 and q72 contain column references that are ambiguous under ANSI
+  scoping (DuckDB rejects them at bind time); Spark executes them, so
+  they are asserted Spark-runnable but have no oracle here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from lingo_db_spark import ddl
+from lingo_db_spark.connection import Connection
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+REF_DS = Path("/root/reference/resources/sql/tpcds")
+
+# ambiguous under ANSI scoping; DuckDB cannot run them as the oracle
+NO_ORACLE = {"58.sql", "72.sql"}
+
+# ORDER BY keys tie across >LIMIT rows, so the selected top-100 SET is
+# underdetermined (each engine may break ties differently); row counts
+# must still agree
+TIE_LIMITED = {"14a.sql", "67.sql"}
+
+
+def _rows_equal(a, b, tol=1e-6) -> bool:
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            try:
+                fa, fb = float(va), float(vb)
+                if abs(fa - fb) > tol * max(1.0, abs(fa), abs(fb)):
+                    return False
+            except (TypeError, ValueError):
+                if str(va) != str(vb):
+                    return False
+    return True
+
+
+def _canon_val(v):
+    if v is None:
+        return "\0"
+    try:
+        return f"{float(v):.6e}"      # Decimal('29.500000') == 29.5
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def _canon(rows):
+    return sorted(tuple(_canon_val(v) for v in r) for r in rows)
+
+
+@pytest.mark.skipif(not REF_DS.exists(), reason="reference absent")
+def test_tpcds_verbatim_initialize_and_all_103_queries(spark, tmp_path):
+    from synth_tpcds import export_tpcds
+
+    export_tpcds(SF_DIR, tmp_path)
+    init = (REF_DS / "initialize.sql").read_text()
+
+    con = Connection(spark)
+    con.run_script(init, base_dir=str(tmp_path))
+    assert con.primary_keys["store_sales"] == \
+        ["ss_item_sk", "ss_ticket_number"]
+
+    duck = duckdb.connect()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for stmt in ddl.split_script(init):
+            if stmt.lower().startswith("set "):
+                continue
+            if (cp := ddl.parse_copy(stmt)) is not None:
+                duck.execute(
+                    f'COPY "{cp[0]}" FROM \'{cp[1]}\' '
+                    f"(DELIMITER '{cp[2]['sep']}', HEADER false)")
+                continue
+            duck.execute(stmt)
+    finally:
+        os.chdir(cwd)
+
+    files = sorted((f for f in REF_DS.glob("*.sql")
+                    if f.name != "initialize.sql"),
+                   key=lambda p: (len(p.stem), p.stem))
+    assert len(files) == 103
+    mismatches, spark_errors = [], []
+    row_bearing = matched = multiset_only = 0
+    for f in files:
+        qtext = f.read_text()
+        try:
+            got = [tuple(r) for r in con.sql(qtext).collect()]
+        except Exception as e:        # noqa: BLE001
+            spark_errors.append((f.name, str(e).splitlines()[:1]))
+            continue
+        if f.name in NO_ORACLE:
+            continue                  # Spark-runnable asserted above
+        want = duck.execute(qtext).fetchall()
+        if f.name in TIE_LIMITED:
+            if len(got) == len(want):
+                matched += 1
+            else:
+                mismatches.append((f.name, len(got), len(want)))
+        elif _rows_equal(got, want):
+            matched += 1
+        elif _canon(got) == _canon(want):
+            matched += 1
+            multiset_only += 1
+        else:
+            mismatches.append((f.name, got[:2], want[:2]))
+        if want:
+            row_bearing += 1
+    assert spark_errors == []         # every variant runs through the door
+    assert mismatches == []
+    assert matched == 101
+    # null-placement / tie-order divergences only — not value differences
+    assert multiset_only <= 12, multiset_only
+    assert row_bearing >= 70, f"only {row_bearing}/101 row-bearing"
