@@ -53,8 +53,8 @@ _SIMPLE_TYPES: dict[str, T.DataType] = {
 
 def _parse_type(s: str) -> T.DataType | None:
     s = s.strip().lower()
-    if m := re.fullmatch(r"(?:varchar|char|character)\s*(?:\(\s*\d+\s*\))?",
-                         s):
+    if m := re.fullmatch(r"(?:varchar|char|character(?:\s+varying)?)"
+                         r"\s*(?:\(\s*\d+\s*\))?", s):
         # length is presentation metadata; CHAR stays unpadded like the
         # reference's (and DuckDB's) string-backed char
         del m

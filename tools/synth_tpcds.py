@@ -188,7 +188,7 @@ def _returns_rules(pfx: str) -> dict[str, str]:
         f"{pfx}_return_time_sk": f"{_RK} % {N_TIME}",
         f"{pfx}_item_sk": "l_partkey",
         f"{pfx}_return_quantity":
-            "CAST(CAST(l_quantity AS INTEGER) / 2 AS INTEGER) + 1",
+            "CAST(floor((CAST(l_quantity AS INTEGER)) / 2) AS INTEGER) + 1",
         f"{pfx}_return_amt":
             "CAST(ROUND(l_extendedprice / 2, 2) % 90000 AS DECIMAL(7,2))",
         # catalog_returns spells it cr_return_amount
@@ -224,7 +224,7 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "d_date": "d",
         "d_month_seq": "(EXTRACT(year FROM d) - 1900) * 12 + "
                        "EXTRACT(month FROM d) - 1",
-        "d_week_seq": f"CAST({_sk('d')} / 7 AS INTEGER)",
+        "d_week_seq": f"CAST(floor(({_sk('d')}) / 7) AS INTEGER)",
         "d_quarter_seq": "(EXTRACT(year FROM d) - 1900) * 4 + "
                          "EXTRACT(quarter FROM d) - 1",
         "d_year": "EXTRACT(year FROM d)",
@@ -235,7 +235,7 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "d_fy_year": "EXTRACT(year FROM d)",
         "d_fy_quarter_seq": "(EXTRACT(year FROM d) - 1900) * 4 + "
                             "EXTRACT(quarter FROM d) - 1",
-        "d_fy_week_seq": f"CAST({_sk('d')} / 7 AS INTEGER)",
+        "d_fy_week_seq": f"CAST(floor(({_sk('d')}) / 7) AS INTEGER)",
         "d_day_name": "dayname(d)",
         "d_quarter_name": "CAST(EXTRACT(year FROM d) AS STRING) || 'Q' "
                           "|| CAST(EXTRACT(quarter FROM d) AS STRING)",
@@ -258,13 +258,13 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "t_time_sk": "i",
         "t_time_id": "'T' || CAST(i AS STRING)",
         "t_time": "i",
-        "t_hour": "CAST(i / 3600 AS INTEGER)",
-        "t_minute": "CAST(i / 60 AS INTEGER) % 60",
+        "t_hour": "CAST(floor((i) / 3600) AS INTEGER)",
+        "t_minute": "CAST(floor((i) / 60) AS INTEGER) % 60",
         "t_second": "i % 60",
         "t_am_pm": "CASE WHEN i < 43200 THEN 'AM' ELSE 'PM' END",
-        "t_shift": _case("CAST(i / 28800 AS INTEGER)",
+        "t_shift": _case("CAST(floor((i) / 28800) AS INTEGER)",
                          ["third", "first", "second"]),
-        "t_sub_shift": _case("CAST(i / 21600 AS INTEGER)",
+        "t_sub_shift": _case("CAST(floor((i) / 21600) AS INTEGER)",
                              ["night", "morning", "afternoon", "evening"]),
         "t_meal_time":
             "CASE WHEN i BETWEEN 21600 AND 32399 THEN 'breakfast' "
@@ -285,17 +285,17 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "i_wholesale_cost": "ROUND(p_retailprice / 2, 2)",
         "i_brand_id": "p_partkey % 10 + 1",
         "i_brand": _case("p_partkey", BRANDS),
-        "i_class_id": "CAST(p_partkey / 3 AS INTEGER) % 16 + 1",
-        "i_class": _case("CAST(p_partkey / 3 AS INTEGER)", CLASSES),
-        "i_category_id": "CAST(p_partkey / 7 AS INTEGER) % 10 + 1",
-        "i_category": _case("CAST(p_partkey / 7 AS INTEGER)", CATEGORIES),
+        "i_class_id": "CAST(floor((p_partkey) / 3) AS INTEGER) % 16 + 1",
+        "i_class": _case("CAST(floor((p_partkey) / 3) AS INTEGER)", CLASSES),
+        "i_category_id": "CAST(floor((p_partkey) / 7) AS INTEGER) % 10 + 1",
+        "i_category": _case("CAST(floor((p_partkey) / 7) AS INTEGER)", CATEGORIES),
         "i_manufact_id": "(p_partkey * 13 + 7) % 1000 + 1",
         "i_manufact": "'mfct' || CAST((p_partkey * 13 + 7) % 1000 + 1 "
                       "AS STRING)",
-        "i_size": _case("CAST(p_partkey / 11 AS INTEGER)", SIZES),
+        "i_size": _case("CAST(floor((p_partkey) / 11) AS INTEGER)", SIZES),
         "i_formulation": "'form' || CAST(p_partkey % 100 AS STRING)",
         "i_color": _case("p_partkey * 5 + 1", COLORS),
-        "i_units": _case("CAST(p_partkey / 5 AS INTEGER)", UNITS),
+        "i_units": _case("CAST(floor((p_partkey) / 5) AS INTEGER)", UNITS),
         "i_container": "'Unknown'",
         "i_manager_id": "(p_partkey * 7 + 3) % 100 + 1",
         "i_product_name": "'prod' || CAST(p_partkey AS STRING)",
@@ -335,9 +335,9 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "ca_street_type": _case("c_custkey",
                                 ["Street", "Ave", "Blvd", "Way", "Ct"]),
         "ca_suite_number": "'Suite ' || CAST(c_custkey % 100 AS STRING)",
-        "ca_city": _case("CAST(c_custkey / 3 AS INTEGER)", CITIES),
-        "ca_county": _case("CAST(c_custkey / 7 AS INTEGER)", COUNTIES),
-        "ca_state": _case("CAST(c_custkey / 2 AS INTEGER)", STATES),
+        "ca_city": _case("CAST(floor((c_custkey) / 3) AS INTEGER)", CITIES),
+        "ca_county": _case("CAST(floor((c_custkey) / 7) AS INTEGER)", COUNTIES),
+        "ca_state": _case("CAST(floor((c_custkey) / 2) AS INTEGER)", STATES),
         "ca_zip": _case("c_custkey * 17 + 3", ZIPS),
         "ca_country": "'United States'",
         "ca_gmt_offset": "CAST(-5 - (c_custkey % 4) AS DECIMAL(5,2))",
@@ -348,14 +348,14 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     specs["customer_demographics"] = (f"range({N_CD}) t(i)", "i", {
         "cd_demo_sk": "i",
         "cd_gender": _case("i", ["M", "F"]),
-        "cd_marital_status": _case("CAST(i / 2 AS INTEGER)", MARITAL),
-        "cd_education_status": _case("CAST(i / 10 AS INTEGER)", EDUCATION),
-        "cd_purchase_estimate": "(CAST(i / 70 AS INTEGER) % 10) "
+        "cd_marital_status": _case("CAST(floor((i) / 2) AS INTEGER)", MARITAL),
+        "cd_education_status": _case("CAST(floor((i) / 10) AS INTEGER)", EDUCATION),
+        "cd_purchase_estimate": "(CAST(floor((i) / 70) AS INTEGER) % 10) "
                                 "* 500 + 500",
-        "cd_credit_rating": _case("CAST(i / 700 AS INTEGER)", CREDIT),
+        "cd_credit_rating": _case("CAST(floor((i) / 700) AS INTEGER)", CREDIT),
         "cd_dep_count": "i % 7",
-        "cd_dep_employed_count": "CAST(i / 3 AS INTEGER) % 7",
-        "cd_dep_college_count": "CAST(i / 9 AS INTEGER) % 7",
+        "cd_dep_employed_count": "CAST(floor((i) / 3) AS INTEGER) % 7",
+        "cd_dep_college_count": "CAST(floor((i) / 9) AS INTEGER) % 7",
     })
 
     specs["household_demographics"] = (f"range({N_HD}) t(i)", "i", {
@@ -388,9 +388,9 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "s_street_name": "'Park ' || CAST(i AS STRING)",
         "s_street_type": "'Street'",
         "s_suite_number": "'Suite ' || CAST(i AS STRING)",
-        "s_city": _case("CAST(i / 2 AS INTEGER)", CITIES),
-        "s_county": _case("CAST(i / 3 AS INTEGER)", COUNTIES),
-        "s_state": _case("CAST(i / 4 AS INTEGER)", STATES),
+        "s_city": _case("CAST(floor((i) / 2) AS INTEGER)", CITIES),
+        "s_county": _case("CAST(floor((i) / 3) AS INTEGER)", COUNTIES),
+        "s_state": _case("CAST(floor((i) / 4) AS INTEGER)", STATES),
         "s_zip": _case("i * 31 + 1", ZIPS),
         "s_country": "'United States'",
         "s_gmt_offset": "CAST(-5 - (i % 2) AS DECIMAL(5,2))",
