@@ -64,10 +64,13 @@ class Connection:
             # sweep.  If nothing applies, the original parse error
             # stands.
             from lingo_db_spark.dialect import (
+                apply_analysis_shims,
                 apply_parse_shims,
                 pipe_to_standard,
             )
-            shimmed = apply_parse_shims(query)
+            # UNSUPPORTED_DATATYPE (postgres CAST type names) surfaces
+            # as a ParseException too — run both shim families
+            shimmed = apply_analysis_shims(apply_parse_shims(query))
             if shimmed == query and "|>" in query:
                 # pipe-SQL stages Spark's |> rejects (e.g. AGGREGATE
                 # with GROUP BY ROLLUP) — the corpus runner's fallback
@@ -86,12 +89,38 @@ class Connection:
                 decorrelate_select_list,
                 is_correlated_scope_gap,
             )
+            # reference-dialect constructs Spark parses but rejects at
+            # analysis: postgres CAST type names, unit-quoted datediff
+            # (tpcxbb 22.sql) — retry through the analysis shims first
+            if ("UNSUPPORTED_DATATYPE" in msg
+                    or "INVALID_PARAMETER_VALUE.DATETIME_UNIT" in msg):
+                from lingo_db_spark.dialect import apply_analysis_shims
+                shimmed = apply_analysis_shims(query)
+                if shimmed != query:
+                    self.last_rewritten_sql = shimmed
+                    return self.sql(shimmed)
             retryable = (
                 "UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY" in msg
                 or "SCALAR_SUBQUERY_IS_IN_GROUP_BY" in msg)
             if not retryable and "cannot be resolved" in msg:
                 um = _re.search(
                     r"name `(\w+)`\.`\w+` cannot be resolved", msg)
+                if um:
+                    # postgres-style implicit lateral scoping: a derived
+                    # table referencing a SIBLING FROM item (tpcxbb
+                    # 16.sql; the reference's unnesting evaluates it) —
+                    # Spark wants the explicit LATERAL keyword
+                    from lingo_db_spark.dialect import lateralize
+                    lat = lateralize(query, um.group(1))
+                    if lat != query:
+                        try:
+                            df = self.sql(lat)
+                        except Exception:   # noqa: BLE001
+                            df = None       # fall through: the alias may
+                            #  be a correlation gap, not a lateral one
+                        if df is not None:
+                            self.last_rewritten_sql = lat
+                            return df
                 retryable = bool(
                     um and is_correlated_scope_gap(query, um.group(1)))
             if not retryable:

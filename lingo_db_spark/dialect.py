@@ -351,3 +351,79 @@ def apply_parse_shims(sql: str) -> str:
     if '"' in out:
         out = quoted_ident_shim(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# analysis-time shims: constructs Spark PARSES but rejects during
+# analysis, where the reference dialect (postgres-derived) accepts them
+# ---------------------------------------------------------------------------
+
+_CAST_TYPE_ALIASES = [
+    (re.compile(r"\bAS\s+float8\s*\)", re.IGNORECASE), "AS DOUBLE)"),
+    (re.compile(r"\bAS\s+float4\s*\)", re.IGNORECASE), "AS FLOAT)"),
+    (re.compile(r"\bAS\s+int8\s*\)", re.IGNORECASE), "AS BIGINT)"),
+    (re.compile(r"\bAS\s+int4\s*\)", re.IGNORECASE), "AS INT)"),
+    (re.compile(r"\bAS\s+int2\s*\)", re.IGNORECASE), "AS SMALLINT)"),
+    (re.compile(r"\bAS\s+text\s*\)", re.IGNORECASE), "AS STRING)"),
+]
+
+# duckdb/postgres datediff('unit', a, b) -> Spark timestampdiff(unit, a, b)
+_DATEDIFF_RE = re.compile(r"\bdatediff\s*\(\s*'(\w+)'\s*,", re.IGNORECASE)
+
+
+def apply_analysis_shims(sql: str) -> str:
+    """Shims for ANALYSIS-time rejections: postgres cast type names in
+    CAST(x AS t) position (the trailing ')' pins the cast context so a
+    column alias named `text` is never touched) and unit-quoted
+    datediff (tpcxbb 22.sql).  Returns input unchanged if nothing
+    applies."""
+    out = sql
+    for pat, repl in _CAST_TYPE_ALIASES:
+        out = pat.sub(repl, out)
+    out = _DATEDIFF_RE.sub(lambda m: f"timestampdiff({m.group(1)},", out)
+    return out
+
+
+def lateralize(sql: str, alias: str) -> str:
+    """Insert LATERAL before a FROM-list derived table that references
+    the SIBLING FROM item `alias` (postgres-style implicit lateral
+    scoping, which the reference's unnesting evaluates and DuckDB
+    accepts; Spark requires the explicit keyword — tpcxbb 16.sql).
+
+    Conservative textual rule: a balanced parenthesized span whose
+    PRECEDING token is a comma or the FROM keyword (i.e. a FROM-list
+    item, not a function argument or IN-list) and whose body contains
+    `alias.` becomes `LATERAL (...)`.  First match only; the caller
+    retries and falls back to the original error if Spark still
+    rejects the result."""
+    ref = re.compile(rf"\b{re.escape(alias)}\s*\.", re.IGNORECASE)
+    for m in re.finditer(r"\(", sql):
+        i = m.start()
+        # preceding token must be ',' or FROM
+        j = i - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0:
+            continue
+        if sql[j] == ",":
+            pass
+        elif j >= 3 and sql[j - 3:j + 1].lower() == "from":
+            pass
+        else:
+            continue
+        depth, k = 0, i
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        body = sql[i:k + 1]
+        # must look like a derived table, and reference the sibling
+        if not re.match(r"\(\s*select\b", body, re.IGNORECASE):
+            continue
+        if ref.search(body):
+            return sql[:i] + "LATERAL " + sql[i:]
+    return sql
