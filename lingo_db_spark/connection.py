@@ -192,6 +192,13 @@ class Connection:
         Catalyst."""
         from lingo_db_spark import ddl
         from lingo_db_spark.functions import cudf, pyudf
+        # blank / comment-only input no-ops: the reference's own API
+        # smoke (tools/python/test/test.py) feeds initialize.sql to
+        # sql_stmt LINE BY LINE, comments and blank lines included
+        bare = "\n".join(ln for ln in stmt.splitlines()
+                         if not ln.lstrip().startswith("--")).strip()
+        if not bare:
+            return
         if cudf.is_c_function_stmt(stmt):
             cudf.register_c_function(self.spark, stmt)
             return

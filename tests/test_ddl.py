@@ -259,3 +259,34 @@ def test_verbatim_initialize_and_all_22_queries(spark, tmp_path):
     # sanity: the journey loaded real rows
     assert con.table("lineitem").count() == \
         duck.execute("select count(*) from lineitem").fetchone()[0] > 0
+
+
+@pytest.mark.skipif(not Path("/root/reference/resources/sql").exists(),
+                    reason="reference absent")
+def test_all_remaining_initialize_scripts_run(spark):
+    """Every other dataset the reference ships in resources/sql/ whose
+    surface is DDL-only (taxi, uni) or a schema variant (ssb_simplified)
+    initializes verbatim through the door — with this, every
+    initialize.sql in the reference's resources/sql tree is exercised
+    (tpch/ssb/tpcds/job/tpcxbb/clickbench have full query journeys)."""
+    base = Path("/root/reference/resources/sql")
+    con = Connection(spark)
+    ran = 0
+    for name in ("taxi", "uni", "ssb_simplified", "test"):
+        init = base / name / "initialize.sql"
+        if not init.exists():
+            continue
+        for stmt in ddl.split_script(init.read_text()):
+            low = stmt.lower()
+            if low.startswith("set ") or low.startswith("copy"):
+                continue            # COPY needs the dataset files
+            con.sql_stmt(stmt)
+        ran += 1
+    assert ran >= 3
+    # taxi is declared-empty (its COPY needs the external dataset);
+    # uni's initialize also INSERTs the classic Kemper dataset rows
+    assert con.sql("select count(*) as c from taxi_rides").collect()[0].c == 0
+    assert con.sql("select count(*) as c from professoren").collect()[0].c == 7
+    assert con.sql(
+        "select count(*) as c from hoeren h, studenten s "
+        "where h.matrnr = s.matrnr").collect()[0].c > 0

@@ -534,3 +534,49 @@ def test_sql_door_correlated_on_condition(spark):
     tbl = con.sql_arrow(q)
     assert sorted(map(tuple, tbl.to_pylist()[0].items()))  # materialized
     assert tbl.num_rows == 3
+
+
+def test_reference_python_api_smoke_verbatim(spark):
+    """The reference's own Python-API smoke (tools/python/test/test.py)
+    re-run against our Connection: uni initialize.sql fed to sql_stmt
+    LINE BY LINE (comments and blank lines included, exactly as the
+    reference script does), then its three queries + the
+    create_in_memory/add_table(arrow)/count-distinct journey.  The
+    .mlir() entry point is inapplicable by design (we have no MLIR
+    layer; Catalyst plans are the analogue)."""
+    from pathlib import Path
+
+    import pyarrow as pa
+
+    from lingo_db_spark import connection as C
+
+    init = Path("/root/reference/resources/sql/uni/initialize.sql")
+    if not init.exists():
+        pytest.skip("reference absent")
+    con = C.Connection(spark)
+    for line in init.read_text().splitlines():
+        con.sql_stmt(line)
+    never = con.sql("""
+-- all students who never attended a lecture
+select * from studenten s
+where not exists(select * from hoeren h where h.matrnr=s.matrnr)
+""").toPandas()
+    assert "matrnr" in never.columns
+    attend = con.sql("""
+-- all lectures that students starting with 'A' attend
+select distinct s.name, v.titel
+from vorlesungen v, hoeren h, studenten s
+where s.name like 'F%' and s.matrnr=h.matrnr and h.vorlnr=v.vorlnr
+""").toPandas()
+    assert len(attend) > 0                     # Fichte attends lectures
+    assert con.sql("select 1").toPandas().iloc[0, 0] == 1
+
+    import pandas as pd
+    df = pd.DataFrame(data={"col1": [1, 2, 3, 4],
+                            "col2": ["foo", "foo", "bar", "bar"]})
+    schema = pa.schema([("col1", pa.int64()), ("col2", pa.string())])
+    con2 = C.Connection(spark)   # create_in_memory shape, shared test session
+    con2.add_table("df", pa.Table.from_pandas(df, schema=schema))
+    out = con2.sql("select count(*) as c1, count(distinct col2) as c2 "
+                   "from df where col1>2").toPandas()
+    assert (out.c1[0], out.c2[0]) == (2, 1)
