@@ -79,9 +79,13 @@ def log(msg: str) -> None:
 # One calibrated query per family (TPC-H scan/agg + join, SSB, ClickBench,
 # DS-shape, pipeline, ANN) so family-level drift — like r6's ann_*
 # elevation — is separable from plan changes without a judge re-run.
+# pipeline family rides pipeline_dedup_exact: the minhash oracle is an
+# all-pairs exact-Jaccard cross join that takes >10 min on DuckDB at
+# sf0.1 — fine as a correctness oracle at sf0.01, hopeless as a
+# per-round calibration probe
 CALIBRATION = ["tpch_q1", "tpch_q6", "tpch_q13", "tpch_q21",
                "ssb_q2_1", "cb_top_groups", "ds_double_exists_shared_cte",
-               "pipeline_minhash_neardup", "ann_topk_bruteforce"]
+               "pipeline_dedup_exact", "ann_topk_bruteforce"]
 
 
 def run_duckdb_ref(names: list[str], sf_dir: str, warmup: int,
