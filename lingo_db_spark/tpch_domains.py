@@ -158,14 +158,25 @@ FROM {part_rel}
 # resources/sql/ssb/ (13 queries + initialize.sql over a lineorder star)
 # ---------------------------------------------------------------------------
 
+def ssb_city_digit_sql(key_expr: str) -> str:
+    """City digit mixes in key/10 so nations whose members share a key
+    residue class (suppliers get their nation FROM key % 10) still
+    spread across all ten cities."""
+    return (f"(({key_expr} + CAST(floor(({key_expr}) / 10) AS INTEGER))"
+            f" % 10)")
+
+
 def ssb_city_sql(nation_name_expr: str, key_expr: str) -> str:
     """SSB city = first 9 chars of the nation name + one digit
-    ('UNITED KI1').  The digit mixes in key/10 so nations whose members
-    share a key residue class (suppliers get their nation FROM
-    key % 10) still spread across all ten cities."""
+    ('UNITED KI1')."""
     return (f"(SUBSTR({nation_name_expr} || '         ', 1, 9) || "
-            f"CAST(({key_expr} + CAST(({key_expr}) / 10 AS INTEGER)) % 10 "
-            f"AS STRING))")
+            f"CAST({ssb_city_digit_sql(key_expr)} AS STRING))")
+
+
+def ssb_city_int_sql(nation_int_expr: str, key_expr: str) -> str:
+    """ssb_simplified city code = nation * 10 + digit (235 = UNITED
+    KINGDOM city 5)."""
+    return f"(({nation_int_expr}) * 10 + {ssb_city_digit_sql(key_expr)})"
 
 
 def ssb_mfgr_sql(key_expr: str = "p_partkey") -> str:
