@@ -253,7 +253,11 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "company_type_id": f"CASE WHEN ({_RK}) % 10 < 5 THEN 1 "
                            f"WHEN ({_RK}) % 10 < 8 THEN 2 "
                            f"ELSE ({_RK}) % 2 + 3 END",
-        "note": _case(f"CAST(floor((({_RK})) / 4) AS INTEGER) * 7 + 1", MC_NOTES),
+        # stratum /40 sits ABOVE company_type_id's rk%10 window — a /4
+        # stratum is 4-wide inside rk%40 and CRT-locks note x type
+        # (q21's "note IS NULL AND production companies" was
+        # unsatisfiable)
+        "note": _case(f"CAST(floor((({_RK})) / 40) AS INTEGER) * 7 + 1", MC_NOTES),
     })
 
     specs["movie_keyword"] = (_FACT, _RK, {
