@@ -69,8 +69,22 @@ class Connection:
                 pipe_to_standard,
             )
             # UNSUPPORTED_DATATYPE (postgres CAST type names) surfaces
-            # as a ParseException too — run both shim families
-            shimmed = apply_analysis_shims(apply_parse_shims(query))
+            # as a ParseException too — run both shim families.  The
+            # quoted-identifier shim (the one rewrite that can change
+            # the meaning of a span Spark could also read as a string
+            # literal) only applies when the other shims alone still
+            # fail Spark's GRAMMAR — checked via the parses callback.
+            def _parses(q: str) -> bool:
+                try:
+                    self.spark.sql(q)
+                    return True
+                except ParseException:
+                    return False
+                except Exception:       # noqa: BLE001 — parsed fine,
+                    return True         # failed later (analysis etc.)
+
+            shimmed = apply_analysis_shims(
+                apply_parse_shims(query, parses=_parses))
             if shimmed == query and "|>" in query:
                 # pipe-SQL stages Spark's |> rejects (e.g. AGGREGATE
                 # with GROUP BY ROLLUP) — the corpus runner's fallback
@@ -240,6 +254,20 @@ class Connection:
                 not source.lower().startswith("values")
                 else f"SELECT * FROM ({source})")
             schema = self.declared[name]
+            if cols:
+                # SQL identifiers are case-insensitive in the reference
+                # dialect: resolve the parsed column list against the
+                # declared schema case-insensitively, and raise on any
+                # unknown name rather than silently NULL-filling the
+                # declared column (which would corrupt data).
+                by_lower = {f.name.lower(): f.name for f in schema.fields}
+                unknown = [c for c in cols if c.lower() not in by_lower]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT INTO {name}: unknown column(s) "
+                        f"{unknown}; declared = "
+                        f"{[f.name for f in schema.fields]}")
+                cols = [by_lower[c.lower()] for c in cols]
             names = cols or [f.name for f in schema.fields][:len(src.columns)]
             src = src.toDF(*names)
             from pyspark.sql import functions as F

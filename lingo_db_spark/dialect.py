@@ -242,7 +242,9 @@ def pipe_to_standard(sql: str) -> str:
     from_parts = [stages[0]]
     select_list = "*"
     wheres: list[str] = []
+    havings: list[str] = []
     group_by = order_by = limit = None
+    seen_aggregate = False
     for st in stages[1:]:
         low = st.lower()
         if _JOIN_RE.match(st):
@@ -250,8 +252,14 @@ def pipe_to_standard(sql: str) -> str:
         elif low.startswith("select"):
             select_list = st[len("select"):].strip()
         elif low.startswith("where"):
-            wheres.append(st[len("where"):].strip())
+            # a WHERE stage AFTER an AGGREGATE stage filters the
+            # aggregated rows (pipe semantics are strictly sequential)
+            # — for ROLLUP/CUBE that keeps/drops different rows than a
+            # pre-aggregation filter would, so it must become HAVING
+            (havings if seen_aggregate else wheres).append(
+                st[len("where"):].strip())
         elif low.startswith("aggregate"):
+            seen_aggregate = True
             body = st[len("aggregate"):].strip()
             parts = re.split(r"\bgroup\s+by\b", body, flags=re.IGNORECASE)
             aggs = parts[0].strip()
@@ -276,6 +284,8 @@ def pipe_to_standard(sql: str) -> str:
         q += " WHERE " + " AND ".join(f"({w})" for w in wheres)
     if group_by:
         q += f" GROUP BY {group_by}"
+    if havings:
+        q += " HAVING " + " AND ".join(f"({h})" for h in havings)
     if order_by:
         q += f" ORDER BY {order_by}"
     if limit:
@@ -354,12 +364,21 @@ def quoted_ident_shim(sql: str) -> str:
     return "".join(out)
 
 
-def apply_parse_shims(sql: str) -> str:
+def apply_parse_shims(sql: str, parses=None) -> str:
     """The shims safe for ANY SQL (no data assumptions): quantified
     comparisons, cast type-name aliases, and double-quoted
-    identifiers.  Returns the input unchanged when nothing applies."""
+    identifiers.  Returns the input unchanged when nothing applies.
+
+    `parses` (optional callback str -> bool, "does Spark's grammar
+    accept this?") gates the quoted-identifier shim: it is the only
+    shim that can change the MEANING of a span Spark could also read
+    as a string literal, so when the other shims alone already yield
+    a parseable query (e.g. the original failure was an unrelated
+    `= ANY(...)`), the double-quoted spans are left as the string
+    literals Spark takes them for.  Without the callback the shim
+    applies unconditionally (original behavior)."""
     out = type_name_shim(rewrite_quantified(sql))
-    if '"' in out:
+    if '"' in out and (parses is None or not parses(out)):
         out = quoted_ident_shim(out)
     return out
 
@@ -369,28 +388,68 @@ def apply_parse_shims(sql: str) -> str:
 # analysis, where the reference dialect (postgres-derived) accepts them
 # ---------------------------------------------------------------------------
 
-_CAST_TYPE_ALIASES = [
-    (re.compile(r"\bAS\s+float8\s*\)", re.IGNORECASE), "AS DOUBLE)"),
-    (re.compile(r"\bAS\s+float4\s*\)", re.IGNORECASE), "AS FLOAT)"),
-    (re.compile(r"\bAS\s+int8\s*\)", re.IGNORECASE), "AS BIGINT)"),
-    (re.compile(r"\bAS\s+int4\s*\)", re.IGNORECASE), "AS INT)"),
-    (re.compile(r"\bAS\s+int2\s*\)", re.IGNORECASE), "AS SMALLINT)"),
-    (re.compile(r"\bAS\s+text\s*\)", re.IGNORECASE), "AS STRING)"),
-]
+_CAST_TYPE_ALIASES = {
+    "float8": "DOUBLE", "float4": "FLOAT", "int8": "BIGINT",
+    "int4": "INT", "int2": "SMALLINT", "text": "STRING",
+}
+
+_CAST_OPEN_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_CAST_TAIL_RE = re.compile(r"\bAS\s+(\w+)\s*$", re.IGNORECASE)
 
 # duckdb/postgres datediff('unit', a, b) -> Spark timestampdiff(unit, a, b)
 _DATEDIFF_RE = re.compile(r"\bdatediff\s*\(\s*'(\w+)'\s*,", re.IGNORECASE)
 
 
+def _shim_cast_types(sql: str) -> str:
+    """Rewrite postgres type names ONLY in the tail position of a
+    balanced `CAST( ... AS <type>)` span.  Scanning the actual CAST
+    region (rather than any `AS <type>)` pattern) means a column alias
+    named `text`/`int4` — e.g. the subquery `(SELECT x AS text)` — is
+    never touched."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, k = 1, m.end()
+        while k < len(sql) and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        if depth:                      # unbalanced: leave the tail as-is
+            out.append(sql[i:])
+            return "".join(out)
+        inner = _shim_cast_types(sql[m.end():k - 1])   # nested CASTs
+        tm = _CAST_TAIL_RE.search(inner)
+        if tm and tm.group(1).lower() in _CAST_TYPE_ALIASES:
+            # the AS must sit at the cast's own paren level, not inside
+            # a nested subexpression like CAST((SELECT x AS t2) AS INT)
+            lvl = 0
+            for ch in inner[:tm.start()]:
+                if ch == "(":
+                    lvl += 1
+                elif ch == ")":
+                    lvl -= 1
+            if lvl == 0:
+                inner = (inner[:tm.start()] + "AS "
+                         + _CAST_TYPE_ALIASES[tm.group(1).lower()])
+        out.append(sql[i:m.end()])
+        out.append(inner)
+        out.append(")")
+        i = k
+
+
 def apply_analysis_shims(sql: str) -> str:
     """Shims for ANALYSIS-time rejections: postgres cast type names in
-    CAST(x AS t) position (the trailing ')' pins the cast context so a
-    column alias named `text` is never touched) and unit-quoted
-    datediff (tpcxbb 22.sql).  Returns input unchanged if nothing
-    applies."""
-    out = sql
-    for pat, repl in _CAST_TYPE_ALIASES:
-        out = pat.sub(repl, out)
+    the tail of a balanced CAST(...) span (so a column alias named
+    `text` is never touched, even alias-then-')' like
+    `(SELECT x AS text)`) and unit-quoted datediff (tpcxbb 22.sql).
+    Returns input unchanged if nothing applies."""
+    out = _shim_cast_types(sql)
     out = _DATEDIFF_RE.sub(lambda m: f"timestampdiff({m.group(1)},", out)
     return out
 

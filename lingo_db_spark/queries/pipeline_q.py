@@ -453,9 +453,13 @@ def _ann_invariants(approx: DataFrame, exact: DataFrame,
     quantizer, deterministic tie-breaks):
 
     - n_ret:         the approximate search returned exactly k rows;
-    - recall_ok:     >= min_hits of them are true top-k members
-                     (measured: LSH >= 7, IVF(6/16 probes) >= 5 at
-                     sf0.01 — bounds leave margin);
+    - recall_ok:     >= min_hits of them are true top-k members.
+                     ENFORCED bounds: LSH min_hits=6, IVF(6/16
+                     probes) min_hits=4.  MEASURED at sf0.01: LSH 7,
+                     IVF 5 (pinned in tests/test_pipeline.py
+                     test_ann_recall_margins) — the enforced bound
+                     sits one hit below measured so the driver gate
+                     has margin without being vacuous;
     - rescore_exact: every returned pair that IS a true member carries
                      the SAME cosine as the brute-force path (the exact
                      re-score is exact, not approximate — strict float
@@ -485,9 +489,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket collisions, exact cosine re-ranks them.  No crossJoin in the
     plan (asserted in tests/test_pipeline.py).  Output is the per-query
     invariant form (_ann_invariants) so the approximate result is
-    oracle-checkable: k rows returned, recall >= 7/10 vs the in-plan
-    brute force, and exact re-scoring — the oracle is the constant
-    truth table those invariants must equal."""
+    oracle-checkable: k rows returned, recall >= 6/10 (enforced; 7/10
+    measured at sf0.01, margin pinned in tests) vs the in-plan brute
+    force, and exact re-scoring — the oracle is the constant truth
+    table those invariants must equal."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     qs = _query_vectors(emb)
@@ -541,10 +546,11 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, exact cosine re-ranks candidates — the partition-pruned ANN
     path (at scale `cell` is a partitioning column, so a probe reads 6/16
     of the corpus instead of all of it).  Output is the per-query
-    invariant form (_ann_invariants): k rows, recall >= 5/10 vs the
-    in-plan brute force (probe pruning trades recall for 6/16 of the
-    I/O; ann_topk_ivf_full pins the n_probe=n_cells exact case), exact
-    re-scoring."""
+    invariant form (_ann_invariants): k rows, recall >= 4/10
+    (enforced; 5/10 measured at sf0.01, margin pinned in tests) vs
+    the in-plan brute force (probe pruning trades recall for 6/16 of
+    the I/O; ann_topk_ivf_full pins the n_probe=n_cells exact case),
+    exact re-scoring."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     qs = _query_vectors(emb)

@@ -82,6 +82,23 @@ def test_parse_insert_and_split_script():
     assert stmts[4].startswith("select ';'")
 
 
+def test_insert_column_list_case_insensitive(spark):
+    """SQL identifiers are case-insensitive in the reference dialect:
+    `INSERT INTO t (A)` against a table declared with column `a` must
+    insert into `a` (not silently NULL-fill it), and an unknown column
+    name must raise — never corrupt data quietly."""
+    import pytest
+    con = Connection(spark)
+    con.sql_stmt("create table ci_t (a int, b varchar(5))")
+    con.sql_stmt("insert into ci_t (A, B) values (1, 'x')")
+    con.sql_stmt("insert into ci_t (B) values ('y')")
+    rows = sorted(((r.a, r.b) for r in con.table("ci_t").collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert rows == [(1, "x"), (None, "y")]
+    with pytest.raises(ValueError, match="unknown column"):
+        con.sql_stmt("insert into ci_t (nope) values (1)")
+
+
 # ---------------------------------------------------------------------------
 # door: CREATE + COPY + INSERT end-to-end on the Spark session
 # ---------------------------------------------------------------------------

@@ -156,6 +156,39 @@ def test_lsh_topk_recall_against_brute_force(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
+def test_ann_recall_margins(spark):
+    """Pin the MEASURED recall of the registered ANN queries at the
+    driver-gate scale (sf0.01) one hit ABOVE the enforced invariant
+    bounds (_ann_invariants: LSH min_hits=6, IVF min_hits=4), so
+    margin erosion from any future change to the hyperplane seeds,
+    quantizer, or data is caught here before the driver gate flakes."""
+    from conftest import SF_DIR_MID
+    from lingo_db_spark.queries.pipeline_q import _query_vectors
+    emb = load_table(spark, SF_DIR_MID, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = _query_vectors(emb)
+    k = 10
+    brute = ops.brute_force_topk(base, qs, k=k)
+    truth = {}
+    for r in brute.collect():
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+    for name, approx, measured_min in [
+        ("lsh", ops.lsh_topk(base, qs, k=k, dim=64,
+                             n_planes=4, n_tables=16), 7),
+        ("ivf", ops.ivf_topk(base, qs, k=k, dim=64,
+                             n_cells=16, n_probe=6), 5),
+    ]:
+        hits = {}
+        for r in approx.collect():
+            hits[r.q_id] = hits.get(r.q_id, 0) + (
+                1 if r.vec_id in truth.get(r.q_id, set()) else 0)
+        worst = min(hits.values())
+        assert set(hits) == set(truth), f"{name}: missing query ids"
+        assert worst >= measured_min, (
+            f"{name}: per-query recall margin eroded — worst query has "
+            f"{worst}/{k} true top-k hits, pinned floor {measured_min}")
+
+
 def test_lsh_topk_plan_has_no_cartesian_product(spark):
     base, q = _emb_and_queries(spark)
     plan = explain_str(

@@ -83,6 +83,68 @@ def test_quoted_ident_shim_units():
     assert q('select "a""b" from t') == 'select `a"b` from t'
 
 
+def test_quoted_shim_gated_on_parse(spark):
+    """The quoted-identifier shim only fires when the OTHER parse shims
+    alone still fail Spark's grammar: a query whose parse failure is an
+    unrelated `= ANY(...)` keeps its double-quoted spans as the string
+    literals Spark takes them for — even when a same-named column
+    exists that the identifier reading would silently bind to."""
+    con = Connection(spark)
+    spark.sql("select 'COLUMN_VALUE' as hello") \
+        .createOrReplaceTempView("shimgate_t")
+    row = con.sql(
+        'select "hello" as s, 1 = any(select 1) as v from shimgate_t'
+    ).collect()[0]
+    assert row.s == "hello"          # string literal, not the column
+    assert row.v is True
+    # and the identifier reading still fires when it IS the only way
+    # the query parses (a double-quoted ALIAS is a Spark parse error)
+    row2 = con.sql(
+        'select hello as "out col" from shimgate_t').collect()[0]
+    assert row2["out col"] == "COLUMN_VALUE"
+
+
+def test_cast_alias_anchoring():
+    """Postgres cast type names are rewritten ONLY in the tail of a
+    balanced CAST(...) span — an alias named text/int4 immediately
+    before ')' (e.g. a one-column subquery) is never touched."""
+    from lingo_db_spark.dialect import apply_analysis_shims as sh
+    assert sh("select (select x as text) from t") == \
+        "select (select x as text) from t"
+    assert sh("select CAST(x AS text) from t") == \
+        "select CAST(x AS STRING) from t"
+    # nested: inner alias untouched, outer cast rewritten
+    assert sh("CAST((SELECT x AS text) AS int4)") == \
+        "CAST((SELECT x AS text) AS INT)"
+    # nested cast inside a cast: both rewritten
+    assert sh("CAST(CAST(a AS float8) AS int8)") == \
+        "CAST(CAST(a AS DOUBLE) AS BIGINT)"
+    # function call in the operand does not confuse the level check
+    assert sh("CAST(substr(a, 1, 2) AS float4)") == \
+        "CAST(substr(a, 1, 2) AS FLOAT)"
+    # non-alias types and unbalanced input pass through unchanged
+    assert sh("CAST(x AS DECIMAL(10,2))") == "CAST(x AS DECIMAL(10,2))"
+    assert sh("CAST(x AS text") == "CAST(x AS text"
+
+
+def test_pipe_where_after_aggregate_is_having(spark):
+    """A |> WHERE stage AFTER an AGGREGATE stage filters the aggregated
+    rows (pipe semantics are sequential): for ROLLUP the fallback
+    translation must route it to HAVING — a pre-aggregation WHERE
+    would keep the grand-total row this filter is meant to drop."""
+    from lingo_db_spark.dialect import pipe_to_standard
+    q = pipe_to_standard(
+        "from t |> aggregate sum(z) as s group by rollup(x) "
+        "|> where x is not null")
+    assert "HAVING" in q.upper()
+    con = Connection(spark)
+    rows = con.sql(
+        "from (values (1,2),(1,3),(2,4)) t(x,z)\n"
+        " |> AGGREGATE sum(z) as s group by rollup(x)\n"
+        " |> where x is not null").collect()
+    assert sorted((r.x, r.s) for r in rows) == [(1, 5), (2, 4)]
+
+
 def test_verbatim_q11_through_door(spark):
     """The reference's own 11.sql text (double-quoted alias) parses and
     runs through Connection.sql via the shim retry."""
