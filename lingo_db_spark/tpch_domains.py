@@ -130,6 +130,20 @@ def ship_instruct_sql(key_expr: str) -> str:
     return case_map(key_expr, SHIP_INSTRUCT)
 
 
+def lineitem_suppkey_sql(part_expr: str = "l_partkey",
+                         pick_expr: str = "l_orderkey") -> str:
+    """The dbgen referential invariant (TPC-H spec 4.2.3: every lineitem
+    (l_partkey, l_suppkey) pair is one of the part's partsupp rows):
+    pick one of the TWO partsupp_sql suppliers of `part_expr` per row,
+    alternating on `pick_expr`.  Without this alignment the correlated
+    sum in verbatim q20 (sum of the pair's shipped quantity) is NULL for
+    nearly every partsupp row and the query dries up at sf >= 0.01."""
+    n = "(SELECT COUNT(*) FROM supplier)"
+    return (f"(CASE WHEN ({pick_expr}) % 2 = 0 "
+            f"THEN ({part_expr}) % {n} "
+            f"ELSE (({part_expr}) * 7 + 3) % {n} END)")
+
+
 def partsupp_sql(part_rel: str = "part") -> str:
     """Derive a 2-suppliers-per-part partsupp relation from `part` —
     portable SQL (works as a Spark temp view and a DuckDB CTE body).

@@ -172,8 +172,11 @@ _EXPORTS = {
     # (l_orderkey, l_linenumber) pairs and DuckDB enforces the declared
     # primary key on its side of the journey.  commit/receipt dates are
     # jittered per row so q4/q12/q21's date inequalities split real
-    # true/false populations instead of a constant offset.
-    "lineitem": "l_orderkey, l_partkey, l_suppkey, "
+    # true/false populations instead of a constant offset.  l_suppkey is
+    # remapped onto one of the part's two partsupp_sql suppliers — the
+    # dbgen referential invariant q20's correlated sum depends on.
+    "lineitem": "l_orderkey, l_partkey, "
+                f"{dom.lineitem_suppkey_sql()} AS l_suppkey, "
                 "ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY "
                 "l_linenumber, l_partkey, l_suppkey) AS l_linenumber, "
                 "l_quantity, l_extendedprice, l_discount, l_tax, "
@@ -195,15 +198,18 @@ _EXPORTS = {
 
 def _export_tbls(dest: Path) -> None:
     con = duckdb.connect()
+    # the lineitem projection's suppkey remap and partsupp_sql both
+    # take the supplier count via a scalar subquery — register the
+    # views before the COPY loop
+    con.execute(f"CREATE VIEW part AS FROM read_parquet("
+                f"'{SF_DIR}/part.parquet')")
+    con.execute(f"CREATE VIEW supplier AS FROM read_parquet("
+                f"'{SF_DIR}/supplier.parquet')")
     for t, proj in _EXPORTS.items():
         con.execute(
             f"COPY (SELECT {proj} FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet') ORDER BY 1) TO "
             f"'{dest}/{t}.tbl' (DELIMITER '|', HEADER false)")
-    con.execute(f"CREATE VIEW part AS FROM read_parquet("
-                f"'{SF_DIR}/part.parquet')")
-    con.execute(f"CREATE VIEW supplier AS FROM read_parquet("
-                f"'{SF_DIR}/supplier.parquet')")
     con.execute(
         f"COPY (SELECT * FROM ({dom.partsupp_sql()}) ORDER BY 1, 2) TO "
         f"'{dest}/partsupp.tbl' (DELIMITER '|', HEADER false)")
@@ -272,7 +278,9 @@ def test_verbatim_initialize_and_all_22_queries(spark, tmp_path):
         if want:
             row_bearing += 1
     assert mismatches == []
-    assert row_bearing >= 21, f"only {row_bearing}/22 row-bearing"  # all 22 at sf0.001; one needle dries up at other SFs
+    # all 22 row-bearing at sf0.001/sf0.01/sf0.1 (the lineitem suppkey
+    # remap keeps q20's correlated-sum population alive at every SF)
+    assert row_bearing == 22, f"only {row_bearing}/22 row-bearing"
     # sanity: the journey loaded real rows
     assert con.table("lineitem").count() == \
         duck.execute("select count(*) from lineitem").fetchone()[0] > 0

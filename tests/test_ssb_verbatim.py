@@ -6,19 +6,20 @@ Connection.sql — value-checked against DuckDB executing the identical
 script and query text over the identical exported files.
 
 The star-schema files are derived deterministically from the synthetic
-parquet (lineorder = lineitem x orders; date = a generated calendar over
-the dbgen-shifted 1992-1998 range; dimensions mapped onto the SSB value
-domains via lingo_db_spark/tpch_domains.py) so the benchmark literals
-(d_year = 1993, p_category = 'MFGR#12', s_region = 'AMERICA',
-c_city = 'UNITED KI1', d_yearmonth = 'Dec1997') select real rows."""
+parquet by tools/synth_ssb.py (shared with the driver-gated
+sql_ssb_q21_verbatim anchor's oracle CTEs) so the benchmark literals
+select real rows."""
 
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 
 import duckdb
 import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from lingo_db_spark import ddl
 from lingo_db_spark import tpch_domains as dom
@@ -31,106 +32,11 @@ _SSB_QUERIES = ["11", "12", "13", "21", "22", "23",
                 "31", "32", "33", "34", "41", "42", "43"]
 
 
-def _export_star(dest: Path) -> None:
-    con = duckdb.connect()
-    for t in ("customer", "supplier", "part", "orders", "lineitem"):
-        con.execute(f"CREATE VIEW {t} AS FROM "
-                    f"read_parquet('{SF_DIR}/{t}.parquet')")
-    nation_c = dom.nation_name_sql("c_nationkey")
-    nation_s = dom.nation_name_sql(dom.supplier_nation_sql())
-    region_c = dom.region_name_sql(dom.nation_region_sql("c_nationkey"))
-    region_s = dom.region_name_sql(
-        dom.nation_region_sql(dom.supplier_nation_sql()))
-    con.execute(f"""
-COPY (SELECT c_custkey, c_name, 'addr' || c_custkey AS c_address,
-             {dom.ssb_city_sql(nation_c, 'c_custkey')} AS c_city,
-             {nation_c} AS c_nation, {region_c} AS c_region,
-             {dom.phone_sql('c_nationkey', 'c_custkey')} AS c_phone,
-             c_mktsegment
-      FROM customer ORDER BY 1)
-TO '{dest}/customer.tbl' (DELIMITER '|', HEADER false)""")
-    con.execute(f"""
-COPY (SELECT s_suppkey, s_name, 'addr' || s_suppkey AS s_address,
-             {dom.ssb_city_sql(nation_s, 's_suppkey')} AS s_city,
-             {nation_s} AS s_nation, {region_s} AS s_region,
-             {dom.phone_sql(dom.supplier_nation_sql(), 's_suppkey')}
-             AS s_phone
-      FROM supplier ORDER BY 1)
-TO '{dest}/supplier.tbl' (DELIMITER '|', HEADER false)""")
-    con.execute(f"""
-COPY (SELECT p_partkey, {dom.part_name_sql()} AS p_name,
-             {dom.ssb_mfgr_sql()} AS p_mfgr,
-             {dom.ssb_category_sql()} AS p_category,
-             {dom.ssb_brand1_sql()} AS p_brand1,
-             {dom.case_map('p_partkey + 3', dom.COLORS)} AS p_color,
-             {dom.part_type_sql()} AS p_type, p_size,
-             {dom.part_container_sql()} AS p_container
-      FROM part ORDER BY 1)
-TO '{dest}/part.tbl' (DELIMITER '|', HEADER false)""")
-    # calendar over the dbgen-shifted range the fact rows land in
-    con.execute(f"""
-COPY (SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS d_datekey,
-             strftime(d, '%B %d, %Y') AS d_date,
-             dayname(d) AS d_dayofweek,
-             monthname(d) AS d_month,
-             EXTRACT(year FROM d) AS d_year,
-             EXTRACT(year FROM d) * 100 + EXTRACT(month FROM d)
-                 AS d_yearmonthnum,
-             strftime(d, '%b%Y') AS d_yearmonth,
-             EXTRACT(isodow FROM d) AS d_daynuminweek,
-             EXTRACT(day FROM d) AS d_daynuminmonth,
-             EXTRACT(doy FROM d) AS d_daynuminyear,
-             EXTRACT(month FROM d) AS d_monthnuminyear,
-             EXTRACT(week FROM d) AS d_weeknuminyear,
-             CASE WHEN EXTRACT(month FROM d) IN (12, 1) THEN 'Christmas'
-                  WHEN EXTRACT(month FROM d) IN (6, 7, 8) THEN 'Summer'
-                  ELSE 'None' END AS d_sellingseason,
-             CASE WHEN EXTRACT(isodow FROM d) = 7 THEN 1 ELSE 0 END
-                 AS d_lastdayinweekfl,
-             CASE WHEN d = last_day(d) THEN 1 ELSE 0 END
-                 AS d_lastdayinmonthfl,
-             CASE WHEN EXTRACT(doy FROM d) = 1 THEN 1 ELSE 0 END
-                 AS d_holidayfl,
-             CASE WHEN EXTRACT(isodow FROM d) <= 5 THEN 1 ELSE 0 END
-                 AS d_weekdayfl
-      FROM (SELECT CAST(g AS DATE) AS d FROM generate_series(
-            DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY) t(g))
-      ORDER BY 1)
-TO '{dest}/date.tbl' (DELIMITER '|', HEADER false)""")
-    con.execute(f"""
-COPY (SELECT l_orderkey AS lo_orderkey,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
-                 l_linenumber, l_partkey, l_suppkey) AS lo_linenumber,
-             o_custkey + CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END
-                 AS lo_custkey,
-             l_partkey AS lo_partkey, l_suppkey AS lo_suppkey,
-             CAST(strftime(CAST(o_orderdate - INTERVAL 3 YEAR AS DATE),
-                 '%Y%m%d') AS INTEGER) AS lo_orderdate,
-             o_orderpriority AS lo_orderpriority,
-             '0' AS lo_shippriority,
-             CAST(l_quantity AS INTEGER) AS lo_quantity,
-             l_extendedprice AS lo_extendedprice,
-             o_totalprice AS lo_ordtotalprice,
-             CAST(ROUND(l_discount * 100) AS INTEGER) AS lo_discount,
-             CAST(ROUND(l_extendedprice *
-                 (100 - ROUND(l_discount * 100)) / 100, 2)
-                 AS DECIMAL(18,2)) AS lo_revenue,
-             CAST(ROUND(l_extendedprice * 0.6, 2) AS DECIMAL(18,2))
-                 AS lo_supplycost,
-             CAST(ROUND(l_tax * 100) AS INTEGER) AS lo_tax,
-             CAST(strftime(CAST(l_shipdate - INTERVAL 3 YEAR AS DATE) +
-                 CAST((l_orderkey * 31 + l_partkey) % 60 - 30 AS INTEGER),
-                 '%Y%m%d') AS INTEGER) AS lo_commitdate,
-             {dom.ship_mode_sql('l_orderkey * 7 + l_partkey')}
-                 AS lo_shipmode
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      ORDER BY 1, 2)
-TO '{dest}/lineorder.tbl' (DELIMITER '|', HEADER false)""")
-
-
 @pytest.mark.skipif(not REF_SSB.exists(), reason="reference absent")
 def test_ssb_verbatim_initialize_and_all_13_queries(spark, tmp_path):
-    _export_star(tmp_path)
+    from synth_ssb import export_ssb
+
+    export_ssb(SF_DIR, tmp_path)
     init = (REF_SSB / "initialize.sql").read_text()
 
     con = Connection(spark)
@@ -236,74 +142,18 @@ COPY (SELECT p_partkey, {dom.part_name_sql()} AS p_name,
       FROM part ORDER BY 1)
 TO '{dest}/part.tbl' (DELIMITER '|', HEADER false)""")
     # date + lineorder: identical to the named-dimension export
-    import importlib
-    this = importlib.import_module(__name__)
-    # reuse the calendar/lineorder COPYs from _export_star by cloning
-    # their SQL through a throwaway dir is wasteful; re-run the two
-    # statements directly
     _export_star_shared(con, dest)
 
 
 def _export_star_shared(con, dest: Path) -> None:
-    """Calendar + lineorder COPYs shared by both SSB variants."""
-    con.execute(f"""
-COPY (SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS d_datekey,
-             strftime(d, '%B %d, %Y') AS d_date,
-             dayname(d) AS d_dayofweek,
-             monthname(d) AS d_month,
-             EXTRACT(year FROM d) AS d_year,
-             EXTRACT(year FROM d) * 100 + EXTRACT(month FROM d)
-                 AS d_yearmonthnum,
-             strftime(d, '%b%Y') AS d_yearmonth,
-             EXTRACT(isodow FROM d) AS d_daynuminweek,
-             EXTRACT(day FROM d) AS d_daynuminmonth,
-             EXTRACT(doy FROM d) AS d_daynuminyear,
-             EXTRACT(month FROM d) AS d_monthnuminyear,
-             EXTRACT(week FROM d) AS d_weeknuminyear,
-             CASE WHEN EXTRACT(month FROM d) IN (12, 1) THEN 'Christmas'
-                  WHEN EXTRACT(month FROM d) IN (6, 7, 8) THEN 'Summer'
-                  ELSE 'None' END AS d_sellingseason,
-             CASE WHEN EXTRACT(isodow FROM d) = 7 THEN 1 ELSE 0 END
-                 AS d_lastdayinweekfl,
-             CASE WHEN d = last_day(d) THEN 1 ELSE 0 END
-                 AS d_lastdayinmonthfl,
-             CASE WHEN EXTRACT(doy FROM d) = 1 THEN 1 ELSE 0 END
-                 AS d_holidayfl,
-             CASE WHEN EXTRACT(isodow FROM d) <= 5 THEN 1 ELSE 0 END
-                 AS d_weekdayfl
-      FROM (SELECT CAST(g AS DATE) AS d FROM generate_series(
-            DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY) t(g))
-      ORDER BY 1)
-TO '{dest}/date.tbl' (DELIMITER '|', HEADER false)""")
-    con.execute(f"""
-COPY (SELECT l_orderkey AS lo_orderkey,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
-                 l_linenumber, l_partkey, l_suppkey) AS lo_linenumber,
-             o_custkey + CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END
-                 AS lo_custkey,
-             l_partkey AS lo_partkey, l_suppkey AS lo_suppkey,
-             CAST(strftime(CAST(o_orderdate - INTERVAL 3 YEAR AS DATE),
-                 '%Y%m%d') AS INTEGER) AS lo_orderdate,
-             o_orderpriority AS lo_orderpriority,
-             '0' AS lo_shippriority,
-             CAST(l_quantity AS INTEGER) AS lo_quantity,
-             l_extendedprice AS lo_extendedprice,
-             o_totalprice AS lo_ordtotalprice,
-             CAST(ROUND(l_discount * 100) AS INTEGER) AS lo_discount,
-             CAST(ROUND(l_extendedprice *
-                 (100 - ROUND(l_discount * 100)) / 100, 2)
-                 AS DECIMAL(18,2)) AS lo_revenue,
-             CAST(ROUND(l_extendedprice * 0.6, 2) AS DECIMAL(18,2))
-                 AS lo_supplycost,
-             CAST(ROUND(l_tax * 100) AS INTEGER) AS lo_tax,
-             CAST(strftime(CAST(l_shipdate - INTERVAL 3 YEAR AS DATE) +
-                 CAST((l_orderkey * 31 + l_partkey) % 60 - 30 AS INTEGER),
-                 '%Y%m%d') AS INTEGER) AS lo_commitdate,
-             {dom.ship_mode_sql('l_orderkey * 7 + l_partkey')}
-                 AS lo_shipmode
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      ORDER BY 1, 2)
-TO '{dest}/lineorder.tbl' (DELIMITER '|', HEADER false)""")
+    """Calendar + lineorder COPYs shared by both SSB variants (the
+    derivation SQL lives in tools/synth_ssb.py)."""
+    from synth_ssb import table_selects
+    sels = table_selects()
+    con.execute(f"COPY ({sels['date']} ORDER BY 1) TO "
+                f"'{dest}/date.tbl' (DELIMITER '|', HEADER false)")
+    con.execute(f"COPY ({sels['lineorder']} ORDER BY 1, 2) TO "
+                f"'{dest}/lineorder.tbl' (DELIMITER '|', HEADER false)")
 
 
 @pytest.mark.skipif(not REF_SSBS.exists(), reason="reference absent")

@@ -116,14 +116,12 @@ def _fallback(field: T.StructField, ci: int) -> str:
     return f"'v{ci}_' || CAST(({_E}) % 100 AS STRING)"
 
 
-def export_clickbench(sf_dir: str, dest: Path) -> int:
-    import duckdb
-
+def table_selects() -> dict[str, str]:
+    """The `hits` derivation SELECT, keyed by name — references the
+    base `events` table by bare name, so it runs in the export
+    connection or as an oracle CTE over the pre-registered view."""
     from lingo_db_spark import ddl
 
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS FROM "
-                f"read_parquet('{sf_dir}/events.parquet')")
     create = (REF_CB / "create.sql").read_text()
     parsed = ddl.parse_create_table(ddl.split_script(create)[0])
     assert parsed is not None and parsed[0] == "hits"
@@ -133,10 +131,20 @@ def export_clickbench(sf_dir: str, dest: Path) -> int:
     unknown = set(_RULES) - {f.name for f in schema.fields}
     if unknown:
         raise ValueError(f"rules for unknown columns {sorted(unknown)}")
+    return {"hits": f"SELECT {', '.join(cols)} FROM events"}
+
+
+def export_clickbench(sf_dir: str, dest: Path) -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    sel = table_selects()["hits"]
     # NULLSTR sentinel: ClickBench's NOT NULL string columns carry ''
     # values, which the default empty-string null representation would
     # turn into NULLs on load
-    con.execute(f"COPY (SELECT {', '.join(cols)} FROM events) TO "
+    con.execute(f"COPY ({sel}) TO "
                 f"'{dest}/hits.tsv' (DELIMITER '\t', HEADER false, "
                 f"NULLSTR '\\N', FORCE_QUOTE *)")
     return con.execute(

@@ -363,19 +363,15 @@ def _fallback(field: T.StructField, key: str, ci: int) -> str:
     return f"'v{ci}_' || CAST(({key}) % 1000 AS STRING)"
 
 
-def export_job(sf_dir: str, dest: Path) -> dict[str, int]:
-    """Write all 21 .csv files; returns per-table row counts."""
-    import duckdb
-
+def table_selects() -> dict[str, str]:
+    """The derivation SELECT for every table, keyed by name — selects
+    reference the base parquet tables by bare name, so they run in the
+    export connection or as oracle CTEs over pre-registered views."""
     from lingo_db_spark import ddl
 
-    con = duckdb.connect()
-    for t in ("customer", "part", "orders", "lineitem"):
-        con.execute(f"CREATE VIEW {t} AS FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
     specs = _table_specs()
-    counts: dict[str, int] = {}
     init = (REF_JOB / "initialize.sql").read_text()
+    sels: dict[str, str] = {}
     for stmt in ddl.split_script(init):
         parsed = ddl.parse_create_table(stmt)
         if parsed is None:
@@ -390,7 +386,20 @@ def export_job(sf_dir: str, dest: Path) -> dict[str, int]:
         if unknown:
             raise ValueError(f"{name}: rules for unknown columns "
                              f"{sorted(unknown)}")
-        sel = f"SELECT {', '.join(cols)} FROM {frm}"
+        sels[name] = f"SELECT {', '.join(cols)} FROM {frm}"
+    return sels
+
+
+def export_job(sf_dir: str, dest: Path) -> dict[str, int]:
+    """Write all 21 .csv files; returns per-table row counts."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "part", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    counts: dict[str, int] = {}
+    for name, sel in table_selects().items():
         con.execute(f"COPY ({sel}) TO '{dest}/{name}.csv' "
                     f"(DELIMITER ',', HEADER false)")
         counts[name] = con.execute(

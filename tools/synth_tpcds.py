@@ -692,19 +692,17 @@ def _fallback(field: T.StructField, key: str, ci: int) -> str:
     return f"'v{ci}_' || CAST(({key}) % 1000 AS STRING)"
 
 
-def export_tpcds(sf_dir: str, dest: Path) -> dict[str, int]:
-    """Write all 24 .dat files; returns per-table row counts."""
-    import duckdb
-
+def table_selects() -> dict[str, str]:
+    """The derivation SELECT for every table of the suite, keyed by
+    table name.  The selects reference the base parquet tables by their
+    bare names (`customer part orders lineitem`), so they run anywhere
+    those are registered — the export connection below, or an oracle's
+    WITH-clause over the driver's pre-registered DuckDB views."""
     from lingo_db_spark import ddl
 
-    con = duckdb.connect()
-    for t in ("customer", "part", "orders", "lineitem"):
-        con.execute(f"CREATE VIEW {t} AS FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
     specs = _table_specs()
-    counts: dict[str, int] = {}
     init = (REF_DS / "initialize.sql").read_text()
+    sels: dict[str, str] = {}
     for stmt in ddl.split_script(init):
         parsed = ddl.parse_create_table(stmt)
         if parsed is None:
@@ -730,7 +728,20 @@ def export_tpcds(sf_dir: str, dest: Path) -> dict[str, int]:
         if unknown:
             raise ValueError(f"{name}: rules for unknown columns "
                              f"{sorted(unknown)}")
-        sel = f"SELECT {', '.join(cols)} FROM {frm}"
+        sels[name] = f"SELECT {', '.join(cols)} FROM {frm}"
+    return sels
+
+
+def export_tpcds(sf_dir: str, dest: Path) -> dict[str, int]:
+    """Write all 24 .dat files; returns per-table row counts."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "part", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    counts: dict[str, int] = {}
+    for name, sel in table_selects().items():
         con.execute(f"COPY ({sel}) TO '{dest}/{name}.dat' "
                     f"(DELIMITER '|', HEADER false)")
         counts[name] = con.execute(

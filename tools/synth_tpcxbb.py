@@ -66,18 +66,15 @@ def _table_specs() -> dict:
     return specs
 
 
-def export_tpcxbb(sf_dir: str, dest: Path) -> dict[str, int]:
-    import duckdb
-
+def table_selects() -> dict[str, str]:
+    """The derivation SELECT for every table, keyed by name — selects
+    reference the base parquet tables by bare name, so they run in the
+    export connection or as oracle CTEs over pre-registered views."""
     from lingo_db_spark import ddl
 
-    con = duckdb.connect()
-    for t in ("customer", "part", "orders", "lineitem"):
-        con.execute(f"CREATE VIEW {t} AS FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
     specs = _table_specs()
-    counts: dict[str, int] = {}
     init = (REF_XBB / "initialize.sql").read_text()
+    sels: dict[str, str] = {}
     for stmt in ddl.split_script(init):
         parsed = ddl.parse_create_table(stmt)
         if parsed is None:
@@ -90,7 +87,19 @@ def export_tpcxbb(sf_dir: str, dest: Path) -> dict[str, int]:
         sel = f"SELECT {', '.join(cols)} FROM {frm}"
         # tpcxbb filters d_year up to 2004 (the DS specs shift +16
         # months for 1998-2002); slide the whole fact window +34 months
-        sel = sel.replace("INTERVAL 16 MONTH", "INTERVAL 34 MONTH")
+        sels[name] = sel.replace("INTERVAL 16 MONTH", "INTERVAL 34 MONTH")
+    return sels
+
+
+def export_tpcxbb(sf_dir: str, dest: Path) -> dict[str, int]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "part", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    counts: dict[str, int] = {}
+    for name, sel in table_selects().items():
         con.execute(f"COPY ({sel}) TO '{dest}/{name}.dat' "
                     f"(DELIMITER '|', HEADER false)")
         counts[name] = con.execute(
