@@ -68,6 +68,113 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Host-load evidence: BENCH_r06/r07 both recorded elevations that quiet-host
+# re-measurement showed were concurrent-load contamination, each costing a
+# judge re-adjudication.  Sampling /proc/loadavg and /proc/stat around every
+# batch — and subtracting THIS process tree's own CPU time — makes
+# contamination self-convicting: external_busy_cores ~ 0 certifies a quiet
+# host; a large value marks exactly which batches to distrust.
+# ---------------------------------------------------------------------------
+
+def _loadavg() -> list[float]:
+    try:
+        return [float(x) for x in
+                Path("/proc/loadavg").read_text().split()[:3]]
+    except Exception:  # noqa: BLE001 — non-Linux fallback
+        return []
+
+
+def _cpu_busy_sec() -> float:
+    """Total busy CPU-seconds across all cores since boot (USER_HZ=100)."""
+    try:
+        vals = [int(v) for v in
+                Path("/proc/stat").read_text().splitlines()[0].split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return (sum(vals) - idle) / 100.0
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
+def _own_cpu_sec() -> float:
+    """CPU-seconds consumed by this process AND its reaped children
+    (the batch subprocesses + their JVMs)."""
+    import resource
+    a = resource.getrusage(resource.RUSAGE_SELF)
+    b = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+
+
+def _tree_cpu_sec() -> float:
+    """CPU-seconds of this process plus all LIVE descendants (the Spark
+    JVM is killed un-waited at interpreter exit, so its usage never
+    reaches the parent's RUSAGE_CHILDREN — the worker samples it from
+    /proc while the JVM still lives and reports it up)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, float] = {}
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit():
+            continue
+        try:
+            parts = (p / "stat").read_text().rsplit(") ", 1)[1].split()
+        except Exception:  # noqa: BLE001 — raced exit
+            continue
+        pid = int(p.name)
+        ppid[pid] = int(parts[1])
+        # utime+stime of the live process, plus cutime+cstime (its
+        # already-reaped children, e.g. pyspark daemon workers)
+        cpu[pid] = (int(parts[11]) + int(parts[12])
+                    + int(parts[13]) + int(parts[14])) / 100.0
+    total = 0.0
+    for pid in cpu:
+        q = pid
+        for _ in range(64):
+            if q == me:
+                total += cpu[pid]
+                break
+            q = ppid.get(q, 0)
+            if q <= 1:
+                break
+    return total
+
+
+class _LoadProbe:
+    """Samples host load around a measurement window.
+
+    `self_only=True` attributes only THIS process's rusage as "ours" —
+    used around batch subprocesses, whose full tree CPU (python worker
+    + un-waited JVM + pyspark daemons) arrives via the worker-reported
+    `_tree_cpu` passed to finish(extra_own=...); rusage CHILDREN would
+    double-count the python share and miss the JVM entirely."""
+
+    def __init__(self, self_only: bool = False) -> None:
+        import resource
+        self.self_only = self_only
+        self.t0 = time.perf_counter()
+        self.busy0 = _cpu_busy_sec()
+        a = resource.getrusage(resource.RUSAGE_SELF)
+        self.own0 = (a.ru_utime + a.ru_stime) if self_only \
+            else _own_cpu_sec()
+        self.load_before = _loadavg()
+
+    def finish(self, extra_own: float = 0.0) -> dict:
+        import resource
+        wall = max(1e-6, time.perf_counter() - self.t0)
+        busy = _cpu_busy_sec() - self.busy0
+        a = resource.getrusage(resource.RUSAGE_SELF)
+        own = ((a.ru_utime + a.ru_stime) if self.self_only
+               else _own_cpu_sec()) - self.own0 + extra_own
+        return {
+            "wall_sec": round(wall, 2),
+            "loadavg_before": self.load_before,
+            "loadavg_after": _loadavg(),
+            # average CPU cores kept busy by processes OUTSIDE this
+            # bench's own tree during the window (~0 on a quiet host)
+            "external_busy_cores": round(max(0.0, busy - own) / wall, 2),
+        }
+
+
 # Host-noise calibration: BENCH_r04 vs r05 showed ±1.7x round-to-round
 # drift on UNCHANGED queries, which makes the per-round Spark comparison
 # nearly signal-free.  Interleaving an invariant reference measurement —
@@ -189,8 +296,11 @@ def main() -> int:
 
     if os.environ.get("_BENCH_WORKER") == "1":
         # Child mode: measure the given queries, emit one JSON line.
+        # `_tree_cpu` carries the JVM's CPU time up to the parent (the
+        # JVM dies un-waited, invisible to the parent's rusage).
         timings = run_worker(sys.argv[1:], sf_dir, warmup, runs)
-        print(json.dumps(timings), flush=True)
+        print(json.dumps({**timings, "_tree_cpu": _tree_cpu_sec()}),
+              flush=True)
         return 0
 
     from lingo_db_spark.queries import load_all
@@ -205,8 +315,11 @@ def main() -> int:
     env = {**os.environ, "_BENCH_WORKER": "1"}
     batch_timeout = (warmup + runs) * batch * float(
         os.environ.get("BENCH_QUERY_TIMEOUT", "150")) + 120
+    batch_loads: list[dict] = []
     for i in range(0, len(names), batch):
         chunk = names[i:i + batch]
+        probe = _LoadProbe(self_only=True)
+        tree_cpu = 0.0
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *chunk],
@@ -214,12 +327,25 @@ def main() -> int:
                 timeout=batch_timeout)
             sys.stderr.write(proc.stderr[-8000:])
             last = [l for l in proc.stdout.splitlines() if l.strip()][-1]
-            timings.update(json.loads(last))
+            got = json.loads(last)
+            tree_cpu = got.pop("_tree_cpu", 0.0)
+            timings.update(got)
         except Exception as e:  # noqa: BLE001
             log(f"bench: batch {chunk} failed: {type(e).__name__}: "
                 f"{str(e)[:200]}")
+        ev = probe.finish(extra_own=tree_cpu)
+        ev["queries"] = [chunk[0], "..", chunk[-1]] if len(chunk) > 2 \
+            else chunk
+        batch_loads.append(ev)
+        if ev["external_busy_cores"] > 1.0:
+            log(f"bench: WARNING host not quiet during batch {chunk[0]}..: "
+                f"{ev['external_busy_cores']} external busy cores")
+    duck_probe = _LoadProbe()
     duck_ref = run_duckdb_ref(
         [n for n in CALIBRATION if n in timings], sf_dir, warmup, runs)
+    duck_ev = duck_probe.finish()
+    duck_ev["queries"] = ["duckdb_calibration"]
+    batch_loads.append(duck_ev)
     ratios = {n: round(timings[n] / duck_ref[n], 2)
               for n in duck_ref if duck_ref[n] > 0}
     total = round(sum(timings.values()), 4)
@@ -234,6 +360,16 @@ def main() -> int:
         "warmup": warmup,
         "runs": runs,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+        # contamination self-conviction: external_busy_cores ~ 0 in every
+        # batch certifies a quiet host; elevated values mark which
+        # batches' medians to distrust (see _LoadProbe).  host_quiet is
+        # the wall-weighted average so a short calibration window's
+        # noise can't flip the verdict alone.
+        "host_quiet": (
+            sum(b["external_busy_cores"] * b["wall_sec"]
+                for b in batch_loads)
+            <= 1.0 * max(1e-6, sum(b["wall_sec"] for b in batch_loads))),
+        "load_evidence": batch_loads,
     }), flush=True)
     return 0
 
