@@ -76,3 +76,34 @@ def test_parse_bytes():
     assert _parse_bytes("1g") == 1 << 30
     assert _parse_bytes("512k") == 512 << 10
     assert _parse_bytes("-1") == -1
+
+
+def test_misestimate_degrades_never_corrupts(spark):
+    """Mis-estimate safety (SCALE.md round-8 probe, pinned here at CI
+    scale): an estimate OVER the byte budget withholds the hint (the
+    join strategy is left to Spark/AQE — performance degradation, not
+    failure), and a lying-SMALL estimate that force-broadcasts a
+    genuinely larger side still completes with values identical to the
+    unhinted baseline — the hint can never change results."""
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    pred = F.col("c_mktsegment") == "BUILDING"
+
+    st = SampledTable(cust)
+    withheld = st.hint(pred, threshold_bytes=1)      # any estimate > 1 B
+    assert "UnresolvedHint" not in \
+        withheld._jdf.queryExecution().logical().toString()
+    forced = SampledTable(cust, total_rows=1).hint(pred)
+    assert "UnresolvedHint" in \
+        forced._jdf.queryExecution().logical().toString()
+
+    def agg(dim):
+        return sorted(
+            (r.o_orderpriority, r.n) for r in
+            orders.join(dim, orders.o_custkey == dim.c_custkey)
+            .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+
+    base = agg(cust.filter(pred))
+    assert agg(withheld) == base
+    assert agg(forced) == base

@@ -82,6 +82,23 @@ def test_parse_insert_and_split_script():
     assert stmts[4].startswith("select ';'")
 
 
+def test_insert_arity_semantics(spark):
+    """INSERT with NO column list and fewer VALUES than declared
+    columns fills positionally and NULL-fills the tail (postgres
+    semantics: missing trailing columns take their default, NULL
+    here); MORE values than declared columns is an error, never a
+    silent truncation."""
+    import pytest
+    con = Connection(spark)
+    con.sql_stmt("create table ar_t (a int, b varchar(5), c int)")
+    con.sql_stmt("insert into ar_t values (1, 'x')")   # c -> NULL
+    assert [(r.a, r.b, r.c) for r in con.table("ar_t").collect()] == \
+        [(1, "x", None)]
+    with pytest.raises(Exception):
+        con.sql_stmt("insert into ar_t values (1, 'x', 2, 99)")
+    assert con.table("ar_t").count() == 1              # nothing slipped in
+
+
 def test_insert_column_list_case_insensitive(spark):
     """SQL identifiers are case-insensitive in the reference dialect:
     `INSERT INTO t (A)` against a table declared with column `a` must

@@ -120,3 +120,44 @@ def test_quoted_ident_shim_properties(atoms):
     assert lhs.count("<id>") >= rhs.count("<id>") or lhs == rhs
     # idempotence on the output (no double quotes left to rewrite)
     assert quoted_ident_shim(out) == out
+
+
+_shim_atoms = st_.lists(
+    st_.one_of(
+        st_.sampled_from(["SELECT ", " FROM t ", " WHERE ", " AND ",
+                          "x", "1", ", ", "(", ")", " AS text",
+                          "x::text", "CAST(x AS int4)", "CAST(y AS text)",
+                          "x = ANY(SELECT 1)", "x > ALL(SELECT y FROM t)",
+                          "datediff('day', a, b)",
+                          "(SELECT x AS text)"]),
+        st_.sampled_from(["'a\"b'", "'it''s'", "''"]),
+        st_.sampled_from(['"value"', '"a""b"']),
+    ),
+    min_size=1, max_size=10)
+
+
+@given(_shim_atoms)
+@settings(max_examples=200, deadline=None)
+def test_parse_analysis_shim_composition_idempotent(atoms):
+    """Connection.sql retries a ParseException through
+    apply_analysis_shims(apply_parse_shims(q)) and RECURSES on the
+    result — if the composition could keep producing new strings the
+    retry would loop.  Property: one application is a fixed point
+    (f(f(x)) == f(x)) for arbitrary compositions of the constructs the
+    shims target, with and without the parse-gate callback."""
+    from lingo_db_spark.dialect import (
+        apply_analysis_shims,
+        apply_parse_shims,
+    )
+
+    sql = "".join(atoms)
+
+    def f(s, parses=None):
+        return apply_analysis_shims(apply_parse_shims(s, parses=parses))
+
+    once = f(sql)
+    assert f(once) == once
+    # gated variant: whatever the gate answers, the result is stable
+    for verdict in (True, False):
+        once_g = f(sql, parses=lambda _s: verdict)
+        assert f(once_g, parses=lambda _s: verdict) == once_g

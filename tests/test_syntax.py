@@ -145,6 +145,32 @@ def test_pipe_where_after_aggregate_is_having(spark):
     assert sorted((r.x, r.s) for r in rows) == [(1, 5), (2, 4)]
 
 
+def test_lateralize_scope():
+    """lateralize only rewrites FROM-list derived tables (preceded by a
+    comma or the FROM keyword) that reference the sibling alias — never
+    function arguments, IN-lists, or derived tables that don't mention
+    the alias.  A mis-placed insertion is recoverable (the caller
+    retries and falls back to the original error on failure), but the
+    conservative scope keeps the retry from ever changing semantics."""
+    from lingo_db_spark.dialect import lateralize
+    # FROM-list sibling: rewritten
+    q = "select * from t, (select x from u where u.k = t.k) s"
+    assert "LATERAL (select x" in lateralize(q, "t")
+    # function argument parens: untouched
+    q2 = "select coalesce((select max(x) from u where u.k = t.k), 0) from t"
+    assert lateralize(q2, "t") == q2
+    # IN-list subquery (preceded by IN, not comma/FROM): untouched
+    q3 = "select * from t where t.k in (select k from u where u.k = t.k)"
+    assert lateralize(q3, "t") == q3
+    # derived table NOT referencing the alias: untouched
+    q4 = "select * from t, (select x from u) s where s.x = t.k"
+    assert lateralize(q4, "t") == q4
+    # idempotent: the inserted LATERAL keyword now precedes the '(' so
+    # a second pass leaves the text alone (retry convergence)
+    once = lateralize(q, "t")
+    assert lateralize(once, "t") == once
+
+
 def test_verbatim_q11_through_door(spark):
     """The reference's own 11.sql text (double-quoted alias) parses and
     runs through Connection.sql via the shim retry."""
