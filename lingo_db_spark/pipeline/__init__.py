@@ -3,6 +3,8 @@ multimodal plumbing — the Phase-4 extensions from SURVEY.md §7."""
 
 from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     decontaminate,
+    exact_substring_spans,
+    substring_dup_stats,
     dedup_exact,
     hamming64,
     jaccard,

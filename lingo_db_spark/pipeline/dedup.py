@@ -526,3 +526,101 @@ def decontaminate(train: DataFrame, evalset: DataFrame, id_col: str,
             .agg(F.count(F.lit(1)).alias("n_collisions"),
                  F.countDistinct("__eid").alias("n_eval_docs"),
                  F.min("__eid").alias("example_eval_id")))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" primitive: find every
+# maximal character range whose length->= L content occurs more than
+# once in the corpus, so the spans can be cut or the doc dropped).
+# ---------------------------------------------------------------------------
+
+def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
+                          min_len: int = 30) -> DataFrame:
+    """Maximal duplicated character spans: every position whose
+    `min_len`-gram occurs >1 time in the corpus (any doc, any offset) is
+    duplicated; overlapping/adjacent duplicated windows merge into
+    maximal spans per document.  Returns (id, span_start, span_end)
+    with 1-based inclusive bounds — exactly the ranges an
+    exact-substring cut pass would remove.
+
+    Plan shape (all JVM expressions, no UDF):
+      1. gram generation: sequence+transform+posexplode — a width-L
+         sliding window per document (the L x blowup a suffix-array
+         build also pays in pointers), spread across cores first, kept
+         as 8-byte xxhash64 values + positions (the gram STRING never
+         shuffles in the common path);
+      2. duplicate-hash detection: one hash shuffle on the 64-bit gram
+         hash, keeping hashes seen >1 time;
+      3. exact verification: ONLY candidate positions (their hash
+         collided) regenerate their gram text — a substring() against
+         the re-joined document text — and an exact GROUP BY the text
+         eliminates xxhash64 collisions, so the result is exact, never
+         probabilistic;
+      4. span merge: per-document gaps-and-islands window (partitioned
+         by doc — never a global sort).
+    100 TB posture: the wide shuffles carry (id, pos, hash8) — ~16
+    bytes per corpus character; the exact-verify join touches only the
+    duplicate-candidate subset.  To cut the L x generation itself,
+    run the winnow_fingerprints prefilter first to restrict this pass
+    to documents sharing any fingerprint (recall >= window+k-1 by
+    winnowing's bound)."""
+    from pyspark.storagelevel import StorageLevel
+    L = int(min_len)
+    texts = spread(df.filter(F.length(text_col) >= L), id_col) \
+        .select(id_col, text_col)
+    # hashed grams: (id, pos, h) — never materializes the gram string
+    # past the map side of the first shuffle
+    hashed = (
+        texts.select(
+            F.col(id_col),
+            F.posexplode(F.expr(
+                f"transform(sequence(1, length({text_col}) - {L} + 1), "
+                f"i -> xxhash64(substring({text_col}, i, {L})))"
+            )).alias("__p0", "__h"))
+        .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    dup_h = (hashed.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+             .filter(F.col("__n") > 1).select("__h"))
+    cand = hashed.join(dup_h, "__h").select(id_col, "__pos")
+    # exact verification: regenerate candidate gram text from the doc
+    # and keep only text-level duplicates (xxhash64 collision killer)
+    cand_g = (cand.join(texts, id_col)
+              .select(id_col, "__pos",
+                      F.expr(f"substring({text_col}, __pos, {L})")
+                      .alias("__g")))
+    dup_g = (cand_g.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+             .filter(F.col("__n") > 1).select("__g"))
+    marked = cand_g.join(dup_g, "__g").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev_max = F.max("__pos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull()
+                 | (F.col("__pos") > prev_max + L), 1).otherwise(0)
+    island = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (marked.withColumn("__isl", island)
+            .groupBy(id_col, "__isl")
+            .agg(F.min("__pos").alias("span_start"),
+                 (F.max("__pos") + L - 1).alias("span_end"))
+            .select(id_col,
+                    F.col("span_start").cast("long").alias("span_start"),
+                    F.col("span_end").cast("long").alias("span_end")))
+
+
+def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,
+                        min_len: int = 30) -> DataFrame:
+    """Per-document duplicated-character budget from
+    exact_substring_spans: (id, n_chars, dup_chars).  Integer outputs
+    only so the cross-engine compare is exact; callers filter with
+    integer math (dup_chars * 100 > n_chars * pct) — the
+    drop-heavy-duplication policy stage of a training-data pipeline."""
+    spans = exact_substring_spans(df, id_col, text_col, min_len)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sum(F.col("span_end") - F.col("span_start") + 1)
+                    .alias("dup_chars")))
+    return (df.select(F.col(id_col),
+                      F.length(text_col).cast("long").alias("n_chars"))
+            .join(per_doc, id_col, "left")
+            .fillna({"dup_chars": 0})
+            .select(id_col, "n_chars",
+                    F.col("dup_chars").cast("long").alias("dup_chars")))

@@ -1033,3 +1033,93 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(
         pl.decontaminate(train, evalset, "doc_id", "text", shingle_k=4),
         "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022 primitive): the one
+# dedup mode the family lacked — character-range-level duplication, for
+# cutting repeated boilerplate rather than dropping whole documents.
+# A deterministic boilerplate sentence is planted on doc_id % 7 = 0 (in
+# BOTH engines) so the operator has substantial guaranteed spans on the
+# word-salad synthetic text; natural 30-gram repeats are detected too
+# and the oracle computes the identical set.
+# ---------------------------------------------------------------------------
+
+_PLANT = " <planted boilerplate sentence shared across documents 42>"
+_SUBDUP_L = 30
+
+_SUBDUP_AUG = f"""
+aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '{_PLANT}'
+                            ELSE text END AS text
+        FROM documents WHERE doc_id < 200),
+ser AS (SELECT CAST(g AS INTEGER) AS i FROM generate_series(1, 65536) t(g)),
+grams AS (SELECT doc_id, i AS pos, substr(text, i, {_SUBDUP_L}) AS g
+          FROM aug JOIN ser ON i <= length(text) - {_SUBDUP_L - 1}),
+dups AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+marked AS (SELECT m.doc_id, m.pos FROM grams m JOIN dups USING (g)),
+isl AS (SELECT doc_id, pos,
+        SUM(CASE WHEN prev_max IS NULL OR pos > prev_max + {_SUBDUP_L}
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM marked)),
+spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                 CAST(MAX(pos) + {_SUBDUP_L - 1} AS BIGINT) AS span_end
+          FROM isl GROUP BY doc_id, island)
+"""
+
+
+def _subdup_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(_PLANT)))
+        .otherwise(F.col("text")).alias("text"))
+
+
+@register("pipeline_exact_substring_spans", f"""
+WITH {_SUBDUP_AUG}
+SELECT doc_id, span_start, span_end FROM spans
+ORDER BY doc_id, span_start
+""")
+def pipeline_exact_substring_spans(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Maximal duplicated character spans (>= 30-char content occurring
+    more than once anywhere in the corpus), merged per document — the
+    exact-substring dedup primitive of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), whose output ranges a
+    cut pass removes.  All-JVM plan: sliding-window gram explode, one
+    exact hash shuffle on the gram string, equi-join back, per-document
+    gaps-and-islands window (pipeline/dedup.exact_substring_spans —
+    scale notes there: winnow-fingerprint prefilter bounds the gram
+    blowup at 100 TB).  Exact oracle: the identical algorithm in DuckDB
+    SQL over the identically planted corpus."""
+    out = pl.exact_substring_spans(
+        _subdup_aug(spark, sf_dir), "doc_id", "text", _SUBDUP_L)
+    return sorted_result(out, "doc_id", "span_start")
+
+
+@register("pipeline_substring_dup_stats", f"""
+WITH {_SUBDUP_AUG},
+per_doc AS (SELECT doc_id,
+                   SUM(span_end - span_start + 1) AS dup_chars
+            FROM spans GROUP BY doc_id)
+SELECT a.doc_id, CAST(length(a.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars
+FROM aug a LEFT JOIN per_doc p USING (doc_id)
+ORDER BY a.doc_id
+""")
+def pipeline_substring_dup_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-document duplicated-character budget over the exact spans —
+    the drop-heavy-duplication policy input (integer outputs only, so
+    the cross-engine compare is exact; a pipeline filters with
+    dup_chars * 100 > n_chars * pct)."""
+    out = pl.substring_dup_stats(
+        _subdup_aug(spark, sf_dir), "doc_id", "text", _SUBDUP_L)
+    return sorted_result(out, "doc_id")

@@ -156,6 +156,45 @@ def test_lsh_topk_recall_against_brute_force(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
+def test_exact_substring_spans_recovers_planted_boilerplate(spark):
+    """Documents sharing a planted 59-char boilerplate tail must each
+    report a duplicated span COVERING that tail; a unique random-ish
+    text with no >= L-char repeat reports nothing.  Bounds are 1-based
+    inclusive and merged-maximal (adjacent windows coalesce)."""
+    base = [(i, f"unique prefix number {i} with distinct words "
+                f"{i * 7919 % 104729} {i * 104729 % 7919} end")
+            for i in range(8)]
+    plant = " SHARED BOILERPLATE SENTENCE THAT IS WELL OVER THIRTY CHARS"
+    rows = [(i, t + plant) if i % 2 == 0 else (i, t) for i, t in base]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {r.doc_id: (r.span_start, r.span_end)
+             for r in pl.exact_substring_spans(
+                 df, "doc_id", "text", min_len=30).collect()}
+    for i, t in rows:
+        if i % 2 == 0:
+            start, end = spans[i]
+            tail_start = len(t) - len(plant) + 1      # 1-based
+            assert start <= tail_start and end == len(t), (i, spans[i])
+        else:
+            assert i not in spans
+    stats = {r.doc_id: (r.n_chars, r.dup_chars)
+             for r in pl.substring_dup_stats(
+                 df, "doc_id", "text", min_len=30).collect()}
+    assert all(stats[i][1] >= len(plant) for i, _ in rows if i % 2 == 0)
+    assert all(stats[i][1] == 0 for i, _ in rows if i % 2 == 1)
+
+
+def test_exact_substring_spans_plan_is_distributed(spark):
+    """No cartesian/broadcast-nested-loop anywhere: the duplicate-gram
+    detection is a hash aggregate + equi-join, the span merge is a
+    per-document window."""
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    plan = explain_str(
+        pl.exact_substring_spans(docs, "doc_id", "text", 30), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ann_recall_margins(spark):
     """Pin the MEASURED recall of the registered ANN queries at the
     driver-gate scale (sf0.01) one hit ABOVE the enforced invariant
