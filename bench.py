@@ -42,6 +42,7 @@ HEADLINE_EXTRA = [
     "pipeline_minhash_neardup",
     "pipeline_embed_neardup",
     "pipeline_neardup_clusters",
+    "pipeline_exact_substring_spans",
     "pipeline_prepare_corpus",
     "ann_topk_bruteforce",
     "ann_topk_lsh",

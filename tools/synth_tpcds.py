@@ -117,6 +117,9 @@ def _sk(date_expr: str) -> str:
 
 # per-row deterministic hash basis for fact rows
 _RK = "(l_orderkey * 37 + l_partkey * 11 + l_suppkey * 5)"
+
+# the q41 needle slice of `item` (see specs["item"])
+_Q41 = "(p_partkey % 1009 = 41)"
 # +1 year: the synthetic range is 1995-2001 but the DS variants filter
 # d_year up to 2002 (q11 year-over-year shapes)
 _ODATE = "CAST(o_orderdate + INTERVAL 16 MONTH AS DATE)"
@@ -288,14 +291,28 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "i_class_id": "CAST(floor((p_partkey) / 3) AS INTEGER) % 16 + 1",
         "i_class": _case("CAST(floor((p_partkey) / 3) AS INTEGER)", CLASSES),
         "i_category_id": "CAST(floor((p_partkey) / 7) AS INTEGER) % 10 + 1",
-        "i_category": _case("CAST(floor((p_partkey) / 7) AS INTEGER)", CATEGORIES),
-        "i_manufact_id": "(p_partkey * 13 + 7) % 1000 + 1",
-        "i_manufact": "'mfct' || CAST((p_partkey * 13 + 7) % 1000 + 1 "
+        "i_category": f"CASE WHEN {_Q41} THEN 'Women' ELSE "
+                      + _case("CAST(floor((p_partkey) / 7) AS INTEGER)",
+                              CATEGORIES) + " END",
+        # q41 needle: its correlated EXISTS needs one manufact group in
+        # [739, 779] containing a (Women, mint, Dozen, large) item — a
+        # 4-column conjunction the independent residue derivations never
+        # align on.  A narrow slice (p_partkey % 1009 = 41, ~0.1% of
+        # parts) pins all five columns together; `_q41` guards each rule.
+        "i_manufact_id": f"CASE WHEN {_Q41} THEN 750 "
+                         "ELSE (p_partkey * 13 + 7) % 1000 + 1 END",
+        "i_manufact": f"'mfct' || CAST(CASE WHEN {_Q41} THEN 750 "
+                      "ELSE (p_partkey * 13 + 7) % 1000 + 1 END "
                       "AS STRING)",
-        "i_size": _case("CAST(floor((p_partkey) / 11) AS INTEGER)", SIZES),
+        "i_size": f"CASE WHEN {_Q41} THEN 'large' ELSE "
+                  + _case("CAST(floor((p_partkey) / 11) AS INTEGER)", SIZES)
+                  + " END",
         "i_formulation": "'form' || CAST(p_partkey % 100 AS STRING)",
-        "i_color": _case("p_partkey * 5 + 1", COLORS),
-        "i_units": _case("CAST(floor((p_partkey) / 5) AS INTEGER)", UNITS),
+        "i_color": f"CASE WHEN {_Q41} THEN 'mint' ELSE "
+                   + _case("p_partkey * 5 + 1", COLORS) + " END",
+        "i_units": f"CASE WHEN {_Q41} THEN 'Dozen' ELSE "
+                   + _case("CAST(floor((p_partkey) / 5) AS INTEGER)", UNITS)
+                   + " END",
         "i_container": "'Unknown'",
         "i_manager_id": "(p_partkey * 7 + 3) % 100 + 1",
         "i_product_name": "'prod' || CAST(p_partkey AS STRING)",
