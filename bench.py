@@ -87,23 +87,27 @@ def _loadavg() -> list[float]:
 
 
 def _cpu_busy_sec() -> float:
-    """Total busy CPU-seconds across all cores since boot (USER_HZ=100)."""
+    """Total USER-space CPU-seconds across all cores since boot
+    (user+nice, USER_HZ=100).  Deliberately excludes system/irq time:
+    our own heavy batches generate unattributable kernel work (kworker
+    flushes from shuffle spill, JVM page faults) that would read as
+    phantom external load, while any real contaminator — another
+    benchmark, a sweep, a build — shows up in user time regardless."""
     try:
         vals = [int(v) for v in
                 Path("/proc/stat").read_text().splitlines()[0].split()[1:]]
-        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-        return (sum(vals) - idle) / 100.0
+        return (vals[0] + vals[1]) / 100.0
     except Exception:  # noqa: BLE001
         return 0.0
 
 
 def _own_cpu_sec() -> float:
-    """CPU-seconds consumed by this process AND its reaped children
-    (the batch subprocesses + their JVMs)."""
+    """USER CPU-seconds consumed by this process AND its reaped
+    children (same user-time basis as _cpu_busy_sec)."""
     import resource
     a = resource.getrusage(resource.RUSAGE_SELF)
     b = resource.getrusage(resource.RUSAGE_CHILDREN)
-    return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+    return a.ru_utime + b.ru_utime
 
 
 def _tree_cpu_sec() -> float:
@@ -123,10 +127,10 @@ def _tree_cpu_sec() -> float:
             continue
         pid = int(p.name)
         ppid[pid] = int(parts[1])
-        # utime+stime of the live process, plus cutime+cstime (its
-        # already-reaped children, e.g. pyspark daemon workers)
-        cpu[pid] = (int(parts[11]) + int(parts[12])
-                    + int(parts[13]) + int(parts[14])) / 100.0
+        # USER time of the live process plus its reaped children (match
+        # _cpu_busy_sec's user+nice basis — kernel time is excluded on
+        # both sides of the external-load subtraction)
+        cpu[pid] = (int(parts[11]) + int(parts[13])) / 100.0
     total = 0.0
     for pid in cpu:
         q = pid
@@ -155,8 +159,7 @@ class _LoadProbe:
         self.t0 = time.perf_counter()
         self.busy0 = _cpu_busy_sec()
         a = resource.getrusage(resource.RUSAGE_SELF)
-        self.own0 = (a.ru_utime + a.ru_stime) if self_only \
-            else _own_cpu_sec()
+        self.own0 = a.ru_utime if self_only else _own_cpu_sec()
         self.load_before = _loadavg()
 
     def finish(self, extra_own: float = 0.0) -> dict:
@@ -164,7 +167,7 @@ class _LoadProbe:
         wall = max(1e-6, time.perf_counter() - self.t0)
         busy = _cpu_busy_sec() - self.busy0
         a = resource.getrusage(resource.RUSAGE_SELF)
-        own = ((a.ru_utime + a.ru_stime) if self.self_only
+        own = (a.ru_utime if self.self_only
                else _own_cpu_sec()) - self.own0 + extra_own
         return {
             "wall_sec": round(wall, 2),
@@ -280,6 +283,13 @@ def run_worker(names: list[str], sf_dir: str, warmup: int, runs: int) -> dict:
                     f"{type(e).__name__}: {str(e)[:160]}")
             if i >= warmup:
                 samples.append(elapsed)
+            # persisting queries (ordered_result, substring spans) pin a
+            # NEW cache entry per run — without this, executor memory
+            # fills across a batch and late queries measure GC pressure
+            # instead of their plan (embed_neardup 4.0 s late-in-batch
+            # vs 1.7 s clean); clearing OUTSIDE the timed region keeps
+            # each run cold-cache and the JVM memory-stable
+            spark.catalog.clearCache()
         if samples:
             timings[name] = round(statistics.median(samples), 4)
             log(f"bench: {name}: median {timings[name]:.3f}s "

@@ -2,6 +2,7 @@
 multimodal plumbing — the Phase-4 extensions from SURVEY.md §7."""
 
 from lingo_db_spark.pipeline.dedup import (  # noqa: F401
+    cut_substring_spans,
     decontaminate,
     exact_substring_spans,
     substring_dup_stats,

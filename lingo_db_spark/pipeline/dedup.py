@@ -624,3 +624,38 @@ def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,
             .fillna({"dup_chars": 0})
             .select(id_col, "n_chars",
                     F.col("dup_chars").cast("long").alias("dup_chars")))
+
+
+def cut_substring_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                        text_col: str) -> DataFrame:
+    """The CUT pass completing exact-substring dedup (Lee et al. 2022):
+    remove the given character ranges from each document and splice the
+    remainder.  `spans` is exact_substring_spans output — per-doc
+    non-overlapping, merged (span_start/span_end 1-based inclusive).
+
+    All-JVM: spans collect per doc into a sorted array (bounded — spans
+    are merged-maximal so there are at most len/L of them), then one
+    `aggregate()` lambda folds a cursor over the array building the
+    kept text.  Documents with no spans pass through untouched.  No
+    shuffle beyond the one groupBy(id) + join — at 100 TB this is a
+    co-partitioned join on the document id."""
+    sp = (spans.groupBy(id_col)
+          .agg(F.array_sort(F.collect_list(F.struct(
+              F.col("span_start").alias("s"),
+              F.col("span_end").alias("e")))).alias("__spans")))
+    j = df.join(sp, id_col, "left")
+    folded = F.expr(f"""
+        aggregate(
+          __spans,
+          struct(CAST(1 AS BIGINT) AS cur, '' AS acc),
+          (st, sp) -> struct(
+              sp.e + CAST(1 AS BIGINT),
+              concat(st.acc, substring({text_col}, CAST(st.cur AS INT),
+                                       CAST(sp.s - st.cur AS INT)))),
+          st -> concat(st.acc,
+                       substring({text_col}, CAST(st.cur AS INT),
+                                 length({text_col}) - CAST(st.cur AS INT)
+                                 + 1)))""")
+    cleaned = F.when(F.col("__spans").isNull(), F.col(text_col)) \
+        .otherwise(folded)
+    return j.select(id_col, cleaned.alias(text_col))

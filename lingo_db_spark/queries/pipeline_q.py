@@ -1123,3 +1123,46 @@ def pipeline_substring_dup_stats(spark: SparkSession,
     out = pl.substring_dup_stats(
         _subdup_aug(spark, sf_dir), "doc_id", "text", _SUBDUP_L)
     return sorted_result(out, "doc_id")
+
+
+@register("pipeline_cut_spans", f"""
+WITH {_SUBDUP_AUG},
+seg AS (
+  SELECT doc_id,
+         COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+                                      ORDER BY span_start), 0) + 1
+             AS seg_start,
+         span_start - 1 AS seg_end
+  FROM spans
+  UNION ALL
+  SELECT a.doc_id, COALESCE(mx.last_end, 0) + 1, length(a.text)
+  FROM aug a LEFT JOIN (SELECT doc_id, MAX(span_end) AS last_end
+                        FROM spans GROUP BY doc_id) mx USING (doc_id)),
+pieces AS (
+  SELECT s.doc_id, s.seg_start,
+         substr(a.text, CAST(s.seg_start AS INTEGER),
+                CAST(s.seg_end - s.seg_start + 1 AS INTEGER)) AS piece
+  FROM seg s JOIN aug a USING (doc_id)
+  WHERE s.seg_end >= s.seg_start)
+SELECT a.doc_id,
+       COALESCE(p.text, '') AS text
+FROM aug a LEFT JOIN (
+  SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS text
+  FROM pieces GROUP BY doc_id) p USING (doc_id)
+ORDER BY a.doc_id
+""")
+def pipeline_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT pass completing exact-substring dedup (Lee et al. 2022):
+    splice every duplicated span out of each document and return the
+    cleaned text — compared STRING-EXACT against a DuckDB oracle that
+    rebuilds the kept segments relationally (complement intervals +
+    ordered string_agg).  Spark side folds a cursor over the per-doc
+    sorted span array in one aggregate() lambda
+    (pipeline.dedup.cut_substring_spans) — a co-partitioned
+    groupBy+join on the doc id, no extra wide shuffle."""
+    aug = _subdup_aug(spark, sf_dir)
+    spans = pl.exact_substring_spans(aug, "doc_id", "text", _SUBDUP_L)
+    out = pl.cut_substring_spans(aug, spans, "doc_id", "text")
+    return sorted_result(
+        out.select("doc_id", F.coalesce(F.col("text"), F.lit(""))
+                   .alias("text")), "doc_id")

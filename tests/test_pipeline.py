@@ -184,6 +184,30 @@ def test_exact_substring_spans_recovers_planted_boilerplate(spark):
     assert all(stats[i][1] == 0 for i, _ in rows if i % 2 == 1)
 
 
+def test_cut_substring_spans_removes_planted_text(spark):
+    """The cut pass splices duplicated spans out: docs carrying the
+    planted boilerplate lose it (plus any adjacent duplicated chars),
+    docs without spans pass through byte-identical, and no cleaned doc
+    still contains the boilerplate."""
+    base = [(i, f"unique prefix number {i} with distinct words "
+                f"{i * 7919 % 104729} {i * 104729 % 7919} end")
+            for i in range(8)]
+    plant = " SHARED BOILERPLATE SENTENCE THAT IS WELL OVER THIRTY CHARS"
+    rows = [(i, t + plant) if i % 2 == 0 else (i, t) for i, t in base]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = pl.exact_substring_spans(df, "doc_id", "text", min_len=30)
+    cleaned = {r.doc_id: r.text for r in
+               pl.cut_substring_spans(df, spans, "doc_id", "text")
+               .collect()}
+    for i, t in rows:
+        if i % 2 == 0:
+            assert plant not in cleaned[i]
+            assert len(cleaned[i]) < len(t)
+            assert t.startswith(cleaned[i])   # only a suffix was cut
+        else:
+            assert cleaned[i] == t
+
+
 def test_exact_substring_spans_plan_is_distributed(spark):
     """No cartesian/broadcast-nested-loop anywhere: the duplicate-gram
     detection is a hash aggregate + equi-join, the span merge is a
