@@ -410,7 +410,9 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "s_state": _case("CAST(floor((i) / 4) AS INTEGER)", STATES),
         "s_zip": _case("i * 31 + 1", ZIPS),
         "s_country": "'United States'",
-        "s_gmt_offset": "CAST(-5 - (i % 2) AS DECIMAL(5,2))",
+        # the suite filters s_gmt_offset = -5, -6 AND -7 (q61/q90-class
+        # queries went structurally empty when the domain stopped at -6)
+        "s_gmt_offset": "CAST(-5 - (i % 3) AS DECIMAL(5,2))",
         "s_tax_precentage": "CAST(0.01 * (i % 10) AS DECIMAL(5,2))",
     })
 
