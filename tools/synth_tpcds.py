@@ -561,7 +561,10 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "wp_url": "'http://www.example.com/'",
         "wp_type": _case("i", ["general", "order", "welcome", "ad",
                                "feedback", "dynamic", "protected"]),
-        "wp_char_count": "100 + (i * 52) % 5200",
+        # q90/q? filter wp_char_count BETWEEN 5000 AND 5200/6000 — the
+        # stride must actually reach that window (i*52 topped out at
+        # 3172 over the 60 pages; i*173 puts pages 29 and 59 inside it)
+        "wp_char_count": "100 + (i * 173) % 5200",
         "wp_link_count": "i % 25 + 2",
         "wp_image_count": "i % 7 + 1",
         "wp_max_ad_count": "i % 5",
