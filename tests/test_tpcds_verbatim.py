@@ -172,4 +172,7 @@ def test_tpcds_verbatim_initialize_and_all_103_queries(spark, tmp_path):
     # null-placement / tie-order divergences only — not value differences
     assert multiset_only <= 12, multiset_only
     assert empty_rollup <= 4, empty_rollup
-    assert row_bearing >= 70, f"only {row_bearing}/103 row-bearing"
+    # 75 strictly-row-bearing at sf0.001 after the r8 needle fixes
+    # (q41 item conjunction slice, q61 s_gmt_offset -7, q90 wp_char_count
+    # window); floor set just below so a domain regression fails loudly
+    assert row_bearing >= 74, f"only {row_bearing}/103 row-bearing"
