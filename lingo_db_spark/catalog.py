@@ -137,7 +137,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = table_path(sf_dir, name)
-    cache_key = (spark.sparkContext.applicationId, path)
+    # keyed by the SESSION, not the context: a DataFrame executes under
+    # the SQLConf of the session that created it, so handing a cached
+    # frame to a sibling `spark.newSession()` (per-query conf isolation)
+    # would silently pin the first session's confs.  id() is stable
+    # here because the cached DataFrame holds a strong ref to its
+    # session, so the session can never be collected while its entry
+    # lives.
+    cache_key = (id(spark), spark.sparkContext.applicationId, path)
     cached = _RELATION_CACHE.get(cache_key)
     if cached is not None:
         return cached
