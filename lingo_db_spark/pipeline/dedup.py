@@ -584,11 +584,15 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
              .filter(F.col("__n") > 1).select("__h"))
     cand = hashed.join(dup_h, "__h").select(id_col, "__pos")
     # exact verification: regenerate candidate gram text from the doc
-    # and keep only text-level duplicates (xxhash64 collision killer)
+    # and keep only text-level duplicates (xxhash64 collision killer).
+    # cand_g feeds BOTH the dup_g aggregate and the marked join —
+    # persist it (candidate-sized, not corpus-sized) or the candidate
+    # join + substring regeneration runs twice (measured 2x at sf0.1)
     cand_g = (cand.join(texts, id_col)
               .select(id_col, "__pos",
                       F.expr(f"substring({text_col}, __pos, {L})")
-                      .alias("__g")))
+                      .alias("__g"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
     dup_g = (cand_g.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
              .filter(F.col("__n") > 1).select("__g"))
     marked = cand_g.join(dup_g, "__g").select(id_col, "__pos")

@@ -1166,3 +1166,156 @@ def pipeline_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(
         out.select("doc_id", F.coalesce(F.col("text"), F.lit(""))
                    .alias("text")), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-mix journey: the four cleaning stages composed the
+# way a real data pipeline chains them, with every document attributed
+# to its FIRST failing stage and the survivors' token budget reported
+# per (lang, source).  Each stage's semantics are the already-attested
+# operator's; the composition is what this query adds — and the oracle
+# recomposes the identical stages from the same verified SQL fragments.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH train AS (SELECT doc_id, lang, source, text FROM documents
+               WHERE doc_id % 20 <> 0),
+evalset AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+kept1 AS (SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text
+                                      ORDER BY doc_id) AS rn
+    FROM train) WHERE rn = 1),
+tok AS (SELECT doc_id, {_SQL_TOKS} AS t FROM train),
+qual AS (SELECT doc_id FROM tok
+         WHERE len(t) >= 15 AND len(list_distinct(t)) * 10 >= len(t) * 3),
+tr_sh AS (SELECT DISTINCT doc_id, unnest({_SQL_4GRAMS}) AS s
+          FROM tok WHERE len(t) >= 4),
+ev_tok AS (SELECT doc_id, {_SQL_TOKS} AS t FROM evalset),
+ev_sh AS (SELECT DISTINCT unnest({_SQL_4GRAMS}) AS s
+          FROM ev_tok WHERE len(t) >= 4),
+contam AS (SELECT DISTINCT t.doc_id FROM tr_sh t JOIN ev_sh e USING (s)),
+surv3 AS (SELECT tr.* FROM train tr
+          JOIN kept1 USING (doc_id) JOIN qual USING (doc_id)
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+ser AS (SELECT CAST(g AS INTEGER) AS i FROM generate_series(1, 65536) t(g)),
+grams AS (SELECT doc_id, i AS pos, substr(text, i, 30) AS g
+          FROM surv3 JOIN ser ON i <= length(text) - 29),
+dups AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+marked AS (SELECT m.doc_id, m.pos FROM grams m JOIN dups USING (g)),
+isl AS (SELECT doc_id, pos,
+        SUM(CASE WHEN prev_max IS NULL OR pos > prev_max + 30
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM marked)),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 29 AS e
+          FROM isl GROUP BY doc_id, island),
+heavy AS (SELECT sv.doc_id FROM surv3 sv
+          JOIN (SELECT doc_id, SUM(e - s + 1) AS dup_chars
+                FROM spans GROUP BY doc_id) d USING (doc_id)
+          WHERE d.dup_chars * 10 > length(sv.text) * 3),
+status AS (
+  SELECT tr.doc_id, tr.lang, tr.source,
+         CASE WHEN k.doc_id IS NULL THEN 'dup'
+              WHEN q.doc_id IS NULL THEN 'quality'
+              WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+              WHEN h.doc_id IS NOT NULL THEN 'heavy_dup'
+              ELSE 'kept' END AS st,
+         len(t.t) AS n_toks
+  FROM train tr
+  LEFT JOIN kept1 k USING (doc_id)
+  LEFT JOIN qual q USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+  LEFT JOIN heavy h USING (doc_id)
+  JOIN tok t USING (doc_id))
+SELECT lang, source,
+       CAST(SUM(CASE WHEN st = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN st = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup,
+       CAST(SUM(CASE WHEN st = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality,
+       CAST(SUM(CASE WHEN st = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(SUM(CASE WHEN st = 'heavy_dup' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_heavy_dup,
+       CAST(SUM(CASE WHEN st = 'kept' THEN n_toks ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM status GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+@register("pipeline_training_mix_journey", _MIX_ORACLE)
+def pipeline_training_mix_journey(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The four cleaning stages of a training-data pipeline COMPOSED:
+    exact dedup (keep lowest id) -> quality gate (>= 15 tokens, >= 30%
+    distinct) -> eval decontamination (shares any 4-token shingle with
+    the doc_id % 20 = 0 holdout) -> exact-substring heavy-duplication
+    gate (> 30% duplicated chars among stage-3 survivors).  Every doc
+    is attributed to its FIRST failing stage; output is the per
+    (lang, source) mix report with the survivors' token budget —
+    integer-only columns, so the cross-engine compare is exact.  The
+    per-stage plans are the attested operators' (dedup_exact,
+    decontaminate, exact_substring_spans); this query attests that they
+    compose — one pass per stage, each a hash shuffle or bucketed join,
+    no driver materialization anywhere."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0) \
+        .select("doc_id", "lang", "source", "text")
+    evalset = docs.filter(F.col("doc_id") % 20 == 0)
+
+    # every stage output below feeds at least two consumers (the next
+    # stage's input and the final status attribution) — persist each
+    # (all are doc-count-bounded id lists) so the text/shingle passes
+    # run once per stage, not once per consumer
+    mem = StorageLevel.MEMORY_AND_DISK
+    kept1 = pl.dedup_exact(train, ["text"], "doc_id").select("doc_id") \
+        .withColumn("__k", F.lit(1)).persist(mem)
+    toks = train.select("doc_id", F.size(pl.tokens("text")).alias("__n"),
+                        F.size(F.array_distinct(pl.tokens("text")))
+                        .alias("__d")).persist(mem)
+    qual = (toks.filter((F.col("__n") >= 15)
+                        & (F.col("__d") * 10 >= F.col("__n") * 3))
+            .select("doc_id").withColumn("__q", F.lit(1)))
+    contam = (pl.decontaminate(train, evalset, "doc_id", "text",
+                               shingle_k=4)
+              .select("doc_id").withColumn("__c", F.lit(1)).persist(mem))
+    surv3 = (train.join(kept1.drop("__k"), "doc_id")
+             .join(qual.drop("__q"), "doc_id")
+             .join(contam.drop("__c"), "doc_id", "left_anti")
+             .persist(mem))
+    heavy = (pl.substring_dup_stats(surv3, "doc_id", "text", 30)
+             .filter(F.col("dup_chars") * 10 > F.col("n_chars") * 3)
+             .select("doc_id").withColumn("__h", F.lit(1)))
+
+    status = (train
+              .join(kept1, "doc_id", "left")
+              .join(qual, "doc_id", "left")
+              .join(contam, "doc_id", "left")
+              .join(heavy, "doc_id", "left")
+              .join(toks.select("doc_id", "__n"), "doc_id")
+              .withColumn("__st", F.when(F.col("__k").isNull(), "dup")
+                          .when(F.col("__q").isNull(), "quality")
+                          .when(F.col("__c").isNotNull(), "contaminated")
+                          .when(F.col("__h").isNotNull(), "heavy_dup")
+                          .otherwise("kept")))
+    kept = F.col("__st") == "kept"
+    out = (status.groupBy("lang", "source").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("__st") == "dup", 1).otherwise(0))
+        .cast("long").alias("n_dup"),
+        F.sum(F.when(F.col("__st") == "quality", 1).otherwise(0))
+        .cast("long").alias("n_quality"),
+        F.sum(F.when(F.col("__st") == "contaminated", 1).otherwise(0))
+        .cast("long").alias("n_contaminated"),
+        F.sum(F.when(F.col("__st") == "heavy_dup", 1).otherwise(0))
+        .cast("long").alias("n_heavy_dup"),
+        F.sum(F.when(kept, F.col("__n")).otherwise(0))
+        .cast("long").alias("tokens_kept")))
+    return sorted_result(out, "lang", "source")
