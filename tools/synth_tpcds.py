@@ -120,6 +120,19 @@ _RK = "(l_orderkey * 37 + l_partkey * 11 + l_suppkey * 5)"
 
 # the q41 needle slice of `item` (see specs["item"])
 _Q41 = "(p_partkey % 1009 = 41)"
+
+# the q85 needle slice of the web channel facts: q85 demands
+# wr_refunded_cdemo = wr_returning_cdemo with a SPECIFIC
+# (marital, education) pair, the matching ws_sales_price band on the
+# SAME (item, order), a US address in a named state set, and a
+# ws_net_profit band — a 5-column conjunction across two fact tables
+# that independent residue derivations never align on.  The slice is
+# keyed on the row key both channels share, so the ws and wr overrides
+# land on the same logical sale.  cd 128 = ('U', 'Advanced Degree')
+# [floor(128/2)%5=4, floor(128/10)%7=5]; address 6 = ('GA',
+# 'United States') [STATES[floor(6/2)%22]]; 120.50 sits in the
+# 100-150 price band and 175.00 inside all three profit bands.
+_Q85 = f"(({_RK}) % 211 = 85)"
 # +1 year: the synthetic range is 1995-2001 but the DS variants filter
 # d_year up to 2002 (q11 year-over-year shapes)
 _ODATE = "CAST(o_orderdate + INTERVAL 16 MONTH AS DATE)"
@@ -640,6 +653,12 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
                            f"ELSE ({_RK}) % {N_WAREHOUSE} END",
         "ws_order_number": "_ticket",
     })
+    # q85 needle (see _Q85): pin the slice's price/profit into the
+    # bands its cd/address overrides on web_returns pair with
+    ws["ws_sales_price"] = (f"CASE WHEN {_Q85} THEN 120.50 "
+                            f"ELSE {ws['ws_sales_price']} END")
+    ws["ws_net_profit"] = (f"CASE WHEN {_Q85} THEN 175.00 "
+                           f"ELSE {ws['ws_net_profit']} END")
     specs["web_sales"] = (
         _FACT_SRC.format(filter=" AND (l_orderkey % 8) IN (6, 7, 0)"), _RK, ws)
 
@@ -691,6 +710,15 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "wr_web_page_sk": f"{_RK} % {N_WP}",
         "wr_order_number": "_ticket",
     })
+    # q85 needle: same-slice refunded/returning demographics equal and
+    # pinned to cd 128 = ('U', 'Advanced Degree'); refunded address 6
+    # = ('GA', 'United States')
+    wr["wr_refunded_cdemo_sk"] = (f"CASE WHEN {_Q85} THEN 128 "
+                                  f"ELSE {wr['wr_refunded_cdemo_sk']} END")
+    wr["wr_returning_cdemo_sk"] = (f"CASE WHEN {_Q85} THEN 128 "
+                                   f"ELSE {wr['wr_returning_cdemo_sk']} END")
+    wr["wr_refunded_addr_sk"] = (f"CASE WHEN {_Q85} THEN 6 "
+                                 f"ELSE {wr['wr_refunded_addr_sk']} END")
     specs["web_returns"] = (
         _FACT_SRC.format(
             filter=" AND (l_orderkey % 8) IN (6, 7, 0) AND l_returnflag = 'R'"),
