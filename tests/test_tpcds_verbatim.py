@@ -9,8 +9,10 @@ tpcdsSf1.test, run-sql over the same resources/sql/tpcds files).
 The 24 tables derive from the synthetic testdata via
 tools/synth_tpcds.py (facts from lineitem x orders, generated
 calendar/time/demographic dimensions, dbgen-domain word lists), so the
-benchmark literals select real rows: 94/103 queries are row-bearing on
-the derived star at sf0.01, ~80 at the sf0.001 this test uses.
+benchmark literals select real rows: 100/103 queries are strictly
+row-bearing on the derived star at sf0.01 (79 at the sf0.001 this test
+uses) after the round-8 needle slices — only 23a/23b/64 stay empty
+(three-fact-table spend-engineering shapes).
 
 Two comparison notes:
 - Spark orders NULLS FIRST ascending, DuckDB NULLS LAST, so ROLLUP
@@ -22,6 +24,12 @@ Two comparison notes:
   scoping (DuckDB rejects it at bind time; Spark resolves it); the
   oracle side runs a minimally qualified, semantics-preserving variant
   so both are still value-checked.
+- q78 casts a rounded decimal ratio to integer: Spark TRUNCATES
+  decimal -> int casts while DuckDB (and postgres, the reference's
+  ancestry) ROUNDS, so a 1.67 ratio reads 1 vs 2.  The oracle variant
+  truncates explicitly, keeping the other seven output columns
+  value-checked; the cast divergence itself is engine semantics, not a
+  data or plan bug.
 """
 
 from __future__ import annotations
@@ -49,6 +57,15 @@ REF_DS = Path("/root/reference/resources/sql/tpcds")
 # output column is d1's.
 ORACLE_VARIANTS = {
     "58.sql": ("order by item_id", "order by ss_items.item_id"),
+    # engine divergence (documented in the module docstring): Spark
+    # TRUNCATES decimal -> int casts, DuckDB/postgres ROUND — q78's
+    # ratio column is exactly that cast; the oracle variant truncates
+    # so the remaining 7 columns stay value-checked
+    "78.sql": (
+        "round(ss_qty/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2)"
+        "::integer ratio",
+        "trunc(round(ss_qty/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2))"
+        "::integer ratio"),
     "72.sql": ("order by total_cnt desc, i_item_desc, w_warehouse_name, "
                "d_week_seq",
                "order by total_cnt desc, i_item_desc, w_warehouse_name, "
@@ -172,7 +189,11 @@ def test_tpcds_verbatim_initialize_and_all_103_queries(spark, tmp_path):
     # null-placement / tie-order divergences only — not value differences
     assert multiset_only <= 12, multiset_only
     assert empty_rollup <= 4, empty_rollup
-    # 75 strictly-row-bearing at sf0.001 after the r8 needle fixes
-    # (q41 item conjunction slice, q61 s_gmt_offset -7, q90 wp_char_count
-    # window); floor set just below so a domain regression fails loudly
-    assert row_bearing >= 74, f"only {row_bearing}/103 row-bearing"
+    # 79 strictly-row-bearing at sf0.001 / 100 at sf0.01 after the r8
+    # needle fixes (q41/q61/q90 domain windows, q85/q91/q32/q34/q54/q24
+    # coordinated slices, county-state + zip lattice alignment); floor
+    # set just below so a domain regression fails loudly.  The three
+    # remaining empties (23a/23b/64) need best-customer x frequent-item
+    # spend engineering across three fact tables — structural to the
+    # uniform synthetic facts.
+    assert row_bearing >= 78, f"only {row_bearing}/103 row-bearing"

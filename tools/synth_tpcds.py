@@ -378,9 +378,17 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
                                 ["Street", "Ave", "Blvd", "Way", "Ct"]),
         "ca_suite_number": "'Suite ' || CAST(c_custkey % 100 AS STRING)",
         "ca_city": _case("CAST(floor((c_custkey) / 3) AS INTEGER)", CITIES),
-        "ca_county": _case("CAST(floor((c_custkey) / 7) AS INTEGER)", COUNTIES),
+        # county driven by the SAME value as ca_state (floor(c/2)) so
+        # address (county, state) pairs live on a k%10 x k%22 lattice —
+        # the store derivation draws its pairs from the same lattice,
+        # making q54's ca_county = s_county AND ca_state = s_state join
+        # satisfiable instead of a 1/220 coincidence
+        "ca_county": _case("CAST(floor((c_custkey) / 2) AS INTEGER)", COUNTIES),
         "ca_state": _case("CAST(floor((c_custkey) / 2) AS INTEGER)", STATES),
-        "ca_zip": _case("c_custkey * 17 + 3", ZIPS),
+        # q24 counterpart of s_zip: a 1/9 slice shares the market-8/9
+        # stores' pool zip
+        "ca_zip": f"CASE WHEN c_custkey % 9 = 0 THEN '{ZIPS[0]}' "
+                  f"ELSE {_case('c_custkey * 17 + 3', ZIPS)} END",
         "ca_country": "'United States'",
         "ca_gmt_offset": "CAST(-5 - (c_custkey % 4) AS DECIMAL(5,2))",
         "ca_location_type": _case("c_custkey", ["apartment", "condo",
@@ -431,9 +439,17 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "s_street_type": "'Street'",
         "s_suite_number": "'Suite ' || CAST(i AS STRING)",
         "s_city": _case("CAST(floor((i) / 2) AS INTEGER)", CITIES),
-        "s_county": _case("CAST(floor((i) / 3) AS INTEGER)", COUNTIES),
+        # same driver as s_state (floor(i/4)): store pairs are a subset
+        # of the address (county, state) lattice — see ca_county
+        "s_county": _case("CAST(floor((i) / 4) AS INTEGER)", COUNTIES),
         "s_state": _case("CAST(floor((i) / 4) AS INTEGER)", STATES),
-        "s_zip": _case("i * 31 + 1", ZIPS),
+        # q24 needle: its ssales CTE joins s_zip = ca_zip under
+        # s_market_id 8/9 — pin those two market groups' stores to one
+        # pool zip that a 1/9 address slice shares (see ca_zip), so the
+        # returns-joined zip-match population is ~100 rows instead of a
+        # 1/40 coincidence
+        "s_zip": f"CASE WHEN i % 10 IN (7, 8) THEN '{ZIPS[0]}' "
+                 f"ELSE {_case('i * 31 + 1', ZIPS)} END",
         "s_country": "'United States'",
         # the suite filters s_gmt_offset = -5, -6 AND -7 (q61/q90-class
         # queries went structurally empty when the domain stopped at -6)
@@ -611,17 +627,32 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
 
     # --- fact tables from lineitem x orders --------------------------------
     ss = _sales_rules("ss")
+    # q34 needle: its HAVING needs 15-20 rows per (ticket, customer)
+    # where EVERY counted row also passes the store-county, hd and
+    # day-of-month filters — per-row independent fks never align a
+    # whole ticket.  Pin a 1/17 ticket slice's rows together: store 0
+    # (Ziebach County), hd 2760 ('>10000', dep 2 / vehicle 1 > 1.2),
+    # sold dates on dom 1-3 spread across 2000-2002; slice tickets
+    # whose size lands in the 15-20 band then qualify wholesale.
+    _q34 = "(_ticket % 17 = 5)"
+    _q34_date = ("make_date(2000 + CAST((" + _RK + ") % 30 // 12 AS INT), "
+                 "CAST((" + _RK + ") % 30 % 12 AS INT) + 1, "
+                 "CAST((" + _RK + ") % 3 AS INT) + 1)")
+    ss["ss_sold_date_sk"] = (f"CASE WHEN {_q34} THEN {_sk(_q34_date)} "
+                             f"ELSE {ss['ss_sold_date_sk']} END")
     ss.update({
         "ss_customer_sk": "CASE WHEN " + _RK + " % 29 = 28 THEN NULL ELSE "
                           + _CUST + " END",
         "ss_cdemo_sk": f"CASE WHEN ({_RK}) % 17 = 16 THEN NULL "
                        f"ELSE ({_RK}) % {N_CD} END",
-        "ss_hdemo_sk": f"CASE WHEN ({_RK}) % 20 = 19 THEN NULL "
+        "ss_hdemo_sk": f"CASE WHEN {_q34} THEN 2760 "
+                       f"WHEN ({_RK}) % 20 = 19 THEN NULL "
                        f"ELSE ({_RK}) % {N_HD} END",
         "ss_addr_sk": "CASE WHEN " + _RK + " % 3 = 0 THEN "
             "(o_custkey * 13 + 7) % (SELECT COUNT(*) FROM customer) "
             "ELSE " + _CUST + " END",
-        "ss_store_sk": f"CASE WHEN ({_RK}) % 23 = 22 THEN NULL "
+        "ss_store_sk": f"CASE WHEN {_q34} THEN 0 "
+                       f"WHEN ({_RK}) % 23 = 22 THEN NULL "
                        f"ELSE l_suppkey % {N_STORE} END",
         "ss_ticket_number": "_ticket",
     })
@@ -629,6 +660,37 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         _FACT_SRC.format(filter=" AND l_orderkey % 8 < 6"), _RK, ss)
 
     cs = _sales_rules("cs")
+    # q54 needle: its my_customers CTE needs July-2000 catalog/web
+    # buyers of ('Men','shirts') items who ALSO shop in stores whose
+    # (county, state) equals their address's.  Move the catalog sales
+    # of the men/shirts items themselves (category floor(k/7)%10=5,
+    # class floor(k/3)%16=8 — ~10 items) into July 2000; their ~30
+    # buyers' later store purchases and the county/state lattice (see
+    # ca_county) do the rest.  Item keys stay untouched, so the
+    # (cs_item_sk, cs_order_number) primary key is unaffected.
+    _q54 = ("(CAST(floor(l_partkey / 7) AS INTEGER) % 10 = 5 AND "
+            "CAST(floor(l_partkey / 3) AS INTEGER) % 16 = 8)")
+    cs["cs_sold_date_sk"] = (
+        f"CASE WHEN {_q54} THEN "
+        + _sk("DATE '2000-07-01'") + f" + ({_RK}) % 28 "
+        f"ELSE {cs['cs_sold_date_sk']} END")
+    # q32 needle: its correlated HAVING needs >= 2 catalog sales of the
+    # SAME i_manufact_id=994 item inside one 90-day window with enough
+    # discount spread that a row exceeds 1.3 x the window average.
+    # Items with manufact 994 are exactly p_partkey % 1000 = 922; pin
+    # that slice's sold dates into the 2001-03-14 +90d window and
+    # alternate the discount between 1.00 and 500.00 (500 > 1.3 x any
+    # mix that includes both).
+    _q32 = "(l_partkey % 1000 = 922)"
+    cs["cs_sold_date_sk"] = (
+        f"CASE WHEN {_q32} THEN "
+        + _sk("DATE '2001-03-20'") + f" + ({_RK}) % 80 "
+        f"ELSE {cs['cs_sold_date_sk']} END")
+    cs["cs_ext_discount_amt"] = (
+        f"CASE WHEN {_q32} THEN "
+        f"CASE WHEN ({_RK}) % 2 = 0 THEN CAST(1.00 AS DECIMAL(7,2)) "
+        f"ELSE CAST(500.00 AS DECIMAL(7,2)) END "
+        f"ELSE {cs['cs_ext_discount_amt']} END")
     cs.update({
         "cs_bill_customer_sk": _CUST,
         "cs_bill_cdemo_sk": f"{_RK} % {N_CD}",
