@@ -9,10 +9,12 @@ tpcdsSf1.test, run-sql over the same resources/sql/tpcds files).
 The 24 tables derive from the synthetic testdata via
 tools/synth_tpcds.py (facts from lineitem x orders, generated
 calendar/time/demographic dimensions, dbgen-domain word lists), so the
-benchmark literals select real rows: 100/103 queries are strictly
-row-bearing on the derived star at sf0.01 (79 at the sf0.001 this test
-uses) after the round-8 needle slices — only 23a/23b/64 stay empty
-(three-fact-table spend-engineering shapes).
+benchmark literals select real rows: ALL 103 queries are strictly
+row-bearing on the derived star at sf0.01 (82 at the sf0.001 this test
+uses) after the round-8 needle slices (q41/q61/q90 domain windows;
+q85/q91/q32/q34/q54/q24 coordinated slices; county-state + zip lattice
+alignment; q23's frequent-item/best-customer and q64's two-year
+same-store populations engineered on shared row keys).
 
 Two comparison notes:
 - Spark orders NULLS FIRST ascending, DuckDB NULLS LAST, so ROLLUP
@@ -189,11 +191,7 @@ def test_tpcds_verbatim_initialize_and_all_103_queries(spark, tmp_path):
     # null-placement / tie-order divergences only — not value differences
     assert multiset_only <= 12, multiset_only
     assert empty_rollup <= 4, empty_rollup
-    # 79 strictly-row-bearing at sf0.001 / 100 at sf0.01 after the r8
-    # needle fixes (q41/q61/q90 domain windows, q85/q91/q32/q34/q54/q24
-    # coordinated slices, county-state + zip lattice alignment); floor
-    # set just below so a domain regression fails loudly.  The three
-    # remaining empties (23a/23b/64) need best-customer x frequent-item
-    # spend engineering across three fact tables — structural to the
-    # uniform synthetic facts.
-    assert row_bearing >= 78, f"only {row_bearing}/103 row-bearing"
+    # 82 strictly-row-bearing at sf0.001, ALL 103 at sf0.01 after the
+    # r8 needle fixes; floor set just below the sf0.001 count so a
+    # domain regression fails loudly
+    assert row_bearing >= 80, f"only {row_bearing}/103 row-bearing"

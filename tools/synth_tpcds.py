@@ -294,10 +294,14 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "i_rec_start_date": "DATE '1997-01-01'",
         "i_rec_end_date": "NULL",
         "i_item_desc": "'desc ' || CAST(p_partkey AS STRING)",
+        # q64 slice (p % 149 = 64): price inside its 30-39 band and a
+        # color from its 6-color IN list (see the q64 needle at the
+        # store_sales spec)
         "i_current_price":
+            "CASE WHEN p_partkey % 149 = 64 THEN 35.00 ELSE "
             "ROUND(CASE p_partkey % 3 WHEN 0 THEN (p_partkey * 7) % 99 + 1 "
             "WHEN 1 THEN (p_partkey * 7) % 99 + 1.49 "
-            "ELSE (p_partkey * 7) % 99 + 0.99 END, 2)",
+            "ELSE (p_partkey * 7) % 99 + 0.99 END, 2) END",
         "i_wholesale_cost": "ROUND(p_retailprice / 2, 2)",
         "i_brand_id": "p_partkey % 10 + 1",
         "i_brand": _case("p_partkey", BRANDS),
@@ -321,7 +325,8 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
                   + _case("CAST(floor((p_partkey) / 11) AS INTEGER)", SIZES)
                   + " END",
         "i_formulation": "'form' || CAST(p_partkey % 100 AS STRING)",
-        "i_color": f"CASE WHEN {_Q41} THEN 'mint' ELSE "
+        "i_color": f"CASE WHEN {_Q41} THEN 'mint' "
+                   "WHEN p_partkey % 149 = 64 THEN 'navy' ELSE "
                    + _case("p_partkey * 5 + 1", COLORS) + " END",
         "i_units": f"CASE WHEN {_Q41} THEN 'Dozen' ELSE "
                    + _case("CAST(floor((p_partkey) / 5) AS INTEGER)", UNITS)
@@ -652,10 +657,55 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
             "(o_custkey * 13 + 7) % (SELECT COUNT(*) FROM customer) "
             "ELSE " + _CUST + " END",
         "ss_store_sk": f"CASE WHEN {_q34} THEN 0 "
+                       "WHEN l_partkey % 149 = 64 "
+                       "AND l_returnflag = 'R' THEN 1 "
                        f"WHEN ({_RK}) % 23 = 22 THEN NULL "
                        f"ELSE l_suppkey % {N_STORE} END",
         "ss_ticket_number": "_ticket",
     })
+    # q23a/b needle: its final sum needs a July-1999 CATALOG purchase
+    # of a "frequent item" (>4 store sales of one item on one date) by a
+    # "best customer" (store spend > 0.95 x the windowed max) — three
+    # fact populations that never coincide under uniform derivations.
+    # P = items in a 1/101 slice with >= 7 raw store-channel rows: pin
+    # each one's store sales onto a single 2000 date (making it
+    # frequent).  C = a 1/31 customer slice that catalog-bought a P item
+    # (so the best-customer set, boosted below, always owns a
+    # qualifying July-1999 catalog row): a quantity boost makes C the top
+    # spenders, and their P-item catalog rows move to July 1999.
+    _q23_cnt = ("(SELECT COUNT(*) FROM lineitem l9 JOIN orders o9 "
+                "ON l9.l_orderkey = o9.o_orderkey "
+                "WHERE l9.l_partkey = {pk} AND o9.o_orderkey % 8 < 6)")
+    _q23_p = ("({pk} % 101 = 2 AND "
+              + _q23_cnt + " >= 7)")
+    _q23_c = ("((" + _CUST + ") % 31 = 3 AND EXISTS ("
+              "SELECT 1 FROM lineitem l8 JOIN orders o8 "
+              "ON l8.l_orderkey = o8.o_orderkey "
+              "WHERE (o8.o_custkey + CASE WHEN o8.o_custkey % 3 = 0 "
+              "THEN 1 ELSE 0 END) = (" + _CUST + ") "
+              "AND o8.o_orderkey % 8 IN (4, 5, 6) "
+              "AND " + _q23_p.format(pk="l8.l_partkey") + "))")
+    # q64 needle: its final self-join needs the SAME item sold AND
+    # returned at the SAME store in both 2001 and 2002, with the item
+    # in a price band + color list and its catalog sale > 2x refunds.
+    # Returnflag-R store rows of the 1/149 item slice alternate between
+    # the two years at store 1; the catalog list price boost below
+    # makes cs_ui's HAVING hold for the slice.
+    _q64 = "(l_partkey % 149 = 64 AND l_returnflag = 'R')"
+    ss["ss_sold_date_sk"] = (
+        f"CASE WHEN {_q64} THEN "
+        + _sk("make_date(2001 + CAST((" + _RK + ") % 2 AS INT), 3, "
+              "CAST((" + _RK + ") % 25 AS INT) + 1)")
+        + f" ELSE {ss['ss_sold_date_sk']} END")
+    ss["ss_sold_date_sk"] = (
+        "CASE WHEN " + _q23_p.format(pk="l_partkey") + " THEN "
+        + _sk("make_date(2000, 1, CAST(l_partkey % 28 AS INT) + 1)")
+        + f" ELSE {ss['ss_sold_date_sk']} END")
+    # 500, not higher: the boost must dominate the best-customer max
+    # (~75k spend -> ~1.5M) WITHOUT inflating q14's global
+    # average-sales HAVING threshold past its own populations
+    ss["ss_quantity"] = (f"CASE WHEN {_q23_c} THEN 500 "
+                         f"ELSE {ss.get('ss_quantity', 'CAST(l_quantity AS INTEGER)')} END")
     specs["store_sales"] = (
         _FACT_SRC.format(filter=" AND l_orderkey % 8 < 6"), _RK, ss)
 
@@ -707,6 +757,18 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "cs_warehouse_sk": f"{_RK} % {N_WAREHOUSE}",
         "cs_order_number": "_ticket",
     })
+    # q64 needle, catalog side: slice items' catalog list price
+    # dominates 2x their refunds in cs_ui
+    cs["cs_ext_list_price"] = (
+        "CASE WHEN l_partkey % 149 = 64 THEN CAST(20000.00 AS "
+        f"DECIMAL(7,2)) ELSE {cs['cs_ext_list_price']} END")
+    # q23 needle, catalog side: C customers' P-item purchases land in
+    # July 1999 (takes precedence over the q54/q32 date arms)
+    cs["cs_sold_date_sk"] = (
+        "CASE WHEN " + _q23_c + " AND "
+        + _q23_p.format(pk="l_partkey") + " THEN "
+        + _sk("DATE '1999-07-01'") + f" + ({_RK}) % 28 "
+        f"ELSE {cs['cs_sold_date_sk']} END")
     specs["catalog_sales"] = (
         _FACT_SRC.format(filter=" AND (l_orderkey % 8) IN (4, 5, 6)"), _RK, cs)
 
