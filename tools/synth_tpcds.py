@@ -230,8 +230,10 @@ def _returns_rules(pfx: str) -> dict[str, str]:
 
 def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     """name -> (FROM clause, default key expr, column rules)."""
+    # through 2004: tpcxbb q7 filters d_year = 2004 (its +34-month fact
+    # window reaches October 2004)
     cal = ("(SELECT CAST(g AS DATE) AS d FROM generate_series("
-           "DATE '1990-01-01', DATE '2003-12-31', INTERVAL 1 DAY) t(g))")
+           "DATE '1990-01-01', DATE '2004-12-31', INTERVAL 1 DAY) t(g))")
     specs: dict[str, tuple[str, str, dict[str, str]]] = {}
 
     specs["date_dim"] = (cal, _sk("d"), {
