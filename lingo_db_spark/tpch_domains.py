@@ -207,9 +207,13 @@ def ssb_category_sql(key_expr: str = "p_partkey") -> str:
 
 def ssb_brand1_sql(key_expr: str = "p_partkey") -> str:
     """brand = category + a fixed-width 2-digit 10..49 suffix so the
-    string BETWEEN 'MFGR#2221' AND 'MFGR#2228' range behaves; the
-    suffix strides key/25 by 7 (coprime with 40) so every category
-    class reaches all 40 brands as the key grows."""
+    string BETWEEN 'MFGR#2221' AND 'MFGR#2228' range behaves.  The
+    suffix must cycle ALL 40 values within each category class: with
+    the class fixed (key = 25m + r) the suffix is ((s + 25)m + r) % 40,
+    so s + 25 must be coprime with 40 — s = 16 gives stride 41 ≡ 1
+    (the earlier s = 7 gave stride 32, hitting only 5 of 40 suffixes
+    per class and leaving needle brands like q23's 'MFGR#2239'
+    unpopulated at small scale factors)."""
     return (f"({ssb_category_sql(key_expr)} || "
-            f"CAST((CAST(({key_expr}) / 25 AS INTEGER) * 7 + {key_expr}) "
+            f"CAST((CAST(({key_expr}) / 25 AS INTEGER) * 16 + {key_expr}) "
             f"% 40 + 10 AS STRING))")

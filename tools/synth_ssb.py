@@ -81,7 +81,15 @@ SELECT l_orderkey AS lo_orderkey,
            l_linenumber, l_partkey, l_suppkey) AS lo_linenumber,
        o_custkey + CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END
            AS lo_custkey,
-       l_partkey AS lo_partkey, l_suppkey AS lo_suppkey,
+       l_partkey AS lo_partkey,
+       -- q23 needle: the one-brand-in-a-thousand query (p_brand1 =
+       -- 'MFGR#2239', s_region = 'EUROPE') has ~2 matching parts at
+       -- sf0.01 whose rows happened to miss EUROPE suppliers — pin
+       -- exactly those parts' rows onto one
+       CASE WHEN {dom.ssb_brand1_sql('l_partkey')} = 'MFGR#2239'
+            THEN (SELECT MIN(s_suppkey) FROM main.supplier
+                  WHERE {region_s} = 'EUROPE')
+            ELSE l_suppkey END AS lo_suppkey,
        CAST(strftime(CAST(o_orderdate - INTERVAL 3 YEAR AS DATE),
            '%Y%m%d') AS INTEGER) AS lo_orderdate,
        o_orderpriority AS lo_orderpriority,
