@@ -230,26 +230,46 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "phonetic_code": "'K' || CAST(i % 99 AS STRING)",
     })
 
+    # q8a/b/d needle: those queries demand one movie carrying a
+    # 5-table conjunction (English-dub voice note + actress role + a
+    # 'Yo' name with an aka row + a [jp] company with a Japan/2006
+    # note + a 2006 'One Piece' title).  Movies with id = 404 mod 660
+    # NATURALLY have title 'One Piece Movie' and production_year 2006
+    # (TITLES index 4, year residue 8 mod 66); their cast and company
+    # rows are pinned to the remaining literals (person 7 is
+    # 'Young, Sean' with an aka row; company 15 is '[jp]'; role 2 is
+    # 'actress').
+    _q8m = "(l_orderkey % 660 = 404)"
     specs["cast_info"] = (_FACT, _RK, {
         "id": "_rid",
-        "person_id": f"({_RK} * 13 + 1) % (SELECT COUNT(*) FROM customer)",
+        "person_id": f"CASE WHEN {_q8m} THEN 7 ELSE "
+                     f"({_RK} * 13 + 1) % (SELECT COUNT(*) FROM customer) "
+                     "END",
         "movie_id": "l_orderkey",
         "person_role_id":
             f"CASE WHEN CAST(floor((({_RK})) / 48) AS INTEGER) % 4 = 0 THEN NULL "
             f"ELSE ({_RK}) % (SELECT COUNT(*) FROM customer) END",
-        "note": f"CASE WHEN CAST(floor((({_RK})) / 12) AS INTEGER) % 3 = 0 "
+        "note": f"CASE WHEN {_q8m} THEN '(voice: English version)' "
+                f"WHEN CAST(floor((({_RK})) / 12) AS INTEGER) % 3 = 0 "
                 f"THEN '(voice)' ELSE "
                 + _case(f"CAST(floor((({_RK})) / 36) AS INTEGER) * 5 + 2",
                         CAST_NOTES) + " END",
         "nr_order": f"({_RK}) % 10 + 1",
-        "role_id": f"CASE WHEN ({_RK}) % 4 < 2 THEN ({_RK}) % 2 + 1 "
-                   f"ELSE ({_RK}) % {len(ROLE_TYPES)} + 1 END",
+        # the ELSE stratum must be DISJOINT from the %4 gate: with
+        # `RK % 12 + 1`, role 6 needs RK%12=5 which forces RK%4=1 —
+        # routed to the actor/actress branch, so half the role types
+        # (costume designer among them, q8d) were unassignable
+        "role_id": f"CASE WHEN {_q8m} THEN 2 "
+                   f"WHEN ({_RK}) % 4 < 2 THEN ({_RK}) % 2 + 1 "
+                   f"ELSE CAST(floor(({_RK}) / 4) AS INTEGER) "
+                   f"% {len(ROLE_TYPES)} + 1 END",
     })
 
     specs["movie_companies"] = (_FACT, _RK, {
         "id": "_rid",
         "movie_id": "l_orderkey",
-        "company_id": f"({_RK} * 3 + 2) % (SELECT COUNT(*) FROM part)",
+        "company_id": f"CASE WHEN {_q8m} THEN 15 ELSE "
+                      f"({_RK} * 3 + 2) % (SELECT COUNT(*) FROM part) END",
         "company_type_id": f"CASE WHEN ({_RK}) % 10 < 5 THEN 1 "
                            f"WHEN ({_RK}) % 10 < 8 THEN 2 "
                            f"ELSE ({_RK}) % 2 + 3 END",
@@ -257,7 +277,9 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         # stratum is 4-wide inside rk%40 and CRT-locks note x type
         # (q21's "note IS NULL AND production companies" was
         # unsatisfiable)
-        "note": _case(f"CAST(floor((({_RK})) / 40) AS INTEGER) * 7 + 1", MC_NOTES),
+        "note": f"CASE WHEN {_q8m} THEN '(2006) (Japan) (TV)' ELSE "
+                + _case(f"CAST(floor((({_RK})) / 40) AS INTEGER) * 7 + 1",
+                        MC_NOTES) + " END",
     })
 
     specs["movie_keyword"] = (_FACT, _RK, {
