@@ -150,8 +150,14 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "imdb_index": "NULL",
         "kind_id": "o_orderkey % 7 + 1",
         # gcd(7, 66) = 1 so every year 1950..2015 is hit, covering
-        # =1998 / =2007 / >2014 / between 1950 and 1980
-        "production_year": "1950 + (o_orderkey * 7) % 66",
+        # =1998 / =2007 / >2014 / between 1950 and 1980.  The 1/571
+        # family is q7b's needle: person 105 is a natural 'Volker
+        # Boehm' mini-biography 'D%'-pcode male (105 = lcm(7,3,5)); his
+        # movies just need the 1980-84 year and a 'features' link
+        # (see cast_info / movie_link)
+        "production_year": "CASE WHEN o_orderkey % 571 = 7 THEN 1982 "
+                           "WHEN o_orderkey % 7212 = 12 THEN 1998 "
+                           "ELSE 1950 + (o_orderkey * 7) % 66 END",
         "imdb_id": "NULL",
         "phonetic_code": "'T' || CAST(o_orderkey % 100 AS STRING)",
         "episode_of_id":
@@ -242,7 +248,8 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     _q8m = "(l_orderkey % 660 = 404)"
     specs["cast_info"] = (_FACT, _RK, {
         "id": "_rid",
-        "person_id": f"CASE WHEN {_q8m} THEN 7 ELSE "
+        "person_id": f"CASE WHEN {_q8m} THEN 7 "
+                     "WHEN l_orderkey % 571 = 7 THEN 105 ELSE "
                      f"({_RK} * 13 + 1) % (SELECT COUNT(*) FROM customer) "
                      "END",
         "movie_id": "l_orderkey",
@@ -265,19 +272,28 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
                    f"% {len(ROLE_TYPES)} + 1 END",
     })
 
+    # q27a/b needle: movies = 12 mod 7212 NATURALLY carry a 'cast'
+    # subject + 'complete' status complete_cast row, a movie_link
+    # source row, and a 1950-2000 production year — the remaining legs
+    # (Warner production company with a NULL note, 'sequel' keyword,
+    # 'Sweden' movie_info, 'follows' link) are pinned below.
+    _q27m = "(l_orderkey % 7212 = 12)"
     specs["movie_companies"] = (_FACT, _RK, {
         "id": "_rid",
         "movie_id": "l_orderkey",
-        "company_id": f"CASE WHEN {_q8m} THEN 15 ELSE "
+        "company_id": f"CASE WHEN {_q8m} THEN 15 "
+                      f"WHEN {_q27m} THEN 2 ELSE "
                       f"({_RK} * 3 + 2) % (SELECT COUNT(*) FROM part) END",
-        "company_type_id": f"CASE WHEN ({_RK}) % 10 < 5 THEN 1 "
+        "company_type_id": f"CASE WHEN {_q27m} THEN 1 "
+                           f"WHEN ({_RK}) % 10 < 5 THEN 1 "
                            f"WHEN ({_RK}) % 10 < 8 THEN 2 "
                            f"ELSE ({_RK}) % 2 + 3 END",
         # stratum /40 sits ABOVE company_type_id's rk%10 window — a /4
         # stratum is 4-wide inside rk%40 and CRT-locks note x type
         # (q21's "note IS NULL AND production companies" was
         # unsatisfiable)
-        "note": f"CASE WHEN {_q8m} THEN '(2006) (Japan) (TV)' ELSE "
+        "note": f"CASE WHEN {_q8m} THEN '(2006) (Japan) (TV)' "
+                f"WHEN {_q27m} THEN NULL ELSE "
                 + _case(f"CAST(floor((({_RK})) / 40) AS INTEGER) * 7 + 1",
                         MC_NOTES) + " END",
     })
@@ -285,7 +301,9 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     specs["movie_keyword"] = (_FACT, _RK, {
         "id": "_rid",
         "movie_id": "l_orderkey",
-        "keyword_id": f"({_RK} * 7 + 3) % 200 + 1",
+        # 30 = 'sequel' (q27 family)
+        "keyword_id": f"CASE WHEN {_q27m} THEN 30 ELSE "
+                      f"({_RK} * 7 + 3) % 200 + 1 END",
     })
 
     mi_type = f"(({_RK}) % {len(_MI_TYPES)})"
@@ -296,7 +314,9 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "id": "_rid",
         "movie_id": "l_orderkey",
         "info_type_id": mi_type_id,
-        "info": _mi_info(f"CAST(floor((({_RK})) / 6) AS INTEGER) * 3 + 1", mi_type_id),
+        "info": f"CASE WHEN {_q27m} THEN 'Sweden' ELSE "
+                + _mi_info(f"CAST(floor((({_RK})) / 6) AS INTEGER) * 3 + 1",
+                           mi_type_id) + " END",
         # q15/q23 grep mi.note for '%internet%'
         "note": f"CASE CAST(floor((({_RK})) / 7) AS INTEGER) % 3 "
                 f"WHEN 0 THEN 'internet release' "
@@ -361,9 +381,13 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
             "id": "CAST(floor(o_orderkey / 3) AS INTEGER) + 1",
             "movie_id": "o_orderkey",
             "linked_movie_id":
-                "(o_orderkey * 7 + 3) % (SELECT MAX(o_orderkey) + 1 "
-                "FROM orders)",
-            "link_type_id": f"o_orderkey % {len(LINK_TYPES)} + 1",
+                "CASE WHEN o_orderkey % 571 = 10 THEN o_orderkey - 3 "
+                "ELSE (o_orderkey * 7 + 3) % (SELECT MAX(o_orderkey) + 1 "
+                "FROM orders) END",
+            "link_type_id": ("CASE WHEN o_orderkey % 571 = 10 THEN 6 "
+                             "WHEN o_orderkey % 7212 = 12 THEN 2 "
+                             f"ELSE o_orderkey % {len(LINK_TYPES)} + 1 "
+                             "END"),
         })
 
     specs["complete_cast"] = (
