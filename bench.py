@@ -359,29 +359,56 @@ def main() -> int:
     batch_loads.append(duck_ev)
     ratios = {n: round(timings[n] / duck_ref[n], 2)
               for n in duck_ref if duck_ref[n] > 0}
-    total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    total = round(sum(timings.values()), 3)
+    # contamination self-conviction: external_busy_cores ~ 0 in every
+    # batch certifies a quiet host; elevated values mark which
+    # batches' medians to distrust (see _LoadProbe).  host_quiet is
+    # the wall-weighted average so a short calibration window's
+    # noise can't flip the verdict alone.
+    host_quiet = (
+        sum(b["external_busy_cores"] * b["wall_sec"] for b in batch_loads)
+        <= 1.0 * max(1e-6, sum(b["wall_sec"] for b in batch_loads)))
+    payload = {
         "metric": "sum_of_per_query_median_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "duckdb_ref": duck_ref,
+        # ms rounding: the driver keeps only a 2000-char TAIL of stdout
+        # (BENCH_r08 learned this the hard way — full-precision floats
+        # plus the load_evidence list overflowed it and truncated the
+        # head of the JSON line, so the artifact recorded parsed=null).
+        "queries": {n: round(v, 3) for n, v in timings.items()},
+        "duckdb_ref": {n: round(v, 3) for n, v in duck_ref.items()},
         "spark_over_duckdb_ratio": ratios,
         "sf": sf,
         "warmup": warmup,
         "runs": runs,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
-        # contamination self-conviction: external_busy_cores ~ 0 in every
-        # batch certifies a quiet host; elevated values mark which
-        # batches' medians to distrust (see _LoadProbe).  host_quiet is
-        # the wall-weighted average so a short calibration window's
-        # noise can't flip the verdict alone.
-        "host_quiet": (
-            sum(b["external_busy_cores"] * b["wall_sec"]
-                for b in batch_loads)
-            <= 1.0 * max(1e-6, sum(b["wall_sec"] for b in batch_loads))),
-        "load_evidence": batch_loads,
-    }), flush=True)
+        "host_quiet": host_quiet,
+    }
+    # The full per-batch load evidence (loadavg samples, external busy
+    # cores, window walls) rides a side file + stderr, never the stdout
+    # line.  host_quiet on stdout is the verdict; the file is the proof.
+    evidence = {**payload, "load_evidence": batch_loads}
+    ev_path = os.environ.get("BENCH_EVIDENCE_PATH",
+                             str(Path(__file__).parent / "bench_evidence.json"))
+    try:
+        Path(ev_path).write_text(json.dumps(evidence, indent=1))
+        log(f"bench: load evidence written to {ev_path}")
+    except Exception as e:  # noqa: BLE001 — evidence must never kill the run
+        log(f"bench: could not write evidence file: {e}")
+    log("bench: load_evidence=" + json.dumps(batch_loads))
+    line = json.dumps(payload, separators=(",", ":"))
+    # Hard guarantee the single stdout line survives a 2000-char tail
+    # capture: shed the components also present in the evidence file,
+    # largest-first, before ever truncating the queries dict itself.
+    for shed in ("duckdb_ref", "spark_over_duckdb_ratio"):
+        if len(line) <= 1900:
+            break
+        log(f"bench: stdout line {len(line)} chars — shedding {shed} "
+            f"(still in {ev_path})")
+        payload.pop(shed, None)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line, flush=True)
     return 0
 
 

@@ -119,12 +119,33 @@ _RAW_TYPE_ALTERNATES: dict[str, dict[str, tuple[str, ...]]] = {
 # mismatched file is an error, not a silent cast).
 _VALIDATED_PATHS: set[str] = set()
 
-# Resolved base relations, keyed by (application, path).  A DataFrame is an
-# immutable plan, so handing the same object to every query is safe, and it
-# skips the per-read footer fetch + file-index build (~70 ms/table — a
-# 6-table query pays ~0.4 s in pure re-resolution otherwise).  Keyed on
-# applicationId so relations never leak across JVM restarts.
-_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Resolved base relations, keyed by (session, application, path).  A
+# DataFrame is an immutable plan, so handing the same object to every query
+# is safe, and it skips the per-read footer fetch + file-index build
+# (~70 ms/table — a 6-table query pays ~0.4 s in pure re-resolution
+# otherwise).  Keyed on applicationId so relations never leak across JVM
+# restarts.  Each cached DataFrame pins its creating session alive, so
+# under per-query `spark.newSession()` churn an unbounded dict would leak
+# one session + N frames per query — bound the number of LIVE sessions
+# instead (a WeakKeyDictionary would not help: the value frames hold
+# strong refs back to their key session).
+_RELATION_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE_MAX_SESSIONS = 8
+
+
+def _evict_stale_sessions(new_session_key: tuple[int, str]) -> None:
+    """Keep at most _CACHE_MAX_SESSIONS distinct sessions' entries
+    (insertion-ordered: python dicts preserve it), evicting oldest-first
+    so long-lived drivers that spin a session per query stay bounded."""
+    seen: list[tuple[int, str]] = []
+    for (sid, app, _p) in _RELATION_CACHE:
+        if (sid, app) not in seen:
+            seen.append((sid, app))
+    if new_session_key in seen or len(seen) < _CACHE_MAX_SESSIONS:
+        return
+    for victim in seen[: len(seen) - _CACHE_MAX_SESSIONS + 1]:
+        for k in [k for k in _RELATION_CACHE if (k[0], k[1]) == victim]:
+            del _RELATION_CACHE[k]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -148,6 +169,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _RELATION_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    _evict_stale_sessions((cache_key[0], cache_key[1]))
     df = spark.read.parquet(path)
     alternates = _RAW_TYPE_ALTERNATES.get(name, {})
     if path not in _VALIDATED_PATHS:

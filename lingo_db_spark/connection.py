@@ -75,13 +75,22 @@ class Connection:
             # literal) only applies when the other shims alone still
             # fail Spark's GRAMMAR — checked via the parses callback.
             def _parses(q: str) -> bool:
+                # Parse-ONLY probe.  spark.sql() here would eagerly
+                # EXECUTE command statements (INSERT/CTAS/SET) — once
+                # in the probe and again when the shimmed text runs.
+                # Go straight to the catalyst parser, which can never
+                # execute anything.
                 try:
-                    self.spark.sql(q)
+                    (self.spark._jsparkSession.sessionState()
+                     .sqlParser().parsePlan(q))
                     return True
                 except ParseException:
                     return False
-                except Exception:       # noqa: BLE001 — parsed fine,
-                    return True         # failed later (analysis etc.)
+                except Exception as pe:  # noqa: BLE001 — py4j wraps
+                    # the Java ParseException; anything else means the
+                    # grammar accepted it (analysis errors come later).
+                    return "ParseException" not in (
+                        f"{type(pe).__name__}: {pe}")
 
             shimmed = apply_analysis_shims(
                 apply_parse_shims(query, parses=_parses))

@@ -595,7 +595,18 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
               .persist(StorageLevel.MEMORY_AND_DISK))
     dup_g = (cand_g.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
              .filter(F.col("__n") > 1).select("__g"))
-    marked = cand_g.join(dup_g, "__g").select(id_col, "__pos")
+    # materialize `marked` eagerly (localCheckpoint — it is
+    # duplicate-candidate-sized, far below the corpus-sized frames
+    # above) so the two corpus-scale persisted frames can be RELEASED
+    # here instead of accumulating executor storage across calls
+    # (substring_dup_stats / the training-mix journey each re-enter
+    # this function; without the unpersist every call pinned a new
+    # corpus-sized gram cache until something external called
+    # clearCache).
+    marked = (cand_g.join(dup_g, "__g").select(id_col, "__pos")
+              .localCheckpoint())
+    hashed.unpersist()
+    cand_g.unpersist()
     w = Window.partitionBy(id_col).orderBy("__pos")
     prev_max = F.max("__pos").over(
         w.rowsBetween(Window.unboundedPreceding, -1))

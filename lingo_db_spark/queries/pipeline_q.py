@@ -1047,6 +1047,20 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLANT = " <planted boilerplate sentence shared across documents 42>"
 _SUBDUP_L = 30
+# The DuckDB oracles enumerate gram positions from a STATIC series
+# (generate_series refuses subquery bounds), capping duplicate
+# detection at this many chars per document; the Spark side is
+# unbounded.  Rather than silently diverge past the cap, the Spark
+# fixture raises loudly on any over-cap document.
+_SUBDUP_SERIES_CAP = 65536
+
+
+def _capped_text(col: str = "text"):
+    return F.expr(
+        f"CASE WHEN length({col}) > {_SUBDUP_SERIES_CAP} THEN "
+        f"raise_error('document exceeds the {_SUBDUP_SERIES_CAP}-char "
+        f"substring-oracle series cap — widen the oracle series') "
+        f"ELSE {col} END")
 
 _SUBDUP_AUG = f"""
 aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '{_PLANT}'
@@ -1075,11 +1089,12 @@ spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
 def _subdup_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") < 200)
-    return docs.select(
+    aug = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 7 == 0,
                F.concat(F.col("text"), F.lit(_PLANT)))
         .otherwise(F.col("text")).alias("text"))
+    return aug.select("doc_id", _capped_text().alias("text"))
 
 
 @register("pipeline_exact_substring_spans", f"""
@@ -1290,7 +1305,9 @@ def pipeline_training_mix_journey(spark: SparkSession,
              .join(qual.drop("__q"), "doc_id")
              .join(contam.drop("__c"), "doc_id", "left_anti")
              .persist(mem))
-    heavy = (pl.substring_dup_stats(surv3, "doc_id", "text", 30)
+    heavy = (pl.substring_dup_stats(
+                 surv3.withColumn("text", _capped_text()),
+                 "doc_id", "text", 30)
              .filter(F.col("dup_chars") * 10 > F.col("n_chars") * 3)
              .select("doc_id").withColumn("__h", F.lit(1)))
 

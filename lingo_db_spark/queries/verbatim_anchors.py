@@ -86,19 +86,31 @@ def _cte_oracle(suite: str, ddl_fname: str, query_fname: str,
     body = _read(suite, query_fname)
     if ddl_text is None or body is None:
         return None                    # reference absent: rows-only check
-    _tools_importable()
-    import importlib
-    selects = importlib.import_module(selects_fn_module).table_selects()
-    declared = _declared_schemas(ddl_text)
-    ctes = []
-    for t in tables:
-        casts = ", ".join(
-            f"CAST({f.name} AS {_duck_type(f.dataType)}) AS {f.name}"
-            for f in declared[t].fields)
-        ctes.append(f'"{t}" AS (SELECT {casts} FROM ({selects[t]}) __src)')
-    body = body.strip().rstrip(";").strip()
-    return (f"WITH {', '.join(ctes)}\n"
-            f"SELECT {wrap} FROM (\n{body}\n) v")
+    # This runs at module import (register() decoration time) inside
+    # load_all() — a KeyError from a renamed/unparseable CREATE must
+    # degrade THIS anchor to the rows-only check, never break the whole
+    # registry import and with it the driver gate.
+    try:
+        _tools_importable()
+        import importlib
+        selects = importlib.import_module(selects_fn_module).table_selects()
+        declared = _declared_schemas(ddl_text)
+        ctes = []
+        for t in tables:
+            casts = ", ".join(
+                f"CAST({f.name} AS {_duck_type(f.dataType)}) AS {f.name}"
+                for f in declared[t].fields)
+            ctes.append(
+                f'"{t}" AS (SELECT {casts} FROM ({selects[t]}) __src)')
+        body = body.strip().rstrip(";").strip()
+        return (f"WITH {', '.join(ctes)}\n"
+                f"SELECT {wrap} FROM (\n{body}\n) v")
+    except Exception as e:             # noqa: BLE001
+        import sys
+        print(f"[verbatim_anchors] {suite}/{query_fname}: oracle "
+              f"construction failed ({type(e).__name__}: {e}); "
+              f"degrading to rows-only check", file=sys.stderr)
+        return None
 
 
 def _run_verbatim(spark: SparkSession, sf_dir: str, suite: str,
