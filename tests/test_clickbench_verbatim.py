@@ -105,3 +105,33 @@ def test_clickbench_verbatim_all_43_queries(spark, tmp_path):
     assert mismatches == []
     assert multiset_only + tie_limited <= 25, (multiset_only, tie_limited)
     assert row_bearing >= 30, f"only {row_bearing}/43 row-bearing"
+
+
+# Scale-inherent empties at sf0.01, each with the predicate no small
+# fixture can satisfy without distorting every other query's groups:
+#   28, 29 — HAVING COUNT(*) > 100000 (largest sf0.01 group: ~200)
+#   39-43  — OFFSET 1000/10000 behind a CounterID=62 + July-2013 slice
+#            that holds ~100 rows (and at most that many groups)
+SCALE_INHERENT_EMPTY = {28, 29, 39, 40, 41, 42, 43}
+
+
+@pytest.mark.skipif(not REF_CB.exists(), reason="reference absent")
+def test_clickbench_row_bearing_floor_sf001(tmp_path):
+    """Exactly the 7 named scale-inherent queries are empty at sf0.01 —
+    every other query selects real rows, and any fixture regression (or
+    a new needle making one of the 7 bear) flips this assert."""
+    from synth_clickbench import export_clickbench
+
+    export_clickbench("/root/testdata/sf0.01", tmp_path)
+    duck = duckdb.connect()
+    duck.execute((REF_CB / "create.sql").read_text())
+    duck.execute(f"COPY hits FROM '{tmp_path}/hits.tsv' "
+                 f"(DELIMITER '\t', HEADER false, NULLSTR '\\N')")
+    empty = set()
+    for i in range(1, 44):
+        want = duck.execute((REF_CB / f"{i}.sql").read_text()).fetchall()
+        if not (want and any(v is not None for v in want[0])):
+            empty.add(i)
+    assert empty == SCALE_INHERENT_EMPTY, (
+        f"row-bearing drift: empty={sorted(empty)} "
+        f"expected={sorted(SCALE_INHERENT_EMPTY)}")

@@ -96,4 +96,46 @@ def test_job_verbatim_initialize_and_all_113_queries(spark, tmp_path):
             row_bearing += 1
     assert spark_errors == []
     assert mismatches == []
-    assert row_bearing >= 65, f"only {row_bearing}/113 row-bearing"
+    # 104/113 bear rows at this test's sf0.001; the 9 empties are
+    # scale-inherent (their needle-family members have movie ids above
+    # the 1500-order keyspace: 11b needs id 7224, 21b id 14436, ...).
+    # The sf0.01 floor — where every family has members — is asserted
+    # at == 113 by test_job_row_bearing_floor_sf001 below.
+    assert row_bearing >= 100, f"only {row_bearing}/113 row-bearing"
+
+
+@pytest.mark.skipif(not REF_JOB.exists(), reason="reference absent")
+def test_job_row_bearing_floor_sf001(tmp_path):
+    """All 113 JOB queries select real rows from the sf0.01 fixtures
+    (the reference's CI gate, test/sqlite-datasets/job.test, runs all
+    113 row-bearing on real IMDB).  DuckDB-only: the Spark-vs-DuckDB
+    value compare over these identical files is the test above; this
+    one pins the needle engineering in tools/synth_job.py so a fixture
+    regression is caught as an assert, not a silent floor drop."""
+    from synth_job import export_job
+
+    export_job("/root/testdata/sf0.01", tmp_path)
+    init = (REF_JOB / "initialize.sql").read_text()
+    duck = duckdb.connect()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for stmt in ddl.split_script(init):
+            if stmt.lower().startswith("set "):
+                continue
+            if (cp := ddl.parse_copy(stmt)) is not None:
+                duck.execute(
+                    f"COPY {cp[0]} FROM '{cp[1]}' "
+                    f"(DELIMITER ',', HEADER false, ESCAPE '\\')")
+                continue
+            duck.execute(stmt)
+    finally:
+        os.chdir(cwd)
+    empty = []
+    for f in sorted(REF_JOB.glob("*.sql")):
+        if f.name == "initialize.sql":
+            continue
+        want = duck.execute(f.read_text()).fetchall()
+        if not (want and any(v is not None for v in want[0])):
+            empty.append(f.stem)
+    assert empty == [], f"{len(empty)} empty at sf0.01: {empty}"

@@ -118,6 +118,66 @@ def _it(name: str) -> int:
     return INFO_TYPES.index(name) + 1
 
 
+# ---------------------------------------------------------------------------
+# Round-9 'b'-variant needle families.  Pattern (established by the
+# q8/q7b/q27 families): pick a movie-id residue class whose NATURAL
+# legs (title pool index = id % 20, production_year = 1950 + id*7 % 66,
+# kind_id = id % 7 + 1, complete_cast strata on id mod 8) already
+# satisfy the query, then pin only the missing satellite attributes in
+# the fact tables.  Residues are chosen by CRT so families are pairwise
+# disjoint (checked mod gcd of any two moduli).  Each comment lists the
+# queries served and the legs that come free.
+# ---------------------------------------------------------------------------
+
+# 23b + 15b: id%924=574 -> kind 'movie' (574%7=0), year 2008, even+2mod4
+# so complete_cast status = 'complete+verified'.  Pins: mi (release
+# dates, 'USA: May 2005', note internet), mk nerd, mc YouTube-[us] with
+# a '(worldwide)' 200x note.
+_FAM_C = 574, 924
+# 19b: id%660=621 -> title 'Kung Fu Panda 2' (621%20=1), year 2007.
+# Pins: ci voice-actress 'Angeli, Bert' (f, %Angel%), mi 'USA: April
+# 2008', mc [us] company with worldwide-200x note.
+_FAM_E = 621, 660
+# 24b: id%660=301 -> title 'Kung Fu Panda 2', year 2011 (>2010).  Pins:
+# ci voice-actress 16, mi 'USA: March 2010', mc DreamWorks, mk hero.
+_FAM_F = 301, 660
+# 20b + 26a/b/c: id%1848=1442 -> kind 'movie', year 2012, cc (cast,
+# complete+verified) (1442%8=2).  Pins: ci person 20 'Downey, Robert
+# Jr.' as char 11 'Iron Man' (matches both 20b's Tony/Iron and 26's
+# %Man%), mk superhero, rating '8.1' (q26's > '8.0' leg: under the cc
+# strata 'cast' movies are 0/2 mod 8 whose natural ratings are 2.x/4.x
+# — CRT-exclusive with > '7.0', so the family pins it).
+_FAM_G = 1442, 1848
+# 25b: id%660=103 -> title 'Vampire Diaries', year 2011.  Pins: ci
+# (writer) by male person 21, mi genres 'Horror', mk murder.
+_FAM_H = 103, 660
+# 28a/28b: id%9240=28 -> kind 'movie', year 2014, cc (crew, complete),
+# natural rating '6.6' (in ('6.5','8.5')).  Pins: mi countries
+# 'Germany', mk murder, mc non-us company 1 with Japan-2006 note.
+_FAM_I = 28, 9240
+# 29a/29b: id%264=234 -> cc (cast, complete+verified) (234%8=2).  Pins:
+# title 'Shrek 2' + year 2004 (the %20 title leg is CRT-blocked by the
+# mod-8 cc leg, so both are pinned), ci voice-actresses 16 (trivia
+# person-info) and 76 (height-pinned), char 2 'Queen', mi 'USA: May
+# 2005', mc [us], mk computer-animation.
+_FAM_J = 234, 264
+# 31b: id%660=602 -> title 'Saw IV', year 2006.  Pins: ci (writer) by
+# male 21, mi genres 'Horror', mk murder, mc Lionsgate with Blu-ray
+# note.
+_FAM_K = 602, 660
+# 33a/33b: t1 id%462=180 links (lt 'follows') to t2 = id-21 (%462=159),
+# both kind 'tv series' (%7=5); t2 year 2007 natural, t2 rating pinned
+# '2.0' (< '3.0'; year-2007 and rating-2.x residues are CRT-exclusive),
+# t1 companies alternate [us]/[nl].
+_FAM_L1 = 180, 462
+_FAM_L2 = 159, 462
+
+
+def _fam(key: str, fam: tuple[int, int]) -> str:
+    r, m = fam
+    return f"({key} % {m} = {r})"
+
+
 _RK = "(l_orderkey * 37 + l_partkey * 11 + l_suppkey * 5)"
 _FACT = ("(SELECT l.*, ROW_NUMBER() OVER (ORDER BY l_orderkey, "
          "l_linenumber, l_partkey, l_suppkey) AS _rid FROM lineitem l)")
@@ -146,7 +206,13 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
 
     specs["title"] = ("orders", "o_orderkey", {
         "id": "o_orderkey",
-        "title": _case("o_orderkey", TITLES),
+        # q11b: half the q27 family (the 7224-class mod 14424) gets the
+        # '%Money%' title its 1998-year movie-link chain needs; q29's
+        # family needs 'Shrek 2' on a mod-8 cc residue the %20 title
+        # leg can't reach
+        "title": f"CASE WHEN o_orderkey % 14424 = 7224 THEN 'Money Train' "
+                 f"WHEN {_fam('o_orderkey', _FAM_J)} THEN 'Shrek 2' ELSE "
+                 + _case("o_orderkey", TITLES) + " END",
         "imdb_index": "NULL",
         "kind_id": "o_orderkey % 7 + 1",
         # gcd(7, 66) = 1 so every year 1950..2015 is hit, covering
@@ -154,9 +220,13 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         # family is q7b's needle: person 105 is a natural 'Volker
         # Boehm' mini-biography 'D%'-pcode male (105 = lcm(7,3,5)); his
         # movies just need the 1980-84 year and a 'features' link
-        # (see cast_info / movie_link)
+        # (see cast_info / movie_link).  The 14436-class mod 21636 is
+        # q21b's needle (a 2000-2010 'Germany' member of the q27
+        # family); q29's family needs the 2000-2005 window.
         "production_year": "CASE WHEN o_orderkey % 571 = 7 THEN 1982 "
+                           "WHEN o_orderkey % 21636 = 14436 THEN 2005 "
                            "WHEN o_orderkey % 7212 = 12 THEN 1998 "
+                           f"WHEN {_fam('o_orderkey', _FAM_J)} THEN 2004 "
                            "ELSE 1950 + (o_orderkey * 7) % 66 END",
         "imdb_id": "NULL",
         "phonetic_code": "'T' || CAST(o_orderkey % 100 AS STRING)",
@@ -208,7 +278,11 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     specs["company_name"] = ("part", "p_partkey", {
         "id": "p_partkey",
         "name": _case("p_partkey", COMPANIES),
-        "country_code": "CASE WHEN p_partkey % 2 = 0 THEN '[us]' ELSE "
+        # q15b pins a '[us]' YouTube: the name leg (p%10=1) and the
+        # odd-branch '[us]' residue are CRT-incompatible, so company 11
+        # (natural name 'YouTube') gets its country pinned
+        "country_code": "CASE WHEN p_partkey = 11 THEN '[us]' "
+        "WHEN p_partkey % 2 = 0 THEN '[us]' ELSE "
         + _case("CAST(floor((p_partkey) / 2) AS INTEGER) * 3 + 1", COUNTRY_CODES)
         + " END",
         "imdb_id": "NULL",
@@ -246,17 +320,35 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     # 'Young, Sean' with an aka row; company 15 is '[jp]'; role 2 is
     # 'actress').
     _q8m = "(l_orderkey % 660 = 404)"
+    # r9 family cast pins: person 16/76 = 'Angeli, Bert' (f, matches
+    # %Angel% and %An%; 76's person_info is height-pinned for q29b),
+    # person 20 = 'Downey, Robert Jr.', person 21 = male writer; chars
+    # 10 = 'Tony Stark', 2 = 'Queen', 16 = any (non-null for q19b/q24b)
+    _mv = "l_orderkey"
+    _voice_fams = (f"{_fam(_mv, _FAM_E)} OR {_fam(_mv, _FAM_F)} "
+                   f"OR {_fam(_mv, _FAM_J)}")
+    _writer_fams = f"{_fam(_mv, _FAM_H)} OR {_fam(_mv, _FAM_K)}"
     specs["cast_info"] = (_FACT, _RK, {
         "id": "_rid",
         "person_id": f"CASE WHEN {_q8m} THEN 7 "
-                     "WHEN l_orderkey % 571 = 7 THEN 105 ELSE "
+                     "WHEN l_orderkey % 571 = 7 THEN 105 "
+                     f"WHEN {_fam(_mv, _FAM_J)} THEN 16 + 60 * (_rid % 2) "
+                     f"WHEN {_fam(_mv, _FAM_E)} OR {_fam(_mv, _FAM_F)} "
+                     f"THEN 16 "
+                     f"WHEN {_fam(_mv, _FAM_G)} THEN 20 "
+                     f"WHEN {_writer_fams} THEN 21 ELSE "
                      f"({_RK} * 13 + 1) % (SELECT COUNT(*) FROM customer) "
                      "END",
         "movie_id": "l_orderkey",
         "person_role_id":
-            f"CASE WHEN CAST(floor((({_RK})) / 48) AS INTEGER) % 4 = 0 THEN NULL "
+            f"CASE WHEN {_fam(_mv, _FAM_J)} THEN 2 "
+            f"WHEN {_fam(_mv, _FAM_E)} OR {_fam(_mv, _FAM_F)} THEN 16 "
+            f"WHEN {_fam(_mv, _FAM_G)} THEN 11 "
+            f"WHEN CAST(floor((({_RK})) / 48) AS INTEGER) % 4 = 0 THEN NULL "
             f"ELSE ({_RK}) % (SELECT COUNT(*) FROM customer) END",
         "note": f"CASE WHEN {_q8m} THEN '(voice: English version)' "
+                f"WHEN {_voice_fams} THEN '(voice)' "
+                f"WHEN {_writer_fams} THEN '(writer)' "
                 f"WHEN CAST(floor((({_RK})) / 12) AS INTEGER) % 3 = 0 "
                 f"THEN '(voice)' ELSE "
                 + _case(f"CAST(floor((({_RK})) / 36) AS INTEGER) * 5 + 2",
@@ -266,7 +358,7 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         # `RK % 12 + 1`, role 6 needs RK%12=5 which forces RK%4=1 —
         # routed to the actor/actress branch, so half the role types
         # (costume designer among them, q8d) were unassignable
-        "role_id": f"CASE WHEN {_q8m} THEN 2 "
+        "role_id": f"CASE WHEN {_q8m} OR {_voice_fams} THEN 2 "
                    f"WHEN ({_RK}) % 4 < 2 THEN ({_RK}) % 2 + 1 "
                    f"ELSE CAST(floor(({_RK}) / 4) AS INTEGER) "
                    f"% {len(ROLE_TYPES)} + 1 END",
@@ -278,11 +370,23 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     # (Warner production company with a NULL note, 'sequel' keyword,
     # 'Sweden' movie_info, 'follows' link) are pinned below.
     _q27m = "(l_orderkey % 7212 = 12)"
+    # r9 family company pins: 11 = YouTube-[us] (q15b), 10 = DreamWorks
+    # [us] (q24b; also the generic [us] leg for q19b/q29), 1 = [de]
+    # non-us (q28), 5 = Lionsgate (q31b), 2/9 = [us]/[nl] alternating
+    # on t1 of the q33 link pair
     specs["movie_companies"] = (_FACT, _RK, {
         "id": "_rid",
         "movie_id": "l_orderkey",
         "company_id": f"CASE WHEN {_q8m} THEN 15 "
-                      f"WHEN {_q27m} THEN 2 ELSE "
+                      f"WHEN {_q27m} THEN 2 "
+                      f"WHEN {_fam(_mv, _FAM_C)} THEN 11 "
+                      f"WHEN {_fam(_mv, _FAM_E)} OR {_fam(_mv, _FAM_J)} "
+                      f"THEN 10 "
+                      f"WHEN {_fam(_mv, _FAM_F)} THEN 10 "
+                      f"WHEN {_fam(_mv, _FAM_I)} THEN 1 "
+                      f"WHEN {_fam(_mv, _FAM_K)} THEN 5 "
+                      f"WHEN {_fam(_mv, _FAM_L1)} THEN 2 + 7 * (_rid % 2) "
+                      "ELSE "
                       f"({_RK} * 3 + 2) % (SELECT COUNT(*) FROM part) END",
         "company_type_id": f"CASE WHEN {_q27m} THEN 1 "
                            f"WHEN ({_RK}) % 10 < 5 THEN 1 "
@@ -293,7 +397,12 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         # (q21's "note IS NULL AND production companies" was
         # unsatisfiable)
         "note": f"CASE WHEN {_q8m} THEN '(2006) (Japan) (TV)' "
-                f"WHEN {_q27m} THEN NULL ELSE "
+                f"WHEN {_q27m} THEN NULL "
+                f"WHEN {_fam(_mv, _FAM_C)} OR {_fam(_mv, _FAM_E)} "
+                f"THEN '(2005) (worldwide) (theatrical)' "
+                f"WHEN {_fam(_mv, _FAM_I)} THEN '(2006) (Japan) (TV)' "
+                f"WHEN {_fam(_mv, _FAM_K)} THEN '(2008) (USA) (Blu-ray)' "
+                "ELSE "
                 + _case(f"CAST(floor((({_RK})) / 40) AS INTEGER) * 7 + 1",
                         MC_NOTES) + " END",
     })
@@ -301,8 +410,15 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     specs["movie_keyword"] = (_FACT, _RK, {
         "id": "_rid",
         "movie_id": "l_orderkey",
-        # 30 = 'sequel' (q27 family)
-        "keyword_id": f"CASE WHEN {_q27m} THEN 30 ELSE "
+        # 30 = 'sequel' (q27 family); 26 nerd (23b), 16 hero (24b),
+        # 24 murder (25b/28/31b), 31 superhero (20b),
+        # 9 computer-animation (29)
+        "keyword_id": f"CASE WHEN {_q27m} THEN 30 "
+                      f"WHEN {_fam(_mv, _FAM_C)} THEN 26 "
+                      f"WHEN {_fam(_mv, _FAM_F)} THEN 16 "
+                      f"WHEN {_fam(_mv, _FAM_G)} THEN 31 "
+                      f"WHEN {_writer_fams} OR {_fam(_mv, _FAM_I)} THEN 24 "
+                      f"WHEN {_fam(_mv, _FAM_J)} THEN 9 ELSE "
                       f"({_RK} * 7 + 3) % 200 + 1 END",
     })
 
@@ -310,17 +426,35 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     mi_type_id = (f"CASE {mi_type} " + " ".join(
         f"WHEN {i} THEN {_it(t)}" for i, t in enumerate(_MI_TYPES))
         + " END")
+    # r9 family movie_info pins: release-date rows for the USA:-pattern
+    # families (info_type 5), genre 'Horror' rows for the writer
+    # families, a 'Germany' countries row for q28 — type and info pin
+    # together so the it.info = '...' join leg holds
+    _rel_fams = (f"{_fam(_mv, _FAM_C)} OR {_fam(_mv, _FAM_E)} "
+                 f"OR {_fam(_mv, _FAM_F)} OR {_fam(_mv, _FAM_J)}")
     specs["movie_info"] = (_FACT, _RK, {
         "id": "_rid",
         "movie_id": "l_orderkey",
-        "info_type_id": mi_type_id,
-        "info": f"CASE WHEN {_q27m} THEN 'Sweden' ELSE "
+        "info_type_id": f"CASE WHEN {_rel_fams} THEN {_it('release dates')} "
+                        f"WHEN {_writer_fams} THEN {_it('genres')} "
+                        f"WHEN {_fam(_mv, _FAM_I)} THEN {_it('countries')} "
+                        f"ELSE {mi_type_id} END",
+        "info": "CASE WHEN l_orderkey % 21636 = 14436 THEN 'Germany' "
+                f"WHEN {_q27m} THEN 'Sweden' "
+                f"WHEN {_fam(_mv, _FAM_C)} OR {_fam(_mv, _FAM_J)} "
+                f"THEN 'USA: May 2005' "
+                f"WHEN {_fam(_mv, _FAM_E)} THEN 'USA: April 2008' "
+                f"WHEN {_fam(_mv, _FAM_F)} THEN 'USA: March 2010' "
+                f"WHEN {_writer_fams} THEN 'Horror' "
+                f"WHEN {_fam(_mv, _FAM_I)} THEN 'Germany' ELSE "
                 + _mi_info(f"CAST(floor((({_RK})) / 6) AS INTEGER) * 3 + 1",
                            mi_type_id) + " END",
-        # q15/q23 grep mi.note for '%internet%'
-        "note": f"CASE CAST(floor((({_RK})) / 7) AS INTEGER) % 3 "
+        # q15/q23 grep mi.note for '%internet%' — pinned on family C so
+        # the note rides the same row as its 'USA: May 2005' info
+        "note": f"CASE WHEN {_fam(_mv, _FAM_C)} THEN 'internet release' "
+                f"ELSE CASE CAST(floor((({_RK})) / 7) AS INTEGER) % 3 "
                 f"WHEN 0 THEN 'internet release' "
-                f"WHEN 1 THEN 'tv broadcast' ELSE NULL END",
+                f"WHEN 1 THEN 'tv broadcast' ELSE NULL END END",
     })
 
     # every movie gets all four idx rows so rating-AND-votes joins on
@@ -338,9 +472,13 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "id": "_rid",
         "movie_id": "o_orderkey",
         "info_type_id": "_itid",
+        # q33's t2 family is rating-pinned: its year-2007 residue (odd
+        # mod 66) and a 2.x rating residue (0 mod 8) are CRT-exclusive
         "info": (f"CASE _itid WHEN {_it('rating')} THEN "
-                 f"CAST((o_orderkey * 13) % 8 + 2 AS STRING) || '.' || "
-                 f"CAST((o_orderkey * 7) % 10 AS STRING) "
+                 f"CASE WHEN {_fam('o_orderkey', _FAM_L2)} THEN '2.0' "
+                 f"WHEN {_fam('o_orderkey', _FAM_G)} THEN '8.1' "
+                 f"ELSE CAST((o_orderkey * 13) % 8 + 2 AS STRING) || '.' || "
+                 f"CAST((o_orderkey * 7) % 10 AS STRING) END "
                  f"WHEN {_it('votes')} THEN "
                  f"CAST((o_orderkey * 31) % 100000 + 5 AS STRING) "
                  f"ELSE CAST((o_orderkey) % 250 + 1 AS STRING) END"),
@@ -351,9 +489,15 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
     specs["person_info"] = ("customer", "c_custkey", {
         "id": "c_custkey",
         "person_id": "c_custkey",
-        "info_type_id": (f"CASE c_custkey % 3 WHEN 0 THEN "
-                         f"{_it('mini biography')} WHEN 1 THEN "
-                         f"{_it('trivia')} ELSE {_it('height')} END"),
+        # height-info people land on c%3=2, which is exactly the NULL
+        # gender residue — q29b (female voice actress WITH a height
+        # row) is CRT-blocked, so person 76 (female 'Angeli, Bert') is
+        # height-pinned while her twin 16 keeps the natural trivia row
+        # q29a needs
+        "info_type_id": (f"CASE WHEN c_custkey = 76 THEN {_it('height')} "
+                         f"WHEN c_custkey % 3 = 0 THEN "
+                         f"{_it('mini biography')} WHEN c_custkey % 3 = 1 "
+                         f"THEN {_it('trivia')} ELSE {_it('height')} END"),
         "info": "'info ' || CAST(c_custkey AS STRING)",
         # q's producer-pin: pi.note = 'Volker Boehm'
         "note": "CASE WHEN c_custkey % 7 = 0 THEN 'Volker Boehm' "
@@ -380,23 +524,34 @@ def _table_specs() -> dict[str, tuple[str, str, dict[str, str]]]:
         "o_orderkey", {
             "id": "CAST(floor(o_orderkey / 3) AS INTEGER) + 1",
             "movie_id": "o_orderkey",
+            # q33 pair: every t1-family movie (kind 'tv series')
+            # 'follows' the t2-family movie 21 below it (id-21 is
+            # ≡ 159 mod 462: tv series, year 2007, rating-pinned 2.0)
             "linked_movie_id":
                 "CASE WHEN o_orderkey % 571 = 10 THEN o_orderkey - 3 "
+                f"WHEN {_fam('o_orderkey', _FAM_L1)} THEN o_orderkey - 21 "
                 "ELSE (o_orderkey * 7 + 3) % (SELECT MAX(o_orderkey) + 1 "
                 "FROM orders) END",
             "link_type_id": ("CASE WHEN o_orderkey % 571 = 10 THEN 6 "
                              "WHEN o_orderkey % 7212 = 12 THEN 2 "
+                             f"WHEN {_fam('o_orderkey', _FAM_L1)} THEN 2 "
                              f"ELSE o_orderkey % {len(LINK_TYPES)} + 1 "
                              "END"),
         })
 
+    # subject rides floor(id/4), status floor(id/2): over even movie
+    # ids all four cast/crew x complete/+verified combos occur (id mod
+    # 8 = 0:(cast,complete) 2:(cast,+verified) 4:(crew,complete)
+    # 6:(crew,+verified)).  The old `id % 2 + 1` subject was constant 1
+    # over the even-id source — 'crew' never existed, which alone
+    # emptied q28a/b.
     specs["complete_cast"] = (
         "(SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) t",
         "o_orderkey", {
             "id": "CAST(floor(o_orderkey / 2) AS INTEGER) + 1",
             "movie_id": "o_orderkey",
-            "subject_id": "o_orderkey % 2 + 1",       # cast / crew
-            "status_id": "CAST(floor(o_orderkey / 2) AS INTEGER) % 2 + 3",  # complete / +verified
+            "subject_id": "CAST(floor(o_orderkey / 4) AS INTEGER) % 2 + 1",
+            "status_id": "CAST(floor(o_orderkey / 2) AS INTEGER) % 2 + 3",
         })
 
     return specs
