@@ -152,6 +152,17 @@ def round_half_up(col, scale: int = 0) -> Column:
     return F.round(_c(col), scale)
 
 
+def cast_int_rounded(col) -> Column:
+    """Decimal -> integer cast with REFERENCE semantics: round half away
+    from zero, as postgres and DuckDB `::integer` do (2.5 -> 3,
+    -2.5 -> -3).  Spark's CAST truncates toward zero (2.5 -> 2) — the
+    engine divergence TPC-DS q78's ratio column exposed (r8).  Route
+    any reference-parity decimal->int cast through here; this and every
+    other documented engine divergence carries a value-checked witness
+    in tests/test_divergences.py."""
+    return F.round(_c(col), 0).cast("long")
+
+
 def date_trunc(unit: str, col) -> Column:
     return F.date_trunc(unit, _c(col))   # reference DateTrunc (DateRuntime.h:18)
 

@@ -5,6 +5,7 @@ from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     cut_substring_spans,
     decontaminate,
     exact_substring_spans,
+    exact_substring_spans_prefiltered,
     substring_dup_stats,
     dedup_exact,
     hamming64,

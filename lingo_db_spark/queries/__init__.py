@@ -97,28 +97,41 @@ def register(name: str, oracle: str | None):
 # diagnosed r5; their VARCHAR-encoded twins are driver-green).
 # Names not listed keep registration order after these.  Unknown names
 # are ignored (defensive: renames must not break the gate).
+# r9 window: canary; the four r8 flagship queries that registered
+# AFTER the r8 window closed (never driver-attested); this round's new
+# operators; all 25 remaining r3-stale rows; the streaming family
+# (r5-stale — the oldest family); fill to 50 with the oldest r4 rows.
 ATTEST_PRIORITY: list[str] = [
     "semantics_canary",
-    # --- new verbatim suite anchors (never attested) ---
-    "sql_ssb_q21_verbatim", "sql_tpcds_q3_verbatim", "sql_job_1a_verbatim",
-    "sql_clickbench_q21_verbatim", "sql_tpcxbb_q22_verbatim",
-    # --- freshness: last attested r2 ---
-    "window_rank", "window_row_number", "window_sum_frame",
-    "window_default_frame", "window_frame_bounded", "window_whole_partition",
-    "setop_union_all", "setop_union_distinct", "setop_intersect_all",
-    "setop_except_all", "setop_except_distinct",
-    "projection_distinct", "agg_distinct_multi", "agg_minmax",
-    "agg_stats_var", "rollup_grouping",
-    "join_fullouter", "join_theta", "join_nullsafe", "join_single_scalar",
-    "join_mark_notin", "collectionjoin_list", "const_relation_values",
-    "cte_top_nations", "limit_offset", "groupjoin_fused",
-    "tmp_shared_subtree", "subquery_all",
-    "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q19",
-    # --- freshness: oldest r3 rows (fill to 50) ---
-    "scalars_string", "scalars_math", "scalars_datetime",
-    "scalars_condexpr", "scalars_hash_distinct", "decimal_mul_sum",
-    "pipeline_dedup_fingerprint", "pipeline_token_budget",
+    # --- r8 flagships, registered after the r8 window (never attested) ---
+    "pipeline_exact_substring_spans", "pipeline_substring_dup_stats",
+    "pipeline_cut_spans", "pipeline_training_mix_journey",
+    # --- new in r9 (never attested) ---
+    "pipeline_substring_spans_prefiltered",
+    "sql_job_29a_verbatim", "sql_tpcds_q51_verbatim",
+    # --- freshness: last attested r3 (all 25) ---
+    "pipeline_winnow_overlap", "pipeline_prepare_corpus",
+    "pipeline_stratified_sample", "pipeline_dedup_rollup",
+    "text_langid_counts", "embedding_norms", "pipeline_pack_sequences",
+    "pipeline_ngram_jaccard", "pipeline_chunk_documents",
+    "pipeline_repetition_stats", "pipeline_redact_pii",
+    "pipeline_mix_proportions", "pipeline_oversample",
+    "pipeline_fuzzy_pairs", "scalars_char_semantics",
+    "scalars_interval_arith", "scalars_datetime_units",
+    "scalars_fuzzy_match", "ds_correlated_avg_threshold",
+    "ds_above_category_avg", "ds_exists_under_or",
+    "ds_year_total_cte_reuse", "ds_window_over_join",
+    "ds_scalar_subqueries_select", "ds_intersect_years",
+    # --- freshness: the streaming family (r5-stale, oldest family) ---
+    "streaming_window_counts", "streaming_window_append",
+    "streaming_sessionization", "streaming_dedup",
+    "streaming_interval_join", "streaming_outer_interval_join",
+    "streaming_stream_static_join", "streaming_topk_stateful",
+    # --- fill to 50 with the oldest r4 rows ---
+    "pipeline_simhash_neardup", "pipeline_approx_distinct",
+    "ann_topk_quantized", "events_approx_percentiles",
+    "sql_tpch_q3", "sql_tpch_q6", "sql_window_topk_per_group",
+    "sql_ddl_roundtrip", "sql_copy_csv_roundtrip",
 ]
 
 

@@ -1062,13 +1062,19 @@ def _capped_text(col: str = "text"):
         f"substring-oracle series cap — widen the oracle series') "
         f"ELSE {col} END")
 
-_SUBDUP_AUG = f"""
+_AUG_CTE = f"""
 aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '{_PLANT}'
                             ELSE text END AS text
-        FROM documents WHERE doc_id < 200),
+        FROM documents WHERE doc_id < 200)"""
+
+
+def _spans_cte(src: str) -> str:
+    """The exact-substring span chain (gram positions, duplicate grams,
+    gaps-and-islands merge) over the given source CTE."""
+    return f"""
 ser AS (SELECT CAST(g AS INTEGER) AS i FROM generate_series(1, 65536) t(g)),
 grams AS (SELECT doc_id, i AS pos, substr(text, i, {_SUBDUP_L}) AS g
-          FROM aug JOIN ser ON i <= length(text) - {_SUBDUP_L - 1}),
+          FROM {src} JOIN ser ON i <= length(text) - {_SUBDUP_L - 1}),
 dups AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
 marked AS (SELECT m.doc_id, m.pos FROM grams m JOIN dups USING (g)),
 isl AS (SELECT doc_id, pos,
@@ -1084,6 +1090,9 @@ spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
                  CAST(MAX(pos) + {_SUBDUP_L - 1} AS BIGINT) AS span_end
           FROM isl GROUP BY doc_id, island)
 """
+
+
+_SUBDUP_AUG = _AUG_CTE + "," + _spans_cte("aug")
 
 
 def _subdup_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,6 +1125,44 @@ def pipeline_exact_substring_spans(spark: SparkSession,
     SQL over the identically planted corpus."""
     out = pl.exact_substring_spans(
         _subdup_aug(spark, sf_dir), "doc_id", "text", _SUBDUP_L)
+    return sorted_result(out, "doc_id", "span_start")
+
+
+@register("pipeline_substring_spans_prefiltered", f"""
+WITH {_AUG_CTE},
+tok AS (SELECT doc_id, {_SQL_TOKS} AS t FROM aug),
+g AS (SELECT doc_id,
+             [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              for i in range(1, len(t) - 1)] AS h
+      FROM tok WHERE len(t) >= 6),
+wins AS (SELECT doc_id,
+                list_distinct([list_min(h[i:i+3])
+                               for i in range(1, len(h) - 2)]) AS fps
+         FROM g WHERE len(h) >= 4),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+shared AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) > 1),
+cand AS (SELECT DISTINCT doc_id FROM f JOIN shared USING (fp)),
+base AS (SELECT a.doc_id, a.text FROM aug a JOIN cand USING (doc_id)),
+{_spans_cte("base")}
+SELECT doc_id, span_start, span_end FROM spans
+ORDER BY doc_id, span_start
+""")
+def pipeline_substring_spans_prefiltered(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The 100 TB composition of exact-substring dedup: winnowing
+    fingerprints (MOSS) prune the corpus to documents sharing at least
+    one fingerprint BEFORE the per-character gram pass runs — on a
+    duplication-sparse corpus the L x gram blowup is paid only on that
+    sliver (measured in SCALE.md; tools/substring_sparse_probe.py).
+    Recall: every duplicated run of >= window+k-1 tokens survives the
+    prefilter (winnowing's guarantee); the span detection inside the
+    candidate set is the exact hash-prefilter+verify pass.  The oracle
+    recomputes the identical composition in DuckDB — the md5 window-min
+    fingerprint selection, the shared-fp candidate set, and the span
+    chain over it."""
+    out = pl.exact_substring_spans_prefiltered(
+        _subdup_aug(spark, sf_dir), "doc_id", "text", _SUBDUP_L,
+        shingle_k=3, window=4)
     return sorted_result(out, "doc_id", "span_start")
 
 

@@ -289,3 +289,68 @@ def sql_tpcxbb_q22_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.selectExpr("w_warehouse_name", "i_item_id",
                          "CAST(inv_before AS BIGINT) AS inv_before",
                          "CAST(inv_after AS BIGINT) AS inv_after")
+
+
+# ---------------------------------------------------------------------------
+# Second anchors, r9 — one per suite from the HARD families, rotating
+# anchor coverage beyond the simple star joins above.
+#
+# JOB: 29a.sql — the 17-table chain (aka_name, complete_cast x types,
+# char_name, cast_info, person_info, ...) whose needle family landed in
+# r9 (tools/synth_job.py _FAM_J); global MINs over three strings.
+# ---------------------------------------------------------------------------
+
+_JOB29_TABLES = [
+    "aka_name", "complete_cast", "comp_cast_type", "char_name",
+    "cast_info", "company_name", "info_type", "keyword",
+    "movie_companies", "movie_info", "movie_keyword", "name",
+    "person_info", "role_type", "title",
+]
+_JOB29_WRAP = "voiced_char, voicing_actress, voiced_animation"
+
+
+@register("sql_job_29a_verbatim",
+          _cte_oracle("job", "initialize.sql", "29a.sql",
+                      _JOB29_TABLES, "synth_job", _JOB29_WRAP))
+def sql_job_29a_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resources/sql/job/29a.sql byte-for-byte through the door — the
+    suite's deepest join chain (17 relations incl. both comp_cast_type
+    roles and person_info), row-bearing since the r9 needle family."""
+    df = _run_verbatim(spark, sf_dir, "job", "synth_job", "export_job",
+                       "29a.sql")
+    return df.selectExpr("voiced_char", "voicing_actress",
+                         "voiced_animation")
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS: 51.sql — two windowed CTEs full-outer-joined, cumulative MAX
+# windows over cumulative SUM windows, decimal outputs (exact cents
+# transport; ORDER BY item_sk, d_date is a unique key so the LIMIT 100
+# cut is deterministic in both engines).
+# ---------------------------------------------------------------------------
+
+_DS51_WRAP = (
+    "CAST(item_sk AS INTEGER) AS item_sk, d_date, "
+    "CAST(web_sales * 100 AS BIGINT) AS web_sales_cents, "
+    "CAST(store_sales * 100 AS BIGINT) AS store_sales_cents, "
+    "CAST(web_cumulative * 100 AS BIGINT) AS web_cum_cents, "
+    "CAST(store_cumulative * 100 AS BIGINT) AS store_cum_cents")
+
+
+@register("sql_tpcds_q51_verbatim",
+          _cte_oracle("tpcds", "initialize.sql", "51.sql",
+                      ["web_sales", "store_sales", "date_dim"],
+                      "synth_tpcds", _DS51_WRAP))
+def sql_tpcds_q51_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resources/sql/tpcds/51.sql byte-for-byte through the door: the
+    fullouter + cumulative-window family (sum-over-sum windows, MAX
+    frames, NULL-bearing full-join columns), all-decimal outputs riding
+    the exact cents transport."""
+    df = _run_verbatim(spark, sf_dir, "tpcds", "synth_tpcds",
+                       "export_tpcds", "51.sql")
+    return df.selectExpr(
+        "CAST(item_sk AS INT) AS item_sk", "d_date",
+        "CAST(web_sales * 100 AS BIGINT) AS web_sales_cents",
+        "CAST(store_sales * 100 AS BIGINT) AS store_sales_cents",
+        "CAST(web_cumulative * 100 AS BIGINT) AS web_cum_cents",
+        "CAST(store_cumulative * 100 AS BIGINT) AS store_cum_cents")
