@@ -43,6 +43,7 @@ HEADLINE_EXTRA = [
     "pipeline_embed_neardup",
     "pipeline_neardup_clusters",
     "pipeline_exact_substring_spans",
+    "pipeline_substring_spans_prefiltered",
     "pipeline_prepare_corpus",
     "ann_topk_bruteforce",
     "ann_topk_lsh",

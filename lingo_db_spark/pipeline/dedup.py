@@ -58,12 +58,15 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     mins, set intersections) integer work instead of string work; set
     sizes are preserved with 64-bit collision probability (~n²/2^64).
 
-    Tokenization is materialized in its own projection before shingling:
-    inlining tokens() into the shingle lambda makes Spark re-evaluate the
-    regexp+split per shingle position (no CSE through lambda references) —
-    measured 16x slower."""
+    Tokenization is MATERIALIZED (localCheckpoint) before shingling: the
+    shingle lambda's body slices the token alias per element, and
+    Catalyst inlines the alias through projection boundaries — so
+    without a real barrier the regexp+split re-evaluates per shingle
+    position (no CSE through lambda references): measured 7x slower at
+    sf0.1 (3.6 s vs 0.5 s; the r9 winnow rework found projection
+    separation alone does NOT block the inlining)."""
     toked = spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
-                    id_col)
+                    id_col).localCheckpoint()
     return toked.select(
         F.col(id_col),
         F.array_distinct(
@@ -336,24 +339,44 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     hash_fn="xxhash64" when cross-engine verifiability doesn't matter
     (the min-selection differs but the winnowing recall bound holds for
     any hash; measured ~8x faster on the sparse-corpus probe)."""
-    toked = spread(df.select(F.col(id_col), tokens(text_col).alias("__t")),
-                   id_col)
-    t, n = F.col("__t"), F.size("__t")
-    # Gram strings are built as a zip_with CHAIN of shifted copies, not
-    # a transform whose lambda slices the token array: any non-trivial
-    # expression INSIDE a higher-order lambda body re-evaluates per
-    # element (Catalyst inlines the alias straight through projections
-    # and exchanges), turning the pass O(n * k) in tokenizations —
-    # measured 30x slower on the sparse-corpus probe.  zip_with
-    # arguments are evaluated once per row; positions past n-k+1 go
-    # NULL via concat's null-propagation and are sliced away.
-    joined = t
-    for j in range(1, shingle_k):
-        joined = F.zip_with(joined, F.slice(t, j + 1, n),
-                            lambda a, b: F.concat(a, F.lit(" "), b))
+    # The upstream array is MATERIALIZED (localCheckpoint) before the
+    # gram chain: every reference to an upstream alias — whether inside
+    # a higher-order lambda body or as a zip_with argument — can be
+    # inlined by Catalyst straight through projections and exchanges
+    # and re-evaluated per reference (per ELEMENT inside lambdas),
+    # which made this pass O(n * k) in regexp tokenizations: measured
+    # 30x on the sparse-corpus probe.  The blocks are reclaimed by the
+    # ContextCleaner once the fingerprints are consumed.
+    # Grams build as a zip_with CHAIN of shifted copies (zip_with
+    # arguments evaluate once per row, never per element); positions
+    # past n-k+1 go NULL via null-propagation and are sliced away.
     if hash_fn == "xxhash64":
-        gram_h = F.transform(joined, lambda s: F.xxhash64(s))
+        # hash each token in the SAME projection as tokenization (a
+        # transform's TARGET evaluates once per row — only lambda-body
+        # references re-evaluate), so the checkpoint pins 8-byte hash
+        # arrays instead of token strings; windows then combine
+        # hash-of-hashes, no per-window string building (a different
+        # fingerprint selection than md5 mode, which winnowing's
+        # recall bound is indifferent to)
+        toked = spread(df.select(
+            F.col(id_col),
+            F.transform(tokens(text_col),
+                        lambda s: F.xxhash64(s)).alias("__t")),
+            id_col).localCheckpoint()
+        t, n = F.col("__t"), F.size("__t")
+        gram_h = t
+        for j in range(1, shingle_k):
+            gram_h = F.zip_with(gram_h, F.slice(t, j + 1, n),
+                                lambda a, b: F.xxhash64(a, b))
     else:
+        toked = spread(df.select(
+            F.col(id_col), tokens(text_col).alias("__t")),
+            id_col).localCheckpoint()
+        t, n = F.col("__t"), F.size("__t")
+        joined = t
+        for j in range(1, shingle_k):
+            joined = F.zip_with(joined, F.slice(t, j + 1, n),
+                                lambda a, b: F.concat(a, F.lit(" "), b))
         gram_h = F.transform(joined, lambda s: F.md5(s.cast("binary")))
     hashed = (toked.select(
         F.col(id_col),
@@ -605,21 +628,30 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
             )).alias("__p0", "__h"))
         .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
         .persist(StorageLevel.MEMORY_AND_DISK))
+    # Every join below is pinned to a SHUFFLE strategy: the build sides
+    # (duplicated hashes, duplicated gram texts, the document texts)
+    # all GROW WITH DUPLICATION, so an estimate-driven broadcast is a
+    # scale hazard — at the 100x worst case the planner broadcast an
+    # 8.7 GiB candidate side and died on the 8 GiB cap.  With the
+    # shuffle pin the same pass completes; tiny inputs still finish in
+    # the oracle-gate noise.
     dup_h = (hashed.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
-             .filter(F.col("__n") > 1).select("__h"))
+             .filter(F.col("__n") > 1).select("__h")
+             .hint("shuffle_hash"))
     cand = hashed.join(dup_h, "__h").select(id_col, "__pos")
     # exact verification: regenerate candidate gram text from the doc
     # and keep only text-level duplicates (xxhash64 collision killer).
     # cand_g feeds BOTH the dup_g aggregate and the marked join —
     # persist it (candidate-sized, not corpus-sized) or the candidate
     # join + substring regeneration runs twice (measured 2x at sf0.1)
-    cand_g = (cand.join(texts, id_col)
+    cand_g = (cand.join(texts.hint("shuffle_hash"), id_col)
               .select(id_col, "__pos",
                       F.expr(f"substring({text_col}, __pos, {L})")
                       .alias("__g"))
               .persist(StorageLevel.MEMORY_AND_DISK))
     dup_g = (cand_g.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-             .filter(F.col("__n") > 1).select("__g"))
+             .filter(F.col("__n") > 1).select("__g")
+             .hint("shuffle_hash"))
     # materialize `marked` eagerly (localCheckpoint — it is
     # duplicate-candidate-sized, far below the corpus-sized frames
     # above) so the two corpus-scale persisted frames can be RELEASED
@@ -670,8 +702,13 @@ def exact_substring_spans_prefiltered(
     candidate-id semi-join prunes the corpus BEFORE any gram explodes.
     Spans between a candidate and a pruned document cannot exist (the
     pruned doc shares no fingerprint with anything)."""
+    # fps is read twice below (aggregate build side + semi-join probe
+    # side) — checkpoint the ~16 B/row pair stream once so the explode
+    # doesn't re-execute per read (a windowed count over fp would be
+    # single-pass but plans a full sort of the stream: measured 2x
+    # worse than agg + broadcast join on the checkpointed frame)
     fps = winnow_fingerprints(df, id_col, text_col, shingle_k, window,
-                              hash_fn)
+                              hash_fn).localCheckpoint()
     shared = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
               .filter(F.col("__n") > 1).select("fp"))
     # candidate ids are doc-count-bounded; localCheckpoint truncates
