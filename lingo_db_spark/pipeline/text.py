@@ -287,7 +287,12 @@ def lm_likelihood(df: DataFrame, id_col: str = "doc_id",
     it on (w1,w2), then on w1; no driver-side model, no broadcast of a
     corpus-sized side; both joins reuse the bigram shuffle key family.
     """
-    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    # barrier: the bigram lambda reads element_at(t, i) per position —
+    # without a materialization the tokenization re-evaluates per
+    # bigram (lambda-body references re-evaluate per element); toks
+    # also feeds both the model aggregates and the scoring pass
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t")) \
+        .localCheckpoint()
     bigrams = (toks
                .where(F.size("t") >= 2)
                .select(id_col, F.explode(F.transform(
