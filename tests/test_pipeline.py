@@ -208,6 +208,31 @@ def test_cut_substring_spans_removes_planted_text(spark):
             assert cleaned[i] == t
 
 
+def test_prefiltered_spans_recall_and_pruning(spark):
+    """The winnow-prefiltered composition must (a) recover every span
+    whose duplicated run is at least window+k-1 tokens (winnowing's
+    recall bound), (b) return a SUBSET of the full pass (the prefilter
+    only prunes), and (c) actually prune: unique-token documents never
+    reach the gram pass (candidate semi-join drops them)."""
+    base = [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(12)]
+    plant = (" shared boilerplate run alpha beta gamma delta epsilon"
+             " zeta eta theta")            # 11 tokens >= w+k-1 = 9
+    rows = [(i, t + plant) if i % 3 == 0 else (i, t) for i, t in base]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {(r.doc_id, r.span_start, r.span_end)
+            for r in pl.exact_substring_spans(
+                df, "doc_id", "text", 30).collect()}
+    for hash_fn in ("md5", "xxhash64"):
+        pre = {(r.doc_id, r.span_start, r.span_end)
+               for r in pl.exact_substring_spans_prefiltered(
+                   df, "doc_id", "text", 30, shingle_k=6, window=4,
+                   hash_fn=hash_fn).collect()}
+        assert pre <= full
+        planted_docs = {i for i, _ in rows if i % 3 == 0}
+        assert {d for d, _s, _e in pre} == planted_docs
+        assert pre == full                  # here ALL dup runs >= bound
+
+
 def test_exact_substring_spans_plan_is_distributed(spark):
     """No cartesian/broadcast-nested-loop anywhere: the duplicate-gram
     detection is a hash aggregate + equi-join, the span merge is a
