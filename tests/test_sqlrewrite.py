@@ -231,3 +231,24 @@ def test_left_join_on_never_moved():
     out = d(q, columns_of=_COLS)
     assert "LEFT JOIN" in out and "ON" in out
     assert "WHERE (s1.i=4-i1.i)" not in out
+
+
+def test_parse_probe_never_executes_commands(spark):
+    """The quoted-ident shim's parse gate must probe the GRAMMAR only.
+    A side-effecting statement that (a) fails Spark's parse (the `=
+    ANY(...)`), (b) becomes parseable after the quantifier rewrite, and
+    (c) carries a double-quoted span (so the gate fires on the rewritten
+    text) used to EXECUTE during the probe and again on the shimmed
+    retry — a duplicate INSERT.  Exactly one row may land."""
+    from lingo_db_spark.connection import Connection
+
+    con = Connection(spark)
+    spark.sql("DROP TABLE IF EXISTS probe_gate_t")
+    spark.sql("CREATE TABLE probe_gate_t (x INT) USING parquet")
+    try:
+        con.sql('INSERT INTO probe_gate_t '
+                'SELECT 5 WHERE 1 = ANY(SELECT 1) AND \'x\' <> "nope"')
+        assert spark.sql(
+            "SELECT COUNT(*) AS c FROM probe_gate_t").first().c == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS probe_gate_t")
