@@ -1,6 +1,12 @@
 """LLM-data-pipeline operators: dedup, text analysis, similarity,
 multimodal plumbing — the Phase-4 extensions from SURVEY.md §7."""
 
+from lingo_db_spark.pipeline.barrier import (  # noqa: F401
+    BARRIER_CONF,
+    barrier,
+    release_barriers,
+    truncate_lineage,
+)
 from lingo_db_spark.pipeline.dedup import (  # noqa: F401
     cut_substring_spans,
     decontaminate,

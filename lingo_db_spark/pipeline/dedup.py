@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lingo_db_spark.pipeline.barrier import barrier, truncate_lineage
 from lingo_db_spark.pipeline.text import shingles, tokens
 
 
@@ -58,15 +59,15 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     mins, set intersections) integer work instead of string work; set
     sizes are preserved with 64-bit collision probability (~n²/2^64).
 
-    Tokenization is MATERIALIZED (localCheckpoint) before shingling: the
+    Tokenization is MATERIALIZED (barrier) before shingling: the
     shingle lambda's body slices the token alias per element, and
     Catalyst inlines the alias through projection boundaries — so
     without a real barrier the regexp+split re-evaluates per shingle
     position (no CSE through lambda references): measured 7x slower at
     sf0.1 (3.6 s vs 0.5 s; the r9 winnow rework found projection
     separation alone does NOT block the inlining)."""
-    toked = spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
-                    id_col).localCheckpoint()
+    toked = barrier(spread(
+        df.select(F.col(id_col), tokens(text_col).alias("__toks")), id_col))
     return toked.select(
         F.col(id_col),
         F.array_distinct(
@@ -295,8 +296,9 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
     # Explicit subop.loop-shaped iteration (cf. plans.iterate) carrying
     # the previous round's label sum, so convergence costs ONE tiny agg
     # per round instead of re-summing both frames; labels only decrease,
-    # so equal consecutive sums == fixpoint.  localCheckpoint every 3
-    # rounds truncates the lineage (plan depth stays O(1)).
+    # so equal consecutive sums == fixpoint.  Lineage is truncated every
+    # 3 rounds (plan depth stays O(1)) — reliable checkpoint when the
+    # session has a checkpoint dir, localCheckpoint otherwise.
     prev_sum = label_sum(cur)
     for i in range(max_iters):
         nbr = (edges.join(cur, edges.src == cur.id)
@@ -304,7 +306,7 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
         nxt = (cur.select("id", "lbl").union(nbr)
                .groupBy("id").agg(F.min("lbl").alias("lbl")))
         if (i + 1) % 3 == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = truncate_lineage(nxt, eager=True)
         cur_sum = label_sum(nxt)
         cur = nxt
         if cur_sum == prev_sum:
@@ -339,17 +341,20 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     hash_fn="xxhash64" when cross-engine verifiability doesn't matter
     (the min-selection differs but the winnowing recall bound holds for
     any hash; measured ~8x faster on the sparse-corpus probe)."""
-    # The upstream array is MATERIALIZED (localCheckpoint) before the
+    # The upstream array is MATERIALIZED (barrier) before the
     # gram chain: every reference to an upstream alias — whether inside
     # a higher-order lambda body or as a zip_with argument — can be
     # inlined by Catalyst straight through projections and exchanges
     # and re-evaluated per reference (per ELEMENT inside lambdas),
     # which made this pass O(n * k) in regexp tokenizations: measured
-    # 30x on the sparse-corpus probe.  The blocks are reclaimed by the
-    # ContextCleaner once the fingerprints are consumed.
+    # 30x on the sparse-corpus probe.
     # Grams build as a zip_with CHAIN of shifted copies (zip_with
-    # arguments evaluate once per row, never per element); positions
-    # past n-k+1 go NULL via null-propagation and are sliced away.
+    # arguments evaluate once per row, never per element).  Tail
+    # positions past n-k+1 are dropped ONLY by the explicit slice
+    # below: in md5 mode they do go NULL (concat null-propagates), but
+    # xxhash64 IGNORES null arguments, so in xxhash64 mode the tail
+    # holds partial-gram hashes — the slice is the sole guard there,
+    # never "redundant" (fingerprint-count-per-doc pinned by test).
     if hash_fn == "xxhash64":
         # hash each token in the SAME projection as tokenization (a
         # transform's TARGET evaluates once per row — only lambda-body
@@ -358,20 +363,20 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
         # hash-of-hashes, no per-window string building (a different
         # fingerprint selection than md5 mode, which winnowing's
         # recall bound is indifferent to)
-        toked = spread(df.select(
+        toked = barrier(spread(df.select(
             F.col(id_col),
             F.transform(tokens(text_col),
                         lambda s: F.xxhash64(s)).alias("__t")),
-            id_col).localCheckpoint()
+            id_col))
         t, n = F.col("__t"), F.size("__t")
         gram_h = t
         for j in range(1, shingle_k):
             gram_h = F.zip_with(gram_h, F.slice(t, j + 1, n),
                                 lambda a, b: F.xxhash64(a, b))
     else:
-        toked = spread(df.select(
+        toked = barrier(spread(df.select(
             F.col(id_col), tokens(text_col).alias("__t")),
-            id_col).localCheckpoint()
+            id_col))
         t, n = F.col("__t"), F.size("__t")
         joined = t
         for j in range(1, shingle_k):
@@ -382,14 +387,13 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col),
         F.slice(gram_h, F.lit(1),
                 F.greatest(n - shingle_k + 1, F.lit(0))).alias("__h"))
-        .filter(F.size("__h") >= window)
-        # barrier: the per-window min below slices __h inside a lambda
-        # (inherently per-element) — without a materialization the
-        # whole gram chain would re-execute per window position.
-        # Gram hashes are ~8 B/token (xxhash64) — the cheapest frame
-        # in the pass to pin; localCheckpoint blocks are reclaimed by
-        # the ContextCleaner when the result is consumed.
-        .localCheckpoint())
+        .filter(F.size("__h") >= window))
+    # barrier: the per-window min below slices __h inside a lambda
+    # (inherently per-element) — without a materialization the
+    # whole gram chain would re-execute per window position.
+    # Gram hashes are ~8 B/token (xxhash64) — the cheapest frame
+    # in the pass to pin.
+    hashed = barrier(hashed)
     mins = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("__h") - window + 1),
         lambda i: F.array_min(F.slice("__h", i, window))))
@@ -652,16 +656,18 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
     dup_g = (cand_g.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
              .filter(F.col("__n") > 1).select("__g")
              .hint("shuffle_hash"))
-    # materialize `marked` eagerly (localCheckpoint — it is
+    # materialize `marked` eagerly (barrier — it is
     # duplicate-candidate-sized, far below the corpus-sized frames
     # above) so the two corpus-scale persisted frames can be RELEASED
     # here instead of accumulating executor storage across calls
     # (substring_dup_stats / the training-mix journey each re-enter
     # this function; without the unpersist every call pinned a new
     # corpus-sized gram cache until something external called
-    # clearCache).
-    marked = (cand_g.join(dup_g, "__g").select(id_col, "__pos")
-              .localCheckpoint())
+    # clearCache).  If marked's own blocks are later evicted it
+    # recomputes from lineage — slower (upstream caches released),
+    # never wrong.
+    marked = barrier(cand_g.join(dup_g, "__g").select(id_col, "__pos"),
+                     eager=True)
     hashed.unpersist()
     cand_g.unpersist()
     w = Window.partitionBy(id_col).orderBy("__pos")
@@ -703,20 +709,19 @@ def exact_substring_spans_prefiltered(
     Spans between a candidate and a pruned document cannot exist (the
     pruned doc shares no fingerprint with anything)."""
     # fps is read twice below (aggregate build side + semi-join probe
-    # side) — checkpoint the ~16 B/row pair stream once so the explode
+    # side) — barrier the ~16 B/row pair stream once so the explode
     # doesn't re-execute per read (a windowed count over fp would be
     # single-pass but plans a full sort of the stream: measured 2x
-    # worse than agg + broadcast join on the checkpointed frame)
-    fps = winnow_fingerprints(df, id_col, text_col, shingle_k, window,
-                              hash_fn).localCheckpoint()
+    # worse than agg + broadcast join on the materialized frame)
+    fps = barrier(winnow_fingerprints(df, id_col, text_col, shingle_k,
+                                      window, hash_fn))
     shared = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
               .filter(F.col("__n") > 1).select("fp"))
-    # candidate ids are doc-count-bounded; localCheckpoint truncates
-    # the fingerprint lineage so the winnow pass runs ONCE (the span
-    # pass reads its text frame twice — without this the whole
-    # fingerprint subtree re-executed per read, measured 3x)
-    cand_ids = (fps.join(shared, "fp").select(id_col).distinct()
-                .localCheckpoint())
+    # candidate ids are doc-count-bounded; the barrier pins them so
+    # the winnow pass runs ONCE (the span pass reads its text frame
+    # twice — without this the whole fingerprint subtree re-executed
+    # per read, measured 3x)
+    cand_ids = barrier(fps.join(shared, "fp").select(id_col).distinct())
     return exact_substring_spans(
         df.join(cand_ids, id_col), id_col, text_col, min_len)
 

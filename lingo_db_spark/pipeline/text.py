@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from lingo_db_spark.pipeline.barrier import barrier
+
 # Normalization: lowercase, collapse any non-alphanumeric run to one space.
 _NON_ALNUM = "[^a-z0-9]+"
 
@@ -183,15 +185,19 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     expressions over the token array (one tokenize, a sequence of
     slices, one explode) — no UDF, no shuffle; output grows by
     ~1/(1-overlap_ratio) and the explode is narrow.
-    Returns (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Materialization contract: the token array is pinned behind
+    pipeline.barrier (recompute-safe lazy persist by default; the
+    opt-in localCheckpoint strategy makes this function run a job
+    EAGERLY at plan-construction time — see barrier's docstring)."""
     step = chunk_tokens - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
     # barrier: the chunk lambda slices __t per chunk — without it the
     # tokenization re-evaluates per chunk (lambda-body references
     # re-evaluate per element; projection boundaries don't stop it)
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__t")) \
-        .localCheckpoint()
+    toked = barrier(df.select(F.col(id_col), tokens(text_col).alias("__t")))
     n = F.size("__t")
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / step).cast("int"))
@@ -221,9 +227,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     re-evaluate per element, each of those gram-list evaluations
     re-tokenized the document (measured 5.3 s -> 0.6 s at sf0.1, and
     the shuffle-keyed aggregate is the shape that survives 100 TB where
-    a quadratic per-row expression cannot)."""
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__t")) \
-        .localCheckpoint()
+    a quadratic per-row expression cannot).
+
+    Materialization contract: tokenization is pinned behind
+    pipeline.barrier (lazy recompute-safe persist by default; eager
+    under the opt-in localCheckpoint strategy)."""
+    toked = barrier(df.select(F.col(id_col), tokens(text_col).alias("__t")))
     n = F.size("__t")
     dup_frac = F.when(
         n > 0,
@@ -286,13 +295,16 @@ def lm_likelihood(df: DataFrame, id_col: str = "doc_id",
     worst case, corpus-bounded in practice) — doc bigrams hash-join to
     it on (w1,w2), then on w1; no driver-side model, no broadcast of a
     corpus-sized side; both joins reuse the bigram shuffle key family.
+
+    Materialization contract: tokenization is pinned behind
+    pipeline.barrier (lazy recompute-safe persist by default; eager
+    under the opt-in localCheckpoint strategy).
     """
     # barrier: the bigram lambda reads element_at(t, i) per position —
     # without a materialization the tokenization re-evaluates per
     # bigram (lambda-body references re-evaluate per element); toks
     # also feeds both the model aggregates and the scoring pass
-    toks = df.select(F.col(id_col), tokens(text_col).alias("t")) \
-        .localCheckpoint()
+    toks = barrier(df.select(F.col(id_col), tokens(text_col).alias("t")))
     bigrams = (toks
                .where(F.size("t") >= 2)
                .select(id_col, F.explode(F.transform(
