@@ -398,19 +398,31 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — evidence must never kill the run
         log(f"bench: could not write evidence file: {e}")
     log("bench: load_evidence=" + json.dumps(batch_loads))
+    print(shed_to_budget(payload, ev_path), flush=True)
+    return 0
+
+
+def shed_to_budget(payload: dict, ev_path: str, budget: int = 1900) -> str:
+    """Hard guarantee the single stdout line survives a 2000-char tail
+    capture: shed the components also present in the evidence file,
+    largest-first; LAST RESORT, replace the queries dict itself with a
+    pointer to the evidence file (keeping metric/value/host_quiet — the
+    headline number must always parse)."""
     line = json.dumps(payload, separators=(",", ":"))
-    # Hard guarantee the single stdout line survives a 2000-char tail
-    # capture: shed the components also present in the evidence file,
-    # largest-first, before ever truncating the queries dict itself.
     for shed in ("duckdb_ref", "spark_over_duckdb_ratio"):
-        if len(line) <= 1900:
+        if len(line) <= budget:
             break
         log(f"bench: stdout line {len(line)} chars — shedding {shed} "
             f"(still in {ev_path})")
         payload.pop(shed, None)
         line = json.dumps(payload, separators=(",", ":"))
-    print(line, flush=True)
-    return 0
+    if len(line) > budget:
+        log(f"bench: stdout line {len(line)} chars after shedding side "
+            f"dicts — moving the queries dict to {ev_path}")
+        payload.pop("queries", None)
+        payload["queries_in"] = ev_path
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -86,11 +86,31 @@ class Connection:
                     return True
                 except ParseException:
                     return False
-                except Exception as pe:  # noqa: BLE001 — py4j wraps
-                    # the Java ParseException; anything else means the
-                    # grammar accepted it (analysis errors come later).
-                    return "ParseException" not in (
-                        f"{type(pe).__name__}: {pe}")
+                except Exception as pe:  # noqa: BLE001
+                    # py4j wraps the Java exception: classify by the
+                    # JAVA CLASS NAME, not substring-matching the
+                    # message.  A parse failure -> False (shim may
+                    # apply); any OTHER probe failure (py4j transport
+                    # error, Spark Connect without _jsparkSession) is
+                    # a DELIBERATE fail-open: report "parses" so the
+                    # meaning-changing quoted-identifier shim is never
+                    # applied on the strength of a broken probe — the
+                    # original text (and its original error) stands.
+                    # Logged so the degradation is visible.
+                    jexc = getattr(pe, "java_exception", None)
+                    if jexc is not None:
+                        try:
+                            cls = jexc.getClass().getName()
+                        except Exception:  # noqa: BLE001
+                            cls = ""
+                        if "ParseException" in cls:
+                            return False
+                    import sys
+                    print(f"lingo_db_spark: parse probe broke "
+                          f"({type(pe).__name__}: {str(pe)[:120]}) — "
+                          f"quoted-identifier shim disabled for this "
+                          f"statement", file=sys.stderr)
+                    return True
 
             shimmed = apply_analysis_shims(
                 apply_parse_shims(query, parses=_parses))

@@ -107,7 +107,7 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 WHERE l_orderkey < 400
 ORDER BY l_orderkey, l_linenumber
-""")
+""", driver_attestable=False)
 def decimal_div_mod_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal-typed twin of `decimal_div_mod` — DECIMAL(17,6)/(5,2)
     outputs end-to-end, kept for the local oracle gate where the DuckDB
@@ -162,7 +162,7 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
-""")
+""", driver_attestable=False)
 def decimal_avg_promote_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal-typed twin of `decimal_avg_promote` — DECIMAL(31,21)/(38,19)
     outputs end-to-end, kept for the local oracle gate (DuckDB 1.0.0)."""
@@ -232,7 +232,7 @@ SELECT a, b,
        CAST(a * b AS DECIMAL(38,4)) AS prod_wide
 FROM {_VALUES_AB}
 ORDER BY a, b
-""")
+""", driver_attestable=False)
 def decimal_literal_arith_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal-typed twin of `decimal_literal_arith` — DECIMAL(26,14)/
     (12,2)/(24,4)/(38,4) outputs end-to-end, local oracle gate only."""

@@ -226,7 +226,7 @@ SELECT o_orderkey,
 FROM orders
 WHERE o_orderkey < 500
 ORDER BY o_orderkey
-""")
+""", driver_attestable=False)
 def scalars_cast_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal-typed twin of `scalars_cast`'s double->DECIMAL(18,2)
     column, kept for the local oracle gate (DuckDB 1.0.0)."""

@@ -76,6 +76,14 @@ def _declared_schemas(ddl_text: str):
     return out
 
 
+# Anchors whose value-checked oracle failed to construct and fell back
+# to the weaker rows-only check.  MUST stay empty: tools/check_oracle.py
+# reports it in the gate summary and tests/test_probes.py asserts on it
+# — a verification-strength regression surfaces as a red gate, not a
+# stderr line nobody reads (ADVICE r9).
+DEGRADED_ANCHORS: list[tuple[str, str, str]] = []
+
+
 def _cte_oracle(suite: str, ddl_fname: str, query_fname: str,
                 tables: list[str], selects_fn_module: str,
                 wrap: str) -> str | None:
@@ -87,9 +95,14 @@ def _cte_oracle(suite: str, ddl_fname: str, query_fname: str,
     if ddl_text is None or body is None:
         return None                    # reference absent: rows-only check
     # This runs at module import (register() decoration time) inside
-    # load_all() — a KeyError from a renamed/unparseable CREATE must
-    # degrade THIS anchor to the rows-only check, never break the whole
-    # registry import and with it the driver gate.
+    # load_all() — a construction failure must degrade THIS anchor to
+    # the rows-only check, never break the whole registry import and
+    # with it the driver gate.  Expected failure modes are caught
+    # narrowly (KeyError: renamed/unparseable CREATE or a selects-map
+    # gap; ImportError: tools not importable; AttributeError: selects
+    # module drift); anything else still degrades rather than killing
+    # the gate, but BOTH paths record the anchor in DEGRADED_ANCHORS,
+    # which the gate summary prints and a test asserts empty.
     try:
         _tools_importable()
         import importlib
@@ -105,12 +118,16 @@ def _cte_oracle(suite: str, ddl_fname: str, query_fname: str,
         body = body.strip().rstrip(";").strip()
         return (f"WITH {', '.join(ctes)}\n"
                 f"SELECT {wrap} FROM (\n{body}\n) v")
-    except Exception as e:             # noqa: BLE001
-        import sys
-        print(f"[verbatim_anchors] {suite}/{query_fname}: oracle "
-              f"construction failed ({type(e).__name__}: {e}); "
-              f"degrading to rows-only check", file=sys.stderr)
-        return None
+    except (KeyError, ImportError, AttributeError) as e:
+        reason = f"{type(e).__name__}: {e}"
+    except Exception as e:             # noqa: BLE001 — see above
+        reason = f"UNEXPECTED {type(e).__name__}: {e}"
+    import sys
+    DEGRADED_ANCHORS.append((suite, query_fname, reason))
+    print(f"[verbatim_anchors] {suite}/{query_fname}: oracle "
+          f"construction failed ({reason}); degrading to rows-only "
+          f"check", file=sys.stderr)
+    return None
 
 
 def _run_verbatim(spark: SparkSession, sf_dir: str, suite: str,

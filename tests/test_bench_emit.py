@@ -1,0 +1,61 @@
+"""bench.py stdout-emission contract: the single JSON line must survive
+the driver's 2000-char TAIL capture no matter how many headline queries
+exist (BENCH_r08 was lost to head-truncation; the shed ladder is the
+guard)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import shed_to_budget  # noqa: E402
+
+
+def _payload(n_queries: int) -> dict:
+    qs = {f"suite_query_with_a_long_name_{i:04d}": round(0.1 * i, 3)
+          for i in range(n_queries)}
+    return {
+        "metric": "sum_of_per_query_median_wall_sec",
+        "value": 38.97,
+        "unit": "sec",
+        "queries": qs,
+        "duckdb_ref": dict(qs),
+        "spark_over_duckdb_ratio": {k: 9.9 for k in qs},
+        "sf": 0.1, "warmup": 1, "runs": 3, "cpus": 32, "host_quiet": True,
+    }
+
+
+def test_small_payload_keeps_everything():
+    line = shed_to_budget(_payload(5), "/tmp/ev.json")
+    got = json.loads(line)
+    assert "duckdb_ref" in got and "queries" in got
+    assert len(line) <= 1900
+
+
+def test_medium_payload_sheds_side_dicts_first():
+    line = shed_to_budget(_payload(30), "/tmp/ev.json")
+    got = json.loads(line)
+    assert "queries" in got              # queries survive as long as possible
+    assert "duckdb_ref" not in got
+    assert len(line) <= 1900
+
+
+def test_oversized_queries_dict_falls_back_to_pointer():
+    # ~50 chars per entry -> 60 queries alone exceed the budget
+    line = shed_to_budget(_payload(60), "/tmp/ev.json")
+    got = json.loads(line)
+    assert len(line) <= 1900
+    # headline number always parses; the per-query map rides the file
+    assert got["value"] == 38.97
+    assert got["host_quiet"] is True
+    assert got.get("queries_in") == "/tmp/ev.json"
+    assert "queries" not in got
+
+
+def test_monster_payload_still_fits():
+    line = shed_to_budget(_payload(500), "/tmp/ev.json")
+    assert len(line) <= 1900
+    assert json.loads(line)["metric"] == "sum_of_per_query_median_wall_sec"

@@ -32,6 +32,12 @@ from lingo_db_spark.connection import Connection
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 REF_JOB = Path("/root/reference/resources/sql/job")
 
+# The exact queries whose needle families have no members inside the
+# sf0.001 keyspace (ClickBench-style named exemption set — r10).
+SCALE_INHERENT_EMPTY_SF0001 = [
+    "10b", "11b", "14b", "18b", "21b", "27c", "28c", "4b", "6c",
+]
+
 
 def _rows_equal(a, b, tol=1e-6) -> bool:
     if len(a) != len(b):
@@ -81,7 +87,7 @@ def test_job_verbatim_initialize_and_all_113_queries(spark, tmp_path):
                    if f.name != "initialize.sql")
     assert len(files) == 113
     mismatches, spark_errors = [], []
-    row_bearing = 0
+    empties = []
     for f in files:
         qtext = f.read_text()
         try:
@@ -92,16 +98,18 @@ def test_job_verbatim_initialize_and_all_113_queries(spark, tmp_path):
         want = duck.execute(qtext).fetchall()
         if not _rows_equal(got, want):
             mismatches.append((f.name, got[:1], want[:1]))
-        if want and any(v is not None for v in want[0]):
-            row_bearing += 1
+        if not (want and any(v is not None for v in want[0])):
+            empties.append(f.stem)
     assert spark_errors == []
     assert mismatches == []
     # 104/113 bear rows at this test's sf0.001; the 9 empties are
-    # scale-inherent (their needle-family members have movie ids above
-    # the 1500-order keyspace: 11b needs id 7224, 21b id 14436, ...).
-    # The sf0.01 floor — where every family has members — is asserted
-    # at == 113 by test_job_row_bearing_floor_sf001 below.
-    assert row_bearing >= 100, f"only {row_bearing}/113 row-bearing"
+    # scale-inherent, pinned BY NAME (their needle-family members have
+    # movie ids above the 1500-order keyspace: 11b needs id 7224, 21b
+    # id 14436, ...).  A fixture regression adds a name here and fails
+    # loudly; the sf0.01 floor — where every family has members — is
+    # asserted at == 113 by test_job_row_bearing_floor_sf001 below.
+    assert sorted(empties) == SCALE_INHERENT_EMPTY_SF0001, \
+        f"empty set drifted: {sorted(empties)}"
 
 
 @pytest.mark.skipif(not REF_JOB.exists(), reason="reference absent")

@@ -73,3 +73,51 @@ def test_table_probes_closed_form(spark):
         for r in li)
     got = reg["probe_cast_dec_total_cents"].spark_fn(spark, sf_dir).collect()[0]
     assert got["total_cents"] == exp_cents
+
+
+# ---------------------------------------------------------------------------
+# Attestation-ledger hygiene (r10): `registered - attested - flagged -
+# scheduled` must be provably empty, machine-checked — not explained in
+# prose each round.
+# ---------------------------------------------------------------------------
+
+def test_driver_attestable_flags_are_exactly_the_typed_twins():
+    reg = load_all()
+    flagged = {n for n, s in reg.items() if not s.driver_attestable}
+    assert flagged == {
+        "decimal_div_mod_typed", "decimal_avg_promote_typed",
+        "decimal_literal_arith_typed", "scalars_cast_typed",
+    }
+
+
+def test_attestation_ledger_closed():
+    """Every driver-attestable registered query is either already green
+    in some CORRECTNESS_r*.json or scheduled in the driver's 50-slot
+    window (the first 50 entries of load_all())."""
+    import glob
+    import json
+    from pathlib import Path
+    root = Path(__file__).resolve().parent.parent
+    attested: set[str] = set()
+    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        for k, v in json.load(open(p)).items():
+            if v.get("rows_match") and v.get("schema_match") and \
+                    v.get("hash_match") in (True, None):
+                attested.add(k)
+    reg = load_all()
+    window = set(list(reg)[:50])
+    missing = {n for n, s in reg.items()
+               if s.driver_attestable and n not in attested
+               and n not in window}
+    assert missing == set(), (
+        f"{len(missing)} attestable queries neither attested nor "
+        f"scheduled: {sorted(missing)}")
+
+
+def test_no_degraded_verbatim_anchors():
+    """Every verbatim anchor's value-checked oracle constructed cleanly
+    (a construction failure silently weakens the gate to rows-only —
+    ADVICE r9 wants that loud)."""
+    load_all()
+    from lingo_db_spark.queries.verbatim_anchors import DEGRADED_ANCHORS
+    assert DEGRADED_ANCHORS == []

@@ -123,6 +123,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"✗ {name}: EXC {type(e).__name__}: {str(e)[:300]}")
+    from lingo_db_spark.queries.verbatim_anchors import DEGRADED_ANCHORS
+    if DEGRADED_ANCHORS:
+        print(f"\nWARNING {len(DEGRADED_ANCHORS)} verbatim anchor(s) "
+              f"DEGRADED to rows-only checks: {DEGRADED_ANCHORS}")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
