@@ -54,25 +54,49 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
                    shingle_k: int = 3) -> DataFrame:
-    """(id, shs: array<bigint>) — xxhash64 of each distinct k-token
+    """(id, shs: array<bigint>) — 64-bit hash of each distinct k-token
     shingle.  Hashing once up front makes every downstream step (minhash
     mins, set intersections) integer work instead of string work; set
     sizes are preserved with 64-bit collision probability (~n²/2^64).
 
-    Tokenization is MATERIALIZED (barrier) before shingling: the
-    shingle lambda's body slices the token alias per element, and
-    Catalyst inlines the alias through projection boundaries — so
-    without a real barrier the regexp+split re-evaluates per shingle
-    position (no CSE through lambda references): measured 7x slower at
-    sf0.1 (3.6 s vs 0.5 s; the r9 winnow rework found projection
-    separation alone does NOT block the inlining)."""
-    toked = barrier(spread(
-        df.select(F.col(id_col), tokens(text_col).alias("__toks")), id_col))
+    Tokens are hashed IN the tokenize projection (xxhash64 per token —
+    a transform's TARGET evaluates once per row); k-gram hashes then
+    combine hash-of-hashes via a zip_with CHAIN (arguments evaluate
+    once per row — NO lambda-body slicing anywhere in the pass).  This
+    is winnow_fingerprints' xxhash64 mode transferred (r10): the r9
+    shape barriered the token-STRING arrays and built shingles by a
+    per-element slicing lambda, and paying that eager materialization
+    inside every cold-cache bench run was the pipeline_minhash_neardup
+    anomaly.  Hash-of-hashes yields different VALUES than
+    xxhash64(shingle string), which no consumer or oracle depends on —
+    MinHash re-scores exact Jaccard over the hashed sets, and the
+    DuckDB oracles recompute ground truth from token strings.
+
+    DELIBERATELY NO barrier here: with the zip_with chain the alias
+    re-evaluation is per-REFERENCE (bounded, ~2k per row), not
+    per-element, and the r10 A/B (tools/minhash_ab_probe.py, quiet
+    host, bench protocol) measured skipping the extra materialization
+    25% faster end-to-end (1.67 s vs 2.23 s at sf0.1) with zero
+    storage footprint — the shape that also wins at 100 TB, where a
+    second corpus-sized materialization is pure cost.  Callers that
+    consume the result twice persist it themselves (neardup_minhash)."""
+    toked = spread(df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col),
+                    lambda s: F.xxhash64(s)).alias("__t")), id_col)
+    t, n = F.col("__t"), F.size("__t")
+    gram_h = t
+    for j in range(1, shingle_k):
+        gram_h = F.zip_with(gram_h, F.slice(t, j + 1, n),
+                            lambda a, b: F.xxhash64(a, b))
+    # tail positions past n-k+1 hold PARTIAL-gram hashes (xxhash64
+    # ignores NULL arguments — null-propagation does not drop them);
+    # the slice is the sole guard, as in winnow_fingerprints.
     return toked.select(
         F.col(id_col),
         F.array_distinct(
-            F.transform(shingles(F.col("__toks"), shingle_k),
-                        lambda s: F.xxhash64(s))).alias("shs"))
+            F.slice(gram_h, F.lit(1),
+                    F.greatest(n - shingle_k + 1, F.lit(0)))).alias("shs"))
 
 
 _SIG_UDFS: dict[int, object] = {}
