@@ -63,6 +63,12 @@ HEADLINE_EXTRA = [
     "ds_double_exists_shared_cte",
     "job_ten_way_min_chain",
     "ds_fullouter_cumulative_compare",
+    # r10: the two r9 verbatim anchors, so the hardest-suite journeys
+    # (17-relation JOB chain; TPC-DS fullouter + cumulative windows)
+    # get round-over-round wall-time tracking alongside cb_top_groups /
+    # bb_category_trend_slope (already above)
+    "sql_job_29a_verbatim",
+    "sql_tpcds_q51_verbatim",
 ]
 
 

@@ -108,41 +108,35 @@ def register(name: str, oracle: str | None, *,
 # diagnosed r5; their VARCHAR-encoded twins are driver-green).
 # Names not listed keep registration order after these.  Unknown names
 # are ignored (defensive: renames must not break the gate).
-# r9 window: canary; the four r8 flagship queries that registered
-# AFTER the r8 window closed (never driver-attested); this round's new
-# operators; all 25 remaining r3-stale rows; the streaming family
-# (r5-stale — the oldest family); fill to 50 with the oldest r4 rows.
+# r10 window: canary; ALL 32 rows whose latest green is r4 (computed
+# from the CORRECTNESS_r* records — the grouping/window/setop/pivot
+# wave, the events_* wave, the ssb/cb/bb representatives, the COPY
+# roundtrips); fill to exactly 50 with 17 of the 34 r5 rows (udf/iter/
+# multimodal/events-tail/decimal/ssb-tail).  The 15 remaining probe_*
+# r5 rows + ssb_q2_3/q3_1 rotate in r11.  After this round no query's
+# latest green is older than r5.
 ATTEST_PRIORITY: list[str] = [
     "semantics_canary",
-    # --- r8 flagships, registered after the r8 window (never attested) ---
-    "pipeline_exact_substring_spans", "pipeline_substring_dup_stats",
-    "pipeline_cut_spans", "pipeline_training_mix_journey",
-    # --- new in r9 (never attested) ---
-    "pipeline_substring_spans_prefiltered",
-    "sql_job_29a_verbatim", "sql_tpcds_q51_verbatim",
-    # --- freshness: last attested r3 (all 25) ---
-    "pipeline_winnow_overlap", "pipeline_prepare_corpus",
-    "pipeline_stratified_sample", "pipeline_dedup_rollup",
-    "text_langid_counts", "embedding_norms", "pipeline_pack_sequences",
-    "pipeline_ngram_jaccard", "pipeline_chunk_documents",
-    "pipeline_repetition_stats", "pipeline_redact_pii",
-    "pipeline_mix_proportions", "pipeline_oversample",
-    "pipeline_fuzzy_pairs", "scalars_char_semantics",
-    "scalars_interval_arith", "scalars_datetime_units",
-    "scalars_fuzzy_match", "ds_correlated_avg_threshold",
-    "ds_above_category_avg", "ds_exists_under_or",
-    "ds_year_total_cte_reuse", "ds_window_over_join",
-    "ds_scalar_subqueries_select", "ds_intersect_years",
-    # --- freshness: the streaming family (r5-stale, oldest family) ---
-    "streaming_window_counts", "streaming_window_append",
-    "streaming_sessionization", "streaming_dedup",
-    "streaming_interval_join", "streaming_outer_interval_join",
-    "streaming_stream_static_join", "streaming_topk_stateful",
-    # --- fill to 50 with the oldest r4 rows ---
-    "pipeline_simhash_neardup", "pipeline_approx_distinct",
-    "ann_topk_quantized", "events_approx_percentiles",
-    "sql_tpch_q3", "sql_tpch_q6", "sql_window_topk_per_group",
-    "sql_ddl_roundtrip", "sql_copy_csv_roundtrip",
+    # --- freshness: every row last attested r4 (all 32) ---
+    "agg_any_value", "bb_category_trend_slope", "bb_value_volatility_band",
+    "cb_top_groups", "cube_grouping", "ds_channels_rollup",
+    "ds_correlated_having", "ds_cumulative_channels", "ds_exists_notexists",
+    "events_funnel", "events_json_extract", "events_salted_join",
+    "events_session_window_native", "events_sessionization",
+    "events_sliding_windows", "events_value_quantiles",
+    "events_window_hourly", "generate_unnest", "grouping_sets",
+    "job_selfalias_dim_reuse", "job_style_join_chain",
+    "pivot_event_counts", "renaming_columns", "setop_intersect_distinct",
+    "sql_copy_orc_roundtrip", "sql_copy_parquet_roundtrip",
+    "ssb_q1_1", "ssb_q4_1", "unpivot_quality_dims",
+    "window_ntile_lag_lead", "window_range_frame", "window_rank_family",
+    # --- fill to 50 with 17 of the oldest r5 rows ---
+    "udf_python_scalar", "udf_pandas_grouped_agg", "iter_bfs_levels",
+    "multimodal_decode_meta", "multimodal_frame_sample",
+    "events_locf_fill", "events_resample_fill", "events_retention_cohorts",
+    "events_value_histogram", "events_zscore_outliers",
+    "scalars_cast", "decimal_avg_promote", "decimal_div_mod",
+    "decimal_literal_arith", "ssb_q1_2", "ssb_q1_3", "ssb_q2_2",
 ]
 
 
