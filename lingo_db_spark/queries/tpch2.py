@@ -247,7 +247,16 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is computed once (.cache()), consumed by both the threshold
     and the filter; the 1-row threshold broadcasts into the comparison.
     The threshold is 2x the mean part value (TPC-H's SUM(...)*fraction/SF
-    made scale-free: the original fraction is itself 0.0001/SF)."""
+    made scale-free: the original fraction is itself 0.0001/SF).
+
+    The lineitem<-asia_supp join is pinned shuffle_hash: asia_supp is a
+    JOIN OUTPUT, and the static planner's size estimate for it is
+    unreliable enough that at sf1 it instead broadcast the pruned LINEITEM
+    scan (6M rows under the 64MB estimate — measured 3.1 s, and an
+    estimate-driven fact broadcast is exactly the scale hazard SCALE.md r9
+    records).  asia_supp is supplier-proportional, NOT bounded by
+    construction, so it gets the shuffle pin rather than a broadcast hint;
+    measured 3.1 s -> 2.0 s at sf1."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -255,7 +264,8 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_supp = (supp
                  .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
                  .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-                 .select("s_suppkey"))
+                 .select("s_suppkey")
+                 .hint("shuffle_hash"))
     pr = (li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
           .groupBy("l_partkey")
           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -511,40 +521,51 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting (reference
     resources/sql/tpch/21.sql; "late" = shipped >90 days after order):
     the sole-late-supplier pattern — EXISTS another supplier on the order,
-    NOT EXISTS another LATE supplier.  Both correlated subqueries become
-    self-joins with residual inequality predicates: left-semi for EXISTS,
-    left-anti for NOT EXISTS (relalg.semijoin/antisemijoin,
-    RelAlgOps.td:297-316).  The late-lines relation is computed once and
-    reused as both the outer stream and the anti side."""
+    NOT EXISTS another LATE supplier.
+
+    Both correlated subqueries fuse into ONE per-order aggregation
+    (the relalg.groupjoin fusion, reference GroupJoin.cpp /
+    RelAlgOps.td:297-316, instead of semi/anti self-joins that hash-build
+    the whole lineitem fact): over the F-order lines,
+      EXISTS(other supplier)       <=>  min(l_suppkey) != max(l_suppkey)
+      NOT EXISTS(other LATE supp)  <=>  min(late supp) == max(late supp)
+    (l1 ranges over late lines, so l1.supp is within [min,max]: if
+    min==max every line is l1's supplier; late-min==late-max pins the
+    single late supplier, which must be l1's since l1 itself is late.)
+    Each qualifying order contributes its late-line count to that one
+    supplier.  Restricting to F orders loses nothing: l2/l3 range over
+    l1's own order, which is F.  One fact-fact shuffle + one map-side
+    partial agg replaces two lineitem-sized hash builds; measured
+    3.3 s -> 1.3 s at sf1 and the build sides no longer scale with the
+    fact at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_regionkey") == 3)
-    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .filter(F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-            .select("l_orderkey", "l_suppkey", "o_orderstatus")).cache()
-    base = (late.filter(F.col("o_orderstatus") == "F")
-            .select("l_orderkey", "l_suppkey"))
-    others = li.select(F.col("l_orderkey").alias("o2_okey"),
-                       F.col("l_suppkey").alias("o2_skey"))
-    with_other = base.join(
-        others,
-        (base.l_orderkey == F.col("o2_okey"))
-        & (base.l_suppkey != F.col("o2_skey")),
-        "left_semi")
-    late_others = late.select(F.col("l_orderkey").alias("l3_okey"),
-                              F.col("l_suppkey").alias("l3_skey"))
-    sole_late = with_other.join(
-        late_others,
-        (with_other.l_orderkey == F.col("l3_okey"))
-        & (with_other.l_suppkey != F.col("l3_skey")),
-        "left_anti")
-    return (sole_late
-            .join(supp, sole_late.l_suppkey == supp.s_suppkey)
+    lf = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+          .withColumn("is_late",
+                      F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    late_s = F.when(F.col("is_late"), F.col("l_suppkey"))
+    stats = (lf.groupBy("l_orderkey")
+             .agg(F.min("l_suppkey").alias("smin"),
+                  F.max("l_suppkey").alias("smax"),
+                  F.min(late_s).alias("lmin"),
+                  F.max(late_s).alias("lmax"),
+                  F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+                  .alias("nlate")))
+    qual = stats.filter((F.col("smin") != F.col("smax"))
+                        & F.col("lmin").isNotNull()
+                        & (F.col("lmin") == F.col("lmax")))
+    per_supp = (qual.groupBy(F.col("lmin").alias("skey"))
+                .agg(F.sum("nlate").alias("nw")))
+    return (per_supp
+            .join(supp, per_supp.skey == supp.s_suppkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
             .groupBy("s_name")
-            .agg(F.count(F.lit(1)).alias("numwait"))
+            .agg(F.sum("nw").cast("long").alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name")
             .limit(100))

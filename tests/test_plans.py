@@ -63,7 +63,14 @@ def test_topk_plans_take_ordered_not_global_sort(spark):
 
 
 def test_semi_and_anti_joins_planned(spark):
-    assert "LeftSemi" in plan(spark, "tpch_q4")
+    # q4's EXISTS is deliberately NOT a semi join anymore: a left-semi
+    # hash join must build on the fact side (lineitem), so the EXISTS is
+    # rewritten to a max-per-orderkey pre-aggregation joined 1:1 (see
+    # q4's docstring).  Pin the shape: no semi join, and the lineitem
+    # side carries a partial max aggregate before the join.
+    p4 = plan(spark, "tpch_q4")
+    assert "LeftSemi" not in p4
+    assert "max(l_shipdate" in p4
     assert "LeftAnti" in plan(spark, "tpch_q22")
 
 
@@ -123,9 +130,15 @@ def test_q17_single_pass_groupjoin_shape(spark):
     assert "Window" in p
 
 
-def test_q21_anti_join_planned(spark):
+def test_q21_groupjoin_fused(spark):
+    # q21's EXISTS + NOT EXISTS fuse into one per-order min/max aggregate
+    # (groupjoin fusion — see q21's docstring): no semi/anti self-joins
+    # hash-building lineitem, exactly one lineitem scan, and the fused
+    # aggregate computes both supplier extrema.
     p = plan(spark, "tpch_q21")
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "LeftSemi" not in p and "LeftAnti" not in p
+    assert "min(l_suppkey" in p and "max(l_suppkey" in p
+    assert p.count("Location: InMemoryFileIndex") <= 4  # li+orders+supp+nation once each
 
 
 def test_embed_neardup_no_cartesian(spark):
