@@ -271,6 +271,20 @@ def run_worker(names: list[str], sf_dir: str, warmup: int, runs: int) -> dict:
             timer.cancel()
             sc.setJobGroup("", "")
 
+    # JIT warm pass: one un-timed run of every query in the batch before
+    # any measurement.  Each batch is a fresh JVM, so without this the
+    # batch's FIRST queries absorb the C2-compilation tail into their
+    # medians (measured at sf10: 10.4 s "median" for q1 cold-session vs
+    # 2.5 s steady state) — a misattribution, not a real cost difference
+    # between queries.  Failures here are ignored; the measured loop
+    # below reports them properly.
+    for name in names:
+        try:
+            timed_collect(name, "jit")
+        except Exception:  # noqa: BLE001
+            pass
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in names:
         samples = []

@@ -35,6 +35,15 @@ def main():
     registry = load_all()
     names = [f"tpch_q{i}" for i in range(1, 23)]
     spark = build_session("tpch_scale_probe")
+    # JIT warm phase: one pass over the whole set before any measurement.
+    # With a cold JVM the first measured queries pay multi-second
+    # C2-compilation tails that the per-query warmup run does not drain
+    # (measured at sf10: q1 "median" 10.4 s cold-session vs 2.5 s steady
+    # state), which would misattribute JIT cost to whichever queries run
+    # first.
+    for name in names:
+        registry[name].spark_fn(spark, SF_DIR).collect()
+        spark.catalog.clearCache()
     spark_t: dict[str, float] = {}
     for name in names:
         samples = []
