@@ -108,6 +108,21 @@ def _cpu_busy_sec() -> float:
         return 0.0
 
 
+def _steal_sec() -> float:
+    """Hypervisor steal CPU-seconds since boot (/proc/stat field 8).
+    On a shared-host VM the guest can look perfectly quiet
+    (external_busy_cores ~ 0) while the HYPERVISOR robs it: observed as
+    minutes-long windows where identical plans run 3-17x slower (q10 at
+    sf10: 34 s median in one such window, 1.9 s steady).  Recording the
+    steal delta per batch makes those windows self-convicting in the
+    artifact instead of reading as engine regressions."""
+    try:
+        vals = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+        return int(vals[7]) / 100.0 if len(vals) > 7 else 0.0
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
 def _own_cpu_sec() -> float:
     """USER CPU-seconds consumed by this process AND its reaped
     children (same user-time basis as _cpu_busy_sec)."""
@@ -167,6 +182,7 @@ class _LoadProbe:
         self.busy0 = _cpu_busy_sec()
         a = resource.getrusage(resource.RUSAGE_SELF)
         self.own0 = a.ru_utime if self_only else _own_cpu_sec()
+        self.steal0 = _steal_sec()
         self.load_before = _loadavg()
 
     def finish(self, extra_own: float = 0.0) -> dict:
@@ -183,6 +199,10 @@ class _LoadProbe:
             # average CPU cores kept busy by processes OUTSIDE this
             # bench's own tree during the window (~0 on a quiet host)
             "external_busy_cores": round(max(0.0, busy - own) / wall, 2),
+            # average cores stolen by the HYPERVISOR during the window
+            # (~0 on a quiet shared host; >0.5 marks a noise window
+            # whose timings should be distrusted — see _steal_sec)
+            "steal_cores": round((_steal_sec() - self.steal0) / wall, 2),
         }
 
 
@@ -386,9 +406,15 @@ def main() -> int:
     # batches' medians to distrust (see _LoadProbe).  host_quiet is
     # the wall-weighted average so a short calibration window's
     # noise can't flip the verdict alone.
+    total_wall = max(1e-6, sum(b["wall_sec"] for b in batch_loads))
     host_quiet = (
         sum(b["external_busy_cores"] * b["wall_sec"] for b in batch_loads)
-        <= 1.0 * max(1e-6, sum(b["wall_sec"] for b in batch_loads)))
+        <= 1.0 * total_wall
+        # hypervisor steal counts against quietness too: the guest can
+        # be idle while the host robs it (observed 3-17x slowdowns on
+        # identical plans during such windows)
+        and sum(b.get("steal_cores", 0.0) * b["wall_sec"]
+                for b in batch_loads) <= 0.5 * total_wall)
     payload = {
         "metric": "sum_of_per_query_median_wall_sec",
         "value": total,
