@@ -13,6 +13,8 @@ from lingo_db_spark.operators.similarity import (  # noqa: F401
     lsh_buckets,
     lsh_topk,
     norm,
+    pq_encode,
+    pq_topk,
     quantize_embeddings,
 )
 

@@ -590,6 +590,61 @@ def ann_topk_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "rank")
 
 
+@register("ann_topk_pq", _ANN_INVARIANT_ORACLE)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 (Jégou et al. PAMI'11):
+    the corpus is scanned as 16-byte PQ codes (16 subspaces x 32 codes,
+    codebooks Lloyd-trained on a deterministic sample) against per-query
+    ADC lookup tables — no float vector is read until the top-64 ADC
+    candidates per query fetch theirs for the exact cosine re-rank.  The
+    compressed-domain ANN path: at 100 TB the ADC scan reads ~6% of the
+    embedding bytes, and composes with IVF's partition pruning
+    (IVF-PQ).  Output is the per-query invariant form (_ann_invariants):
+    k rows, recall >= 8/10 (enforced; 9/10 measured at sf0.01 on the
+    worst query, margin pinned in tests/test_pipeline.py), exact
+    re-scoring.
+    Two-level candidate cut — no corpus-proportional reducer (see
+    pq_topk's docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = _query_vectors(emb)
+    out = ops.pq_topk(base, qs, k=10, dim=64, m=16, n_codes=32, rerank=64)
+    exact = ops.brute_force_topk(base, qs, k=10)
+    return sorted_result(_ann_invariants(out, exact, min_hits=8), "q_id")
+
+
+@register("ann_topk_pq_full", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, base.vec_id,
+         CAST(list_cosine_similarity(base.embedding, q.q_vec) AS DOUBLE)
+           AS cos_raw
+  FROM base, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def ann_topk_pq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with an exhaustive re-rank window (rerank >= corpus): every
+    vector survives the ADC cut, so the result is EXACT and value-checked
+    against the brute-force oracle — pinning the PQ machinery itself
+    (normalization, per-subspace encoding, LUT routing, the two-level
+    candidate cut, re-rank joins) rather than just row counts;
+    ann_topk_pq then only adds the rerank-pruning knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    out = ops.pq_topk(base, _query_vectors(emb), k=10, dim=64,
+                      m=16, n_codes=32, rerank=1_000_000)
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
+
+
 @register("embedding_norms", """
 SELECT label,
        COUNT(*) AS n,

@@ -265,6 +265,8 @@ def test_ann_recall_margins(spark):
                              n_planes=4, n_tables=16), 7),
         ("ivf", ops.ivf_topk(base, qs, k=k, dim=64,
                              n_cells=16, n_probe=6), 5),
+        ("pq", ops.pq_topk(base, qs, k=k, dim=64,
+                           m=16, n_codes=32, rerank=64), 9),
     ]:
         hits = {}
         for r in approx.collect():
@@ -328,6 +330,42 @@ def test_ivf_partial_probe_returns_k_and_good_scores(spark):
     brute_mean = sum(r.cos for r in brute) / len(brute)
     part_mean = sum(r.cos for r in part) / len(part)
     assert part_mean >= 0.8 * brute_mean
+
+
+def test_pq_full_rerank_equals_brute_force(spark):
+    # rerank >= corpus keeps every ADC candidate: the PQ plumbing
+    # (normalize -> per-subspace encode -> LUT scan -> two-level cut ->
+    # re-rank joins) must reproduce the exact result.
+    base, q = _emb_and_queries(spark)
+    brute = [(r.q_id, r.vec_id, r.rank) for r in
+             ops.brute_force_topk(base, q, k=10)
+             .orderBy("q_id", "rank").collect()]
+    full = [(r.q_id, r.vec_id, r.rank) for r in
+            ops.pq_topk(base, q, k=10, dim=64, m=16, n_codes=32,
+                        rerank=1_000_000)
+            .orderBy("q_id", "rank").collect()]
+    assert brute == full
+
+
+def test_pq_encode_shape_determinism_and_plan(spark):
+    """The code column is the compressed corpus representation: m tinyint
+    entries in [0, n_codes), identical across two independent train+encode
+    passes (seeded sample, seeded Lloyd init, fixed iterations), and the
+    pq_topk plan stays distributed (no cartesian)."""
+    base, q = _emb_and_queries(spark)
+    books, codes = ops.pq_encode(base, dim=64, m=16, n_codes=32)
+    assert books.shape == (16, 32, 4)
+    rows = {r.vec_id: r.pq_codes for r in codes.collect()}
+    assert all(len(c) == 16 for c in rows.values())
+    assert all(0 <= v < 32 for c in rows.values() for v in c)
+    _, codes2 = ops.pq_encode(base, dim=64, m=16, n_codes=32)
+    rows2 = {r.vec_id: r.pq_codes for r in codes2.collect()}
+    assert rows == rows2
+    plan = explain_str(
+        ops.pq_topk(base, q, k=10, dim=64, m=16, n_codes=32, rerank=64),
+        "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_cosine_known_values(spark):
