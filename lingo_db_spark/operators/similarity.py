@@ -443,17 +443,36 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         F.col(id_col),
         F.posexplode(_pq_adc_udf(lut)(F.col("pq_codes")))
          .alias("__qi", "__adc"))
+    cand = _two_level_topk(adc, id_col, rerank)
+    return _exact_rerank(cand, emb, queries, qrows, k, id_col=id_col,
+                         vec_col=vec_col, q_id_col=q_id_col,
+                         q_vec_col=q_vec_col)
+
+
+def _two_level_topk(adc: DataFrame, id_col: str, rerank: int) -> DataFrame:
+    """Distributed per-query top-`rerank` over (__qi, id, __adc) rows: a
+    per-input-partition window (keys = n_partitions x n_queries, each
+    bounded by partition size) feeds a global window over the surviving
+    n_partitions x rerank rows per query — no single reducer ever sees a
+    corpus-proportional row count.  Returns (__qi, id) candidates."""
     part = adc.withColumn("__p", F.spark_partition_id())
     w_local = Window.partitionBy("__qi", "__p").orderBy(
         F.desc("__adc"), F.asc(id_col))
     w_glob = Window.partitionBy("__qi").orderBy(
         F.desc("__adc"), F.asc(id_col))
-    cand = (part.withColumn("__r", F.row_number().over(w_local))
+    return (part.withColumn("__r", F.row_number().over(w_local))
             .filter(F.col("__r") <= rerank).drop("__r", "__p")
             .withColumn("__r", F.row_number().over(w_glob))
             .filter(F.col("__r") <= rerank)
             .select("__qi", id_col))
 
+
+def _exact_rerank(cand: DataFrame, emb: DataFrame, queries: DataFrame,
+                  qrows: list, k: int, *, id_col: str, vec_col: str,
+                  q_id_col: str, q_vec_col: str) -> DataFrame:
+    """Map (__qi, id) candidates back to query ids, fetch the candidates'
+    full vectors (rerank x n_queries rows — the only vector I/O after the
+    compressed scan), exact cosine re-rank, top-k per query."""
     spark = emb.sparkSession
     q_lookup = spark.createDataFrame(
         [(i, r[0]) for i, r in enumerate(qrows)],
@@ -469,6 +488,80 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
+
+
+def _pq_adc_pair_udf(lut: np.ndarray):
+    """ADC scorer for pre-paired (codes, query-index) rows — the IVF-PQ
+    shape, where the cell-probe join has already pruned which (vector,
+    query) pairs get scored.  One gather per subspace per Arrow batch."""
+    L = lut.astype(float)
+    m = L.shape[1]
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series, qi: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy()).astype(np.int64)    # (N, m)
+        Q = qi.to_numpy().astype(np.int64)                 # (N,)
+        s = np.zeros(len(C))
+        for sp in range(m):
+            s += L[Q, sp, C[:, sp]]
+        return pd.Series(s)
+
+    return _adc
+
+
+def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+               dim: int, n_cells: int = 16, n_probe: int = 4,
+               m: int = 16, n_codes: int = 32, rerank: int = 64,
+               train_sample: int = 2048,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+               seed: int = 42) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN index (coarse k-means cells
+    for partition pruning x product-quantization codes for a compressed
+    scan) — a query touches n_probe/n_cells of the corpus AND reads only
+    m-byte codes inside those cells, so at 100 TB with `cell` as the
+    partition column the candidate scan is (n_probe/n_cells) x ~6% of the
+    embedding bytes.  Codes here quantize the normalized vector itself
+    (one global codebook set; classic residual-per-cell encoding is the
+    known recall refinement — it needs a per-(query, cell) LUT, same scan
+    shape).  Exact cosine re-rank of the top `rerank` ADC candidates per
+    query; same bounded-query-set and two-level top-k contracts as
+    pq_topk."""
+    sample = (emb.select(vec_col).orderBy(F.col(id_col))
+              .limit(train_sample).collect())
+    X = np.stack([np.asarray(r[0], dtype=float) for r in sample])
+    cents = _lloyd_train(X, n_cells, seed=seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    books = _pq_train(Xn, m, n_codes, seed=seed)
+
+    # The index: (id, cell, 16B codes) — at rest this is the partitioned
+    # compressed corpus; the full vector column is never scanned.
+    codes = emb.select(
+        id_col,
+        _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+        _pq_encode_udf(books)(F.col(vec_col)).alias("pq_codes"))
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    lut = np.einsum("qsd,scd->qsc", Qn.reshape(len(Qn), m, dim // m), books)
+    # Driver-side cell probing (queries are already collected): the
+    # (query, cell) pairs broadcast into the pruning join.
+    qscore = Q @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    probe_cells = np.argsort(-qscore, axis=1)[:, :n_probe]
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        [(qi, int(c)) for qi in range(len(qrows)) for c in probe_cells[qi]],
+        "`__qi` INT, `cell` INT")
+
+    adc = (codes.join(F.broadcast(probes), "cell")
+           .select(F.col(id_col), F.col("__qi"),
+                   _pq_adc_pair_udf(lut)(F.col("pq_codes"),
+                                         F.col("__qi")).alias("__adc")))
+    cand = _two_level_topk(adc, id_col, rerank)
+    return _exact_rerank(cand, emb, queries, qrows, k, id_col=id_col,
+                         vec_col=vec_col, q_id_col=q_id_col,
+                         q_vec_col=q_vec_col)
 
 
 def fuzzy_pairs(df: DataFrame, id_col: str, str_col: str,

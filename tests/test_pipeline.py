@@ -267,6 +267,9 @@ def test_ann_recall_margins(spark):
                              n_cells=16, n_probe=6), 5),
         ("pq", ops.pq_topk(base, qs, k=k, dim=64,
                            m=16, n_codes=32, rerank=64), 9),
+        ("ivfpq", ops.ivfpq_topk(base, qs, k=k, dim=64, n_cells=16,
+                                 n_probe=6, m=16, n_codes=32,
+                                 rerank=64), 5),
     ]:
         hits = {}
         for r in approx.collect():
@@ -345,6 +348,27 @@ def test_pq_full_rerank_equals_brute_force(spark):
                         rerank=1_000_000)
             .orderBy("q_id", "rank").collect()]
     assert brute == full
+
+
+def test_ivfpq_exhaustive_equals_brute_force(spark):
+    # n_probe == n_cells and rerank >= corpus: every vector survives both
+    # the cell cut and the ADC cut, so the composed index must reproduce
+    # the exact result — pinning the cell routing, the probe join, the
+    # pair-ADC scorer, and the shared re-rank tail.
+    base, q = _emb_and_queries(spark)
+    brute = [(r.q_id, r.vec_id, r.rank) for r in
+             ops.brute_force_topk(base, q, k=10)
+             .orderBy("q_id", "rank").collect()]
+    full = [(r.q_id, r.vec_id, r.rank) for r in
+            ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=8, n_probe=8,
+                           m=16, n_codes=32, rerank=1_000_000)
+            .orderBy("q_id", "rank").collect()]
+    assert brute == full
+    plan = explain_str(
+        ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=16, n_probe=4,
+                       m=16, n_codes=32, rerank=64), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_pq_encode_shape_determinism_and_plan(spark):
