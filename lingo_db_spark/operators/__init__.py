@@ -10,6 +10,7 @@ from lingo_db_spark.operators.similarity import (  # noqa: F401
     embed_neardup,
     fuzzy_pairs,
     ivf_topk,
+    ivfpq_build,
     ivfpq_topk,
     lsh_buckets,
     lsh_topk,
