@@ -69,6 +69,40 @@ def test_barrier_blocks_inlining_both_strategies(spark):
             spark.conf.unset(BARRIER_CONF)
 
 
+def test_barrier_survives_block_loss_via_recompute(spark):
+    """The recompute-safety claim, BEHAVIORALLY: materialize a barriered
+    frame, then drop its cached blocks (unpersist == every executor's
+    copy lost — the local-mode stand-in for a spot kill), then consume
+    the downstream plan.  The default strategy must produce the same,
+    correct result by recomputing from lineage — not fail, not go
+    silently wrong.  (localCheckpoint cannot pass this by construction:
+    its lineage is cut, which is exactly why it is the opt-in local
+    fast path and not the default.)
+
+    Also pins end-to-end on a real operator: winnow_fingerprints'
+    internal barriers are released mid-flight (release_barriers) and a
+    fresh collect must match the pre-loss result."""
+    from lingo_db_spark.pipeline import release_barriers
+    from lingo_db_spark.pipeline.dedup import winnow_fingerprints
+
+    df = _docs(spark)
+    toked = barrier(df.select("id", tokens("text").alias("__t")))
+    out = _downstream(toked)
+    before = sorted(map(tuple, out.collect()))     # blocks populated
+    toked.unpersist(blocking=True)                 # ...and lost
+    after = sorted(map(tuple, out.collect()))      # must recompute
+    assert after == before
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3
+          + f"tail{i}") for i in range(10)], "id int, text string")
+    fps = winnow_fingerprints(docs, "id", "text")
+    before = sorted((r.id, r.fp) for r in fps.collect())
+    release_barriers()                             # every barrier dropped
+    after = sorted((r.id, r.fp) for r in fps.collect())
+    assert after == before
+
+
 def test_default_barrier_keeps_lineage_and_is_lazy(spark):
     """Recompute-safety proxy: the default strategy persists WITHOUT
     cutting lineage — the analyzed plan still carries the file/LocalRelation
