@@ -108,15 +108,18 @@ def register(name: str, oracle: str | None, *,
 # diagnosed r5; their VARCHAR-encoded twins are driver-green).
 # Names not listed keep registration order after these.  Unknown names
 # are ignored (defensive: renames must not break the gate).
-# r10 window: canary; ALL 32 rows whose latest green is r4 (computed
-# from the CORRECTNESS_r* records — the grouping/window/setop/pivot
-# wave, the events_* wave, the ssb/cb/bb representatives, the COPY
-# roundtrips); fill to exactly 50 with 17 of the 34 r5 rows (udf/iter/
-# multimodal/events-tail/decimal/ssb-tail).  The 15 remaining probe_*
-# r5 rows + ssb_q2_3/q3_1 rotate in r11.  After this round no query's
-# latest green is older than r5.
+# r10 window: canary; the 3 NEW r10 ANN queries (never attested —
+# product quantization + IVF-PQ); ALL 32 rows whose latest green is r4
+# (computed from the CORRECTNESS_r* records — the grouping/window/
+# setop/pivot wave, the events_* wave, the ssb/cb/bb representatives,
+# the COPY roundtrips); fill to exactly 50 with 14 of the 34 r5 rows
+# (udf/iter/multimodal/events-tail/decimal).  The 15 remaining probe_*
+# r5 rows + ssb_q1_2/q1_3/q2_2/q2_3/q3_1 rotate in r11.  After this
+# round no query's latest green is older than r5.
 ATTEST_PRIORITY: list[str] = [
     "semantics_canary",
+    # --- new this round: never attested ---
+    "ann_topk_pq", "ann_topk_pq_full", "ann_topk_ivfpq",
     # --- freshness: every row last attested r4 (all 32) ---
     "agg_any_value", "bb_category_trend_slope", "bb_value_volatility_band",
     "cb_top_groups", "cube_grouping", "ds_channels_rollup",
@@ -130,13 +133,13 @@ ATTEST_PRIORITY: list[str] = [
     "sql_copy_orc_roundtrip", "sql_copy_parquet_roundtrip",
     "ssb_q1_1", "ssb_q4_1", "unpivot_quality_dims",
     "window_ntile_lag_lead", "window_range_frame", "window_rank_family",
-    # --- fill to 50 with 17 of the oldest r5 rows ---
+    # --- fill to 50 with 14 of the oldest r5 rows ---
     "udf_python_scalar", "udf_pandas_grouped_agg", "iter_bfs_levels",
     "multimodal_decode_meta", "multimodal_frame_sample",
     "events_locf_fill", "events_resample_fill", "events_retention_cohorts",
     "events_value_histogram", "events_zscore_outliers",
     "scalars_cast", "decimal_avg_promote", "decimal_div_mod",
-    "decimal_literal_arith", "ssb_q1_2", "ssb_q1_3", "ssb_q2_2",
+    "decimal_literal_arith",
 ]
 
 
