@@ -269,7 +269,7 @@ def test_ann_recall_margins(spark):
                            m=16, n_codes=32, rerank=64), 9),
         ("ivfpq", ops.ivfpq_topk(base, qs, k=k, dim=64, n_cells=16,
                                  n_probe=6, m=16, n_codes=32,
-                                 rerank=64), 5),
+                                 rerank=64), 6),
     ]:
         hits = {}
         for r in approx.collect():

@@ -105,14 +105,24 @@ def main() -> int:
     rerank = max(64, min(1024, n // 500))
 
     # ---- build phase: train + encode once, index at rest on parquet ----
+    # Training sample scales with the cell count (>= 64 samples/cell, the
+    # deployment sizing rule) — still O(1) vs the corpus.  The PQ index
+    # is built separately: ivfpq codes are RESIDUALS and are garbage
+    # under pq_topk's direction LUTs.
+    train_n = max(2048, 64 * n_cells)
     t0 = time.perf_counter()
     cents, books, codes = ops.ivfpq_build(
-        emb=base, dim=64, n_cells=n_cells, m=16, n_codes=32)
+        emb=base, dim=64, n_cells=n_cells, m=16, n_codes=32,
+        train_sample=train_n)
     (codes.write.mode("overwrite").partitionBy("cell").parquet(idx_path))
     build_s = time.perf_counter() - t0
     codes_at_rest = spark.read.parquet(idx_path)
-    pq_index = (books, codes_at_rest.select("vec_id", "pq_codes"))
     ivfpq_index = (cents, books, codes_at_rest)
+    pq_books, pq_codes = ops.pq_encode(base, dim=64, m=16, n_codes=32,
+                                       train_sample=train_n)
+    pq_path = idx_path.replace("ann_ivfpq", "ann_pq")
+    pq_codes.write.mode("overwrite").parquet(pq_path)
+    pq_index = (pq_books, spark.read.parquet(pq_path))
 
     methods = {
         "brute": lambda: ops.brute_force_topk(base, qs, k=kk),
@@ -123,7 +133,8 @@ def main() -> int:
                                         m=16, n_codes=32, rerank=rerank,
                                         index=ivfpq_index),
         "ivf": lambda: ops.ivf_topk(base, qs, k=kk, dim=64,
-                                    n_cells=n_cells, n_probe=n_probe),
+                                    n_cells=n_cells, n_probe=n_probe,
+                                    train_sample=train_n),
         "lsh": lambda: ops.lsh_topk(base, qs, k=kk, dim=64,
                                     n_planes=4, n_tables=16),
     }
@@ -157,7 +168,8 @@ def main() -> int:
     # from the index's own cell sizes and the probe routing.
     qrows = qs.collect()
     Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
-    qscore = Q @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qscore = Qn @ cents.T - 0.5 * (cents * cents).sum(axis=1)
     probe_cells = np.argsort(-qscore, axis=1)[:, :n_probe]
     sizes = {r.cell: r["count"]
              for r in codes_at_rest.groupBy("cell").count().collect()}
