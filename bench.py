@@ -69,6 +69,9 @@ HEADLINE_EXTRA = [
     # bb_category_trend_slope (already above)
     "sql_job_29a_verbatim",
     "sql_tpcds_q51_verbatim",
+    # r10: the composed IVF-PQ index (residual ADC scan + exact
+    # re-rank) — the new ANN flagship alongside ann_topk_lsh/_ivf
+    "ann_topk_ivfpq",
 ]
 
 
