@@ -128,20 +128,39 @@ def dequantize_embeddings(df: DataFrame,
             .drop("codes", "vmin", "vscale"))
 
 
+def _topk_per_query(scored: DataFrame, q_col: str, id_col: str,
+                    k: int) -> DataFrame:
+    """EXACT distributed per-query top-k over (q, id, cos) rows in two
+    levels: a per-input-partition window cuts each partition to its own
+    top-k (every global top-k member is necessarily in its partition's
+    top-k, so nothing exact is lost), then the global window ranks the
+    surviving n_partitions x k rows — no reducer ever holds a
+    corpus-proportional row count, the shape a single
+    Window.partitionBy(q) would create at scale.  Deterministic
+    tie-break on id."""
+    part = scored.withColumn("__p", F.spark_partition_id())
+    w_local = Window.partitionBy(q_col, "__p").orderBy(
+        F.desc("cos"), F.asc(id_col))
+    pruned = (part.withColumn("__r", F.row_number().over(w_local))
+              .filter(F.col("__r") <= k).drop("__r", "__p"))
+    w = Window.partitionBy(q_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id", q_vec_col: str = "q_vec",
                      ) -> DataFrame:
     """Exact top-k: broadcast the (small) query set against every vector.
     Returns (q_id, vec_id, cos, rank) with deterministic tie-break on
-    vec_id."""
+    vec_id.  The cut is the two-level exact top-k (_topk_per_query), so
+    the reduce side is bounded even though the scan is the full corpus."""
     joined = emb.join(F.broadcast(queries))
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
         cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _topk_per_query(scored, q_id_col, id_col, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
@@ -292,9 +311,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     scored = cands.select(
         F.col(q_id_col), F.col(id_col),
         cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _topk_per_query(scored, q_id_col, id_col, k)
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
@@ -329,9 +346,7 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
               .select(F.col(q_id_col), F.col(id_col),
                       cosine_batch(F.col(vec_col),
                                    F.col(q_vec_col)).alias("cos")))
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _topk_per_query(scored, q_id_col, id_col, k)
 
 
 def _pq_train(X: np.ndarray, m: int, n_codes: int,
