@@ -128,24 +128,34 @@ def dequantize_embeddings(df: DataFrame,
             .drop("codes", "vmin", "vscale"))
 
 
-def _topk_per_query(scored: DataFrame, q_col: str, id_col: str,
-                    k: int) -> DataFrame:
-    """EXACT distributed per-query top-k over (q, id, cos) rows in two
-    levels: a per-input-partition window cuts each partition to its own
-    top-k (every global top-k member is necessarily in its partition's
-    top-k, so nothing exact is lost), then the global window ranks the
-    surviving n_partitions x k rows — no reducer ever holds a
+def _two_level_cut(df: DataFrame, q_col: str, id_col: str,
+                   score_col: str, limit: int) -> DataFrame:
+    """EXACT distributed per-query top-`limit` in two levels: a
+    per-input-partition window cuts each partition to its own top-limit
+    (every global top-limit member is necessarily in its partition's
+    top-limit, so nothing exact is lost), then the global window ranks
+    the surviving n_partitions x limit rows — no reducer ever holds a
     corpus-proportional row count, the shape a single
     Window.partitionBy(q) would create at scale.  Deterministic
-    tie-break on id."""
-    part = scored.withColumn("__p", F.spark_partition_id())
+    tie-break on id.  Returns the survivors with their global rank in
+    `__rank`."""
+    part = df.withColumn("__p", F.spark_partition_id())
     w_local = Window.partitionBy(q_col, "__p").orderBy(
-        F.desc("cos"), F.asc(id_col))
+        F.desc(score_col), F.asc(id_col))
     pruned = (part.withColumn("__r", F.row_number().over(w_local))
-              .filter(F.col("__r") <= k).drop("__r", "__p"))
-    w = Window.partitionBy(q_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (pruned.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+              .filter(F.col("__r") <= limit).drop("__r", "__p"))
+    w = Window.partitionBy(q_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (pruned.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= limit))
+
+
+def _topk_per_query(scored: DataFrame, q_col: str, id_col: str,
+                    k: int) -> DataFrame:
+    """Final exact top-k over (q, id, cos) rows via _two_level_cut,
+    presented with the public `rank` column."""
+    return (_two_level_cut(scored, q_col, id_col, "cos", k)
+            .withColumn("rank", F.col("__rank").cast("long"))
+            .drop("__rank"))
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -358,6 +368,12 @@ def _pq_train(X: np.ndarray, m: int, n_codes: int,
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    if n_codes > 128:
+        # codes are stored tinyint: index 128+ wraps negative in int8 and
+        # the ADC gather reads from the END of the table — silently wrong
+        # scores, so refuse loudly here.
+        raise ValueError(f"n_codes={n_codes} exceeds the tinyint code "
+                         "space (max 128 codes per subspace)")
     sub = d // m
     return np.stack([
         _lloyd_train(np.ascontiguousarray(X[:, s * sub:(s + 1) * sub]),
@@ -414,7 +430,7 @@ def pq_encode(emb: DataFrame, *, dim: int, m: int = 16, n_codes: int = 32,
     """Train PQ codebooks on a deterministic sample and encode the corpus:
     returns (codebooks, (id, pq_codes) DataFrame).  The compression IS the
     scale story: a 64-dim float32 embedding is 256 B; its m=16 tinyint
-    code is 16 B — the ADC candidate scan reads 6%% of the bytes, and the
+    code is 16 B — the ADC candidate scan reads ~6% of the bytes, and the
     code column parquet-encodes far below even that.  Training cost is
     O(train_sample), independent of corpus size.
 
@@ -482,20 +498,9 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
 
 
 def _two_level_topk(adc: DataFrame, id_col: str, rerank: int) -> DataFrame:
-    """Distributed per-query top-`rerank` over (__qi, id, __adc) rows: a
-    per-input-partition window (keys = n_partitions x n_queries, each
-    bounded by partition size) feeds a global window over the surviving
-    n_partitions x rerank rows per query — no single reducer ever sees a
-    corpus-proportional row count.  Returns (__qi, id) candidates."""
-    part = adc.withColumn("__p", F.spark_partition_id())
-    w_local = Window.partitionBy("__qi", "__p").orderBy(
-        F.desc("__adc"), F.asc(id_col))
-    w_glob = Window.partitionBy("__qi").orderBy(
-        F.desc("__adc"), F.asc(id_col))
-    return (part.withColumn("__r", F.row_number().over(w_local))
-            .filter(F.col("__r") <= rerank).drop("__r", "__p")
-            .withColumn("__r", F.row_number().over(w_glob))
-            .filter(F.col("__r") <= rerank)
+    """ADC candidate cut: _two_level_cut over (__qi, id, __adc) rows,
+    returning the (__qi, id) candidate pairs for the exact re-rank."""
+    return (_two_level_cut(adc, "__qi", id_col, "__adc", rerank)
             .select("__qi", id_col))
 
 

@@ -455,9 +455,11 @@ def _ann_invariants(approx: DataFrame, exact: DataFrame,
     - n_ret:         the approximate search returned exactly k rows;
     - recall_ok:     >= min_hits of them are true top-k members.
                      ENFORCED bounds: LSH min_hits=6, IVF(6/16
-                     probes) min_hits=4.  MEASURED at sf0.01: LSH 7,
-                     IVF 5 (pinned in tests/test_pipeline.py
-                     test_ann_recall_margins) — the enforced bound
+                     probes) min_hits=4, PQ(rerank=64) min_hits=8,
+                     IVFPQ(6/16, rerank=64, residual) min_hits=5.
+                     MEASURED worst-query at sf0.01: LSH 7, IVF 5,
+                     PQ 9, IVFPQ 6 (pinned in tests/test_pipeline.py
+                     test_ann_recall_margins) — each enforced bound
                      sits one hit below measured so the driver gate
                      has margin without being vacuous;
     - rescore_exact: every returned pair that IS a true member carries
