@@ -9,6 +9,7 @@ from lingo_db_spark.operators.similarity import (  # noqa: F401
     dot,
     embed_neardup,
     fuzzy_pairs,
+    ivf_build,
     ivf_topk,
     ivfpq_build,
     ivfpq_topk,

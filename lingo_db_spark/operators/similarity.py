@@ -292,12 +292,33 @@ def _cell_udf(cents: np.ndarray, n_probe: int = 1):
     return _cells
 
 
+def ivf_build(emb: DataFrame, *, dim: int, n_cells: int = 16,
+              train_sample: int = 2048,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 42) -> tuple[np.ndarray, DataFrame]:
+    """Build the IVF-Flat index: (coarse centroids, (id, vec, cell)
+    DataFrame).  Written ``partitionBy("cell")`` the frame IS the
+    reorganized corpus — a probe's candidate fetch is partition-pruned
+    I/O.  Training is O(train_sample) driver-side Lloyd on an
+    xxhash64(id)-ordered sample (see pq_encode's docstring)."""
+    sample = (emb.select(vec_col).orderBy(F.xxhash64(F.col(id_col)))
+              .limit(train_sample).collect())
+    X = np.stack([np.asarray(r[0], dtype=float) for r in sample])
+    cents = _lloyd_train(X, n_cells, seed=seed)
+    base = emb.select(
+        id_col, vec_col,
+        _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"))
+    return cents, base
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
              dim: int, n_cells: int = 16, n_probe: int = 4,
              train_sample: int = 2048,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42,
+             index: tuple[np.ndarray, DataFrame] | None = None
+             ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the clustered alternative
     to lsh_topk: a coarse k-means quantizer (trained driver-side on a
     deterministic sample, the standard IVF recipe) partitions vectors into
@@ -306,14 +327,13 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     to exact search (useful for verification).  At scale the cell id is a
     partitioning column: candidate fetch is partition-pruned I/O, and the
     training sample stays O(train_sample) regardless of corpus size.
-    Sample in xxhash64(id) order — see pq_encode's docstring."""
-    sample = (emb.select(vec_col).orderBy(F.xxhash64(F.col(id_col)))
-              .limit(train_sample).collect())
-    X = np.stack([np.asarray(r[0], dtype=float) for r in sample])
-    cents = _lloyd_train(X, n_cells, seed=seed)
-    base = emb.select(
-        id_col, vec_col,
-        _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"))
+
+    Build-once/query-many: pass ``index=(centroids, base_df)`` from a
+    prior ``ivf_build`` (the frame read back from its cell-partitioned
+    parquet) to skip the per-call train+assign — the deployment shape."""
+    cents, base = index if index is not None else ivf_build(
+        emb, dim=dim, n_cells=n_cells, train_sample=train_sample,
+        id_col=id_col, vec_col=vec_col, seed=seed)
     probes = queries.select(
         q_id_col, q_vec_col,
         F.explode(_cell_udf(cents, n_probe)(F.col(q_vec_col))).alias("cell"))

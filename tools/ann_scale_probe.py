@@ -23,11 +23,12 @@ clusters.
 
 Prints one JSON line:
   {"k":.., "n_vectors":.., "index_build_s":.., "index_bytes":..,
-   "raw_bytes":.., "brute_s":.., "pq_s":.., "ivfpq_s":..,
-   "ivf_oneshot_s":.., "lsh_oneshot_s":.., "recall": {...},
+   "raw_bytes":.., "brute_s":.., "pq_s":.., "ivfpq_s":.., "ivf_s":..,
+   "lsh_oneshot_s":.., "recall": {...},
    "ivfpq_scanned_pairs":.., "all_pairs":..}
-(pq_s/ivfpq_s are index-amortized query walls; *_oneshot_s include
-per-run training/assignment — ivf/lsh have no prebuilt-index API.)
+(pq_s/ivfpq_s/ivf_s are index-amortized query walls over prebuilt
+parquet indexes; lsh_oneshot_s includes per-run bucketing — lsh has no
+prebuilt-index API.)
 
 Usage: python tools/ann_scale_probe.py [k]   (default 500)
 Env:   BASE_DIR (default /root/testdata/sf0.1), PROBE_RUNS (default 2),
@@ -124,6 +125,11 @@ def main() -> int:
     pq_path = idx_path.replace("ann_ivfpq", "ann_pq")
     pq_codes.write.mode("overwrite").parquet(pq_path)
     pq_index = (pq_books, spark.read.parquet(pq_path))
+    ivf_cents, ivf_base = ops.ivf_build(base, dim=64, n_cells=n_cells,
+                                        train_sample=train_n)
+    ivf_path = idx_path.replace("ann_ivfpq", "ann_ivf")
+    ivf_base.write.mode("overwrite").partitionBy("cell").parquet(ivf_path)
+    ivf_index = (ivf_cents, spark.read.parquet(ivf_path))
 
     methods = {
         "brute": lambda: ops.brute_force_topk(base, qs, k=kk),
@@ -133,14 +139,12 @@ def main() -> int:
                                         n_cells=n_cells, n_probe=n_probe,
                                         m=16, n_codes=32, rerank=rerank,
                                         index=ivfpq_index),
-        # ivf/lsh have no prebuilt-index API: their timings are ONE-SHOT
-        # (training + cell/bucket assignment + scan per run) and are
-        # labeled *_oneshot_s in the output — comparable to each other,
-        # NOT to the index-amortized pq_s/ivfpq_s query walls.
-        "ivf_oneshot": lambda: ops.ivf_topk(base, qs, k=kk, dim=64,
-                                            n_cells=n_cells,
-                                            n_probe=n_probe,
-                                            train_sample=train_n),
+        "ivf": lambda: ops.ivf_topk(base, qs, k=kk, dim=64,
+                                    n_cells=n_cells, n_probe=n_probe,
+                                    index=ivf_index),
+        # lsh has no prebuilt-index API: its timing is ONE-SHOT
+        # (hyperplane bucketing + scan per run), labeled lsh_oneshot_s —
+        # not comparable to the index-amortized query walls above.
         "lsh_oneshot": lambda: ops.lsh_topk(base, qs, k=kk, dim=64,
                                             n_planes=4, n_tables=16),
     }
@@ -165,7 +169,7 @@ def main() -> int:
     for r in results["brute"]:
         truth.setdefault(r.q_id, set()).add(r.vec_id)
     recall = {}
-    for name in ("pq", "ivfpq", "ivf_oneshot", "lsh_oneshot"):
+    for name in ("pq", "ivfpq", "ivf", "lsh_oneshot"):
         hits = sum(1 for r in results[name]
                    if r.vec_id in truth.get(r.q_id, set()))
         recall[name] = round(hits / (len(truth) * kk), 3)
