@@ -348,7 +348,8 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
              dim: int, n_planes: int = 4, n_tables: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42,
+             index: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: bucket both sides with the same hyperplanes,
     equi-join on (table_id, bucket), dedupe candidates, exact cosine
     re-rank.  Expected recall for a neighbor at angle θ is
@@ -359,10 +360,20 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     shuffling the vector column through it would move n_tables copies
     of every embedding; instead the deduped (q_id, id) pairs re-join
     the single-copy vector table and broadcast-join the query
-    vectors."""
-    e_b = (lsh_buckets(emb.select(id_col, vec_col), vec_col, dim,
-                       n_planes, n_tables, seed)
-           .select(id_col, "table_id", "bucket"))
+    vectors.
+
+    Build-once/query-many: pass ``index=`` a prior ``lsh_buckets``
+    output over the corpus ((id, table_id, bucket) rows, e.g. read back
+    from parquet bucketed on (table_id, bucket)) to skip the per-call
+    corpus bucketing — the deployment shape; query-side bucketing is
+    per-batch-sized and always recomputed.  The same seed/planes must
+    have produced the index, or the equi-join semantics silently
+    change."""
+    e_b = (index.select(id_col, "table_id", "bucket")
+           if index is not None else
+           (lsh_buckets(emb.select(id_col, vec_col), vec_col, dim,
+                        n_planes, n_tables, seed)
+            .select(id_col, "table_id", "bucket")))
     q_b = (lsh_buckets(queries.select(q_id_col, q_vec_col), q_vec_col,
                        dim, n_planes, n_tables, seed)
            .select(q_id_col, "table_id", "bucket"))

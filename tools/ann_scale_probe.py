@@ -24,11 +24,10 @@ clusters.
 Prints one JSON line:
   {"k":.., "n_vectors":.., "index_build_s":.., "index_bytes":..,
    "raw_bytes":.., "brute_s":.., "pq_s":.., "ivfpq_s":.., "ivf_s":..,
-   "lsh_oneshot_s":.., "recall": {...},
+   "lsh_s":.., "recall": {...},
    "ivfpq_scanned_pairs":.., "all_pairs":..}
-(pq_s/ivfpq_s/ivf_s are index-amortized query walls over prebuilt
-parquet indexes; lsh_oneshot_s includes per-run bucketing — lsh has no
-prebuilt-index API.)
+(every approximate method is timed index-amortized against its prebuilt
+parquet index; brute_s is the exact full scan.)
 
 Usage: python tools/ann_scale_probe.py [k]   (default 500)
 Env:   BASE_DIR (default /root/testdata/sf0.1), PROBE_RUNS (default 2),
@@ -130,6 +129,11 @@ def main() -> int:
     ivf_path = idx_path.replace("ann_ivfpq", "ann_ivf")
     ivf_base.write.mode("overwrite").partitionBy("cell").parquet(ivf_path)
     ivf_index = (ivf_cents, spark.read.parquet(ivf_path))
+    lsh_path = idx_path.replace("ann_ivfpq", "ann_lsh")
+    (ops.lsh_buckets(base.select("vec_id", "embedding"), "embedding", 64)
+     .select("vec_id", "table_id", "bucket")
+     .write.mode("overwrite").parquet(lsh_path))
+    lsh_index = spark.read.parquet(lsh_path)
 
     methods = {
         "brute": lambda: ops.brute_force_topk(base, qs, k=kk),
@@ -142,11 +146,9 @@ def main() -> int:
         "ivf": lambda: ops.ivf_topk(base, qs, k=kk, dim=64,
                                     n_cells=n_cells, n_probe=n_probe,
                                     index=ivf_index),
-        # lsh has no prebuilt-index API: its timing is ONE-SHOT
-        # (hyperplane bucketing + scan per run), labeled lsh_oneshot_s —
-        # not comparable to the index-amortized query walls above.
-        "lsh_oneshot": lambda: ops.lsh_topk(base, qs, k=kk, dim=64,
-                                            n_planes=4, n_tables=16),
+        "lsh": lambda: ops.lsh_topk(base, qs, k=kk, dim=64,
+                                    n_planes=4, n_tables=16,
+                                    index=lsh_index),
     }
 
     # Untimed JIT/codegen warm pass (cheapest method) so the first timed
@@ -169,7 +171,7 @@ def main() -> int:
     for r in results["brute"]:
         truth.setdefault(r.q_id, set()).add(r.vec_id)
     recall = {}
-    for name in ("pq", "ivfpq", "ivf", "lsh_oneshot"):
+    for name in ("pq", "ivfpq", "ivf", "lsh"):
         hits = sum(1 for r in results[name]
                    if r.vec_id in truth.get(r.q_id, set()))
         recall[name] = round(hits / (len(truth) * kk), 3)
