@@ -108,38 +108,73 @@ def register(name: str, oracle: str | None, *,
 # diagnosed r5; their VARCHAR-encoded twins are driver-green).
 # Names not listed keep registration order after these.  Unknown names
 # are ignored (defensive: renames must not break the gate).
-# r10 window: canary; the 3 NEW r10 ANN queries (never attested —
-# product quantization + IVF-PQ); ALL 32 rows whose latest green is r4
-# (computed from the CORRECTNESS_r* records — the grouping/window/
-# setop/pivot wave, the events_* wave, the ssb/cb/bb representatives,
-# the COPY roundtrips); fill to exactly 50 with 14 of the 34 r5 rows
-# (udf/iter/multimodal/events-tail/decimal).  The 15 remaining probe_*
-# r5 rows + ssb_q1_2/q1_3/q2_2/q2_3/q3_1 rotate in r11.  After this
-# round no query's latest green is older than r5.
+# PRIORITY RULE (r11, from the r10 verdict "What's wrong #1"): the
+# window is assembled in this fixed precedence, and tests/test_probes.py
+# machine-checks the ordering so it cannot silently regress:
+#   1. the environment canary — in every record, always;
+#   2. CHANGED_SINCE_LAST_ATTEST — every query whose registered CODE
+#      (its builder or an operator it calls) changed after its latest
+#      driver-green row.  This OUTRANKS staleness: r10 rewrote five
+#      queries but spent all 50 slots on stale rotation, leaving the
+#      driver record attesting the OLD implementations.  Sessions that
+#      change a registered query's code path MUST add its name here in
+#      the same commit; names drop off once the next CORRECTNESS
+#      record shows them green.
+#   3. NEW_THIS_ROUND — never-attested registrations.
+#   4. STALE_ROTATION — oldest latest-green first, filling to 50.
+# The decimal `*_typed` twins stay local-gate-only permanently (the
+# driver compare channel float-roundtrips decimal-typed values,
+# diagnosed r5).  Unknown names are ignored (defensive: renames must
+# not break the gate).
+
+CHANGED_SINCE_LAST_ATTEST: list[str] = [
+    # r10 rewrites whose latest driver green predates them (r10 verdict
+    # "What's wrong #1"): q4 aggregate-EXISTS, q21 groupjoin fusion,
+    # q11 build-side pin, q16 filter-below-distinct, minhash barrier
+    # removal.
+    "tpch_q4", "tpch_q21", "tpch_q11", "tpch_q16",
+    "pipeline_minhash_neardup",
+    # r11 ANN changes: k-means++ seeding in _lloyd_train, the bounded-
+    # depth top-k cut in _two_level_cut, index-shape-derived knobs and
+    # the bounded-query-set guard — every registered query that flows
+    # through those operators.
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "ann_topk_ivf_full", "ann_topk_pq", "ann_topk_pq_full",
+    "ann_topk_ivfpq", "ann_topk_quantized",
+]
+
+NEW_THIS_ROUND: list[str] = [
+    # r11: the at-rest ANN index journeys — build, write partitionBy
+    # ("cell") parquet, read back, query with plan-asserted pruning.
+    "ann_topk_ivf_indexed", "ann_topk_ivfpq_indexed",
+]
+
+STALE_ROTATION: list[str] = [
+    # --- the 20 rows whose latest green is r5 ---
+    "probe_cast_dec_total_cents", "probe_dbl_varchar_repr",
+    "probe_dec18_2_transport", "probe_dec5_2_transport",
+    "probe_dec_unscale_mul", "probe_hugeint_floordiv_1e25",
+    "probe_hugeint_mod_1e25", "probe_hugeint_pow10",
+    "probe_lpad_digits", "probe_rescale_narrow",
+    "probe_rescale_negative", "probe_rescale_wide",
+    "probe_trunc_money_sum", "probe_truncdiv_sign",
+    "probe_ts_date_render",
+    "ssb_q1_2", "ssb_q1_3", "ssb_q2_2", "ssb_q2_3", "ssb_q3_1",
+    # --- fill to 50 with 14 of the 46 r6 rows (alphabetical; the
+    # remaining 32 rotate in r12) ---
+    "bb_click_precedes_purchase", "bb_rating_activity_scatter",
+    "bb_returned_then_repurchased", "cb_const_group",
+    "cb_count_distinct", "cb_daily_traffic", "cb_like_filtered_agg",
+    "cb_minute_series", "cb_pair_groups", "cb_point_filter_topk",
+    "cb_regex_dimension_agg", "cb_scalar_aggregates", "cb_wide_sums",
+    "ds_avg_deviation_topk",
+]
+
 ATTEST_PRIORITY: list[str] = [
     "semantics_canary",
-    # --- new this round: never attested ---
-    "ann_topk_pq", "ann_topk_pq_full", "ann_topk_ivfpq",
-    # --- freshness: every row last attested r4 (all 32) ---
-    "agg_any_value", "bb_category_trend_slope", "bb_value_volatility_band",
-    "cb_top_groups", "cube_grouping", "ds_channels_rollup",
-    "ds_correlated_having", "ds_cumulative_channels", "ds_exists_notexists",
-    "events_funnel", "events_json_extract", "events_salted_join",
-    "events_session_window_native", "events_sessionization",
-    "events_sliding_windows", "events_value_quantiles",
-    "events_window_hourly", "generate_unnest", "grouping_sets",
-    "job_selfalias_dim_reuse", "job_style_join_chain",
-    "pivot_event_counts", "renaming_columns", "setop_intersect_distinct",
-    "sql_copy_orc_roundtrip", "sql_copy_parquet_roundtrip",
-    "ssb_q1_1", "ssb_q4_1", "unpivot_quality_dims",
-    "window_ntile_lag_lead", "window_range_frame", "window_rank_family",
-    # --- fill to 50 with 14 of the oldest r5 rows ---
-    "udf_python_scalar", "udf_pandas_grouped_agg", "iter_bfs_levels",
-    "multimodal_decode_meta", "multimodal_frame_sample",
-    "events_locf_fill", "events_resample_fill", "events_retention_cohorts",
-    "events_value_histogram", "events_zscore_outliers",
-    "scalars_cast", "decimal_avg_promote", "decimal_div_mod",
-    "decimal_literal_arith",
+    *CHANGED_SINCE_LAST_ATTEST,
+    *NEW_THIS_ROUND,
+    *STALE_ROTATION,
 ]
 
 

@@ -114,6 +114,37 @@ def test_attestation_ledger_closed():
         f"scheduled: {sorted(missing)}")
 
 
+def test_changed_code_outranks_stale_rotation():
+    """The r10 gap: rewritten queries missed the attestation window
+    because stale rotation consumed every slot.  The rule is now
+    structural — changed-code rows precede every stale-rotation row in
+    the driver's 50-slot window — and this test machine-checks it."""
+    from lingo_db_spark.queries import (
+        ATTEST_PRIORITY, CHANGED_SINCE_LAST_ATTEST, NEW_THIS_ROUND,
+        STALE_ROTATION,
+    )
+    # Structural assembly: canary, then changed, then new, then stale.
+    assert ATTEST_PRIORITY == ["semantics_canary",
+                               *CHANGED_SINCE_LAST_ATTEST,
+                               *NEW_THIS_ROUND,
+                               *STALE_ROTATION]
+    reg = load_all()
+    order = list(reg)
+    window = set(order[:50])
+    # Every changed/new row that is registered must actually be inside
+    # the 50-slot window the driver attests...
+    for name in [*CHANGED_SINCE_LAST_ATTEST, *NEW_THIS_ROUND]:
+        if name in reg:
+            assert name in window, f"{name} changed/new but not scheduled"
+    # ...and no stale row may precede any changed row in the final
+    # load_all() ordering.
+    idx = {n: i for i, n in enumerate(order)}
+    last_changed = max(idx[n] for n in CHANGED_SINCE_LAST_ATTEST
+                       if n in idx)
+    first_stale = min(idx[n] for n in STALE_ROTATION if n in idx)
+    assert last_changed < first_stale
+
+
 def test_no_degraded_verbatim_anchors():
     """Every verbatim anchor's value-checked oracle constructed cleanly
     (a construction failure silently weakens the gate to rows-only —
