@@ -14,6 +14,7 @@ from lingo_db_spark.operators.similarity import (  # noqa: F401
     ivfpq_build,
     ivfpq_topk,
     lsh_buckets,
+    lsh_build,
     lsh_topk,
     norm,
     pq_encode,

@@ -128,24 +128,45 @@ def dequantize_embeddings(df: DataFrame,
             .drop("codes", "vmin", "vscale"))
 
 
+_CUT_FANIN = 64
+
+
 def _two_level_cut(df: DataFrame, q_col: str, id_col: str,
                    score_col: str, limit: int) -> DataFrame:
-    """EXACT distributed per-query top-`limit` in two levels: a
-    per-input-partition window cuts each partition to its own top-limit
-    (every global top-limit member is necessarily in its partition's
-    top-limit, so nothing exact is lost), then the global window ranks
-    the surviving n_partitions x limit rows — no reducer ever holds a
-    corpus-proportional row count, the shape a single
-    Window.partitionBy(q) would create at scale.  Deterministic
-    tie-break on id.  Returns the survivors with their global rank in
-    `__rank`."""
+    """EXACT distributed per-query top-`limit` with BOUNDED reducer
+    depth.  Three cascaded cuts, each keeping every global top-limit
+    member (a global top-limit row is necessarily in its group's
+    top-limit at every level, so nothing exact is ever lost):
+
+    1. per (query, input-partition): group size <= partition row count,
+       never the corpus — the level a single Window.partitionBy(q)
+       would lack;
+    2. per (query, input-partition mod _CUT_FANIN): folds the
+       n_partitions x limit survivors so the NEXT level's group is
+       bounded by _CUT_FANIN x limit INDEPENDENT of input partition
+       count.  Without it, 100 TB scans (~1e5 input partitions) with
+       rerank=1024 would hand the final reducer ~1e8 rows per query;
+       with it the bound is ~65k.  Group size here is
+       (n_partitions / _CUT_FANIN) x limit — still partition-count-
+       divided, and the level costs one shuffle of already-cut rows
+       (n_partitions x limit per query, ids + score only);
+    3. per query: ranks <= _CUT_FANIN x limit rows.
+
+    Deterministic tie-break on id.  Returns the survivors with their
+    global rank in `__rank`.  The fan-in is static (no
+    df.rdd.getNumPartitions() probe: under AQE that materializes query
+    stages, turning a lazy builder into an eager execution)."""
+    order = (F.desc(score_col), F.asc(id_col))
     part = df.withColumn("__p", F.spark_partition_id())
-    w_local = Window.partitionBy(q_col, "__p").orderBy(
-        F.desc(score_col), F.asc(id_col))
-    pruned = (part.withColumn("__r", F.row_number().over(w_local))
-              .filter(F.col("__r") <= limit).drop("__r", "__p"))
-    w = Window.partitionBy(q_col).orderBy(F.desc(score_col), F.asc(id_col))
-    return (pruned.withColumn("__rank", F.row_number().over(w))
+    w1 = Window.partitionBy(q_col, "__p").orderBy(*order)
+    l1 = (part.withColumn("__r", F.row_number().over(w1))
+          .filter(F.col("__r") <= limit).drop("__r"))
+    w2 = Window.partitionBy(
+        q_col, F.pmod(F.col("__p"), F.lit(_CUT_FANIN))).orderBy(*order)
+    l2 = (l1.withColumn("__r", F.row_number().over(w2))
+          .filter(F.col("__r") <= limit).drop("__r", "__p"))
+    w = Window.partitionBy(q_col).orderBy(*order)
+    return (l2.withColumn("__rank", F.row_number().over(w))
             .filter(F.col("__rank") <= limit))
 
 
@@ -156,6 +177,28 @@ def _topk_per_query(scored: DataFrame, q_col: str, id_col: str,
     return (_two_level_cut(scored, q_col, id_col, "cos", k)
             .withColumn("rank", F.col("__rank").cast("long"))
             .drop("__rank"))
+
+
+MAX_QUERY_ROWS = 4096
+
+
+def _collect_queries(queries: DataFrame, q_id_col: str, q_vec_col: str,
+                     max_queries: int | None = None) -> list:
+    """Driver-collect the bounded query set (the LUT/broadcast-build
+    contract shared by the PQ paths).  Collects at most max_queries + 1
+    rows and fails FAST when the frame exceeds the cap — the LUT is
+    O(n_queries x m x n_codes) driver/executor memory, so an unbounded
+    queries frame must be an error, not an OOM."""
+    if max_queries is None:
+        max_queries = MAX_QUERY_ROWS      # read at call time: tunable
+    rows = (queries.select(q_id_col, q_vec_col)
+            .limit(max_queries + 1).collect())
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds the bounded-query-set contract "
+            f"(max_queries={max_queries}): the per-query ADC lookup "
+            "tables ship driver-side — batch the queries instead")
+    return rows
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -256,12 +299,38 @@ def embed_neardup(df: DataFrame, *, dim: int, threshold: float = 0.99,
             .filter(F.col("cos") >= threshold))
 
 
+def _kmeanspp_init(X: np.ndarray, n_cells: int,
+                   rng: np.random.RandomState) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii, SODA'07): each next
+    center is drawn with probability proportional to its squared
+    distance from the nearest already-chosen center.  Deterministic
+    under the caller's seeded RNG.  Replaces uniform init, whose
+    centroid starvation at high cell counts the 1M-vector probe hit
+    (SCALE.md: the 64 x n_cells sample-sizing rule treated the symptom;
+    this treats the cause — spread seeds can't collapse into one dense
+    cluster)."""
+    n = len(X)
+    k = min(n_cells, n)
+    chosen = np.empty((k, X.shape[1]), dtype=X.dtype)
+    chosen[0] = X[rng.randint(n)]
+    d2 = ((X - chosen[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:          # all points coincide with a center
+            chosen[i:] = chosen[0]
+            break
+        chosen[i] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - chosen[i]) ** 2).sum(axis=1))
+    return chosen.copy()
+
+
 def _lloyd_train(X: np.ndarray, n_cells: int, iters: int = 10,
                  seed: int = 42) -> np.ndarray:
     """Driver-side Lloyd iterations over a (small) training sample — the
-    standard IVF coarse-quantizer training step.  Deterministic."""
+    standard IVF coarse-quantizer training step.  Deterministic
+    (seeded k-means++ init, fixed iteration count)."""
     rng = np.random.RandomState(seed)
-    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    cents = _kmeanspp_init(X, n_cells, rng)
     for _ in range(iters):
         # argmin ||x-c||^2 == argmax (x.c - |c|^2/2): one (n, cells)
         # matmul instead of materializing the (n, cells, dim) difference
@@ -334,6 +403,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     cents, base = index if index is not None else ivf_build(
         emb, dim=dim, n_cells=n_cells, train_sample=train_sample,
         id_col=id_col, vec_col=vec_col, seed=seed)
+    n_probe = min(n_probe, cents.shape[0])   # index shape, not kwargs
     probes = queries.select(
         q_id_col, q_vec_col,
         F.explode(_cell_udf(cents, n_probe)(F.col(q_vec_col))).alias("cell"))
@@ -344,12 +414,33 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     return _topk_per_query(scored, q_id_col, id_col, k)
 
 
+def lsh_build(emb: DataFrame, *, dim: int, n_planes: int = 4,
+              n_tables: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 42,
+              ) -> tuple[dict, DataFrame]:
+    """Build the LSH index: (params, (id, table_id, bucket) DataFrame).
+    The params dict records the hyperplane geometry (dim, n_planes,
+    n_tables, seed) that PRODUCED the buckets — persist it alongside
+    the parquet (e.g. a params.json next to the index directory), and
+    pass the tuple back as ``lsh_topk(index=...)``: a query bucketed
+    with different planes joins against semantically unrelated buckets
+    and recall silently collapses, so the mismatch must be DETECTED
+    (lsh_topk raises on it), not documented."""
+    params = {"dim": dim, "n_planes": n_planes, "n_tables": n_tables,
+              "seed": seed}
+    buckets = (lsh_buckets(emb.select(id_col, vec_col), vec_col, dim,
+                           n_planes, n_tables, seed)
+               .select(id_col, "table_id", "bucket"))
+    return params, buckets
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
              dim: int, n_planes: int = 4, n_tables: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
              seed: int = 42,
-             index: DataFrame | None = None) -> DataFrame:
+             index: tuple[dict, DataFrame] | DataFrame | None = None,
+             ) -> DataFrame:
     """Approximate top-k: bucket both sides with the same hyperplanes,
     equi-join on (table_id, bucket), dedupe candidates, exact cosine
     re-rank.  Expected recall for a neighbor at angle θ is
@@ -362,18 +453,34 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     the single-copy vector table and broadcast-join the query
     vectors.
 
-    Build-once/query-many: pass ``index=`` a prior ``lsh_buckets``
-    output over the corpus ((id, table_id, bucket) rows, e.g. read back
-    from parquet bucketed on (table_id, bucket)) to skip the per-call
-    corpus bucketing — the deployment shape; query-side bucketing is
-    per-batch-sized and always recomputed.  The same seed/planes must
-    have produced the index, or the equi-join semantics silently
-    change."""
-    e_b = (index.select(id_col, "table_id", "bucket")
-           if index is not None else
-           (lsh_buckets(emb.select(id_col, vec_col), vec_col, dim,
-                        n_planes, n_tables, seed)
-            .select(id_col, "table_id", "bucket")))
+    Build-once/query-many: pass ``index=`` a prior ``lsh_build``
+    result ((params, buckets) — the buckets e.g. read back from parquet
+    bucketed on (table_id, bucket)) to skip the per-call corpus
+    bucketing — the deployment shape; query-side bucketing is
+    per-batch-sized and always recomputed.  The params are VALIDATED
+    against this call's hyperplane geometry: an index built with a
+    different seed/planes would silently join unrelated buckets, so a
+    mismatch raises.  A bare DataFrame index (the pre-r11 form) is
+    still accepted but carries no detectable geometry — prefer the
+    tuple."""
+    if index is None:
+        e_b = (lsh_buckets(emb.select(id_col, vec_col), vec_col, dim,
+                           n_planes, n_tables, seed)
+               .select(id_col, "table_id", "bucket"))
+    else:
+        if isinstance(index, tuple):
+            params, e_b = index
+            want = {"dim": dim, "n_planes": n_planes,
+                    "n_tables": n_tables, "seed": seed}
+            if params != want:
+                raise ValueError(
+                    f"LSH index geometry {params} != query geometry "
+                    f"{want}: buckets from different hyperplanes are "
+                    "semantically unrelated — rebuild the index or "
+                    "match the knobs")
+        else:
+            e_b = index
+        e_b = e_b.select(id_col, "table_id", "bucket")
     q_b = (lsh_buckets(queries.select(q_id_col, q_vec_col), q_vec_col,
                        dim, n_planes, n_tables, seed)
            .select(q_id_col, "table_id", "bucket"))
@@ -507,14 +614,20 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     Build-once/query-many: pass ``index=(codebooks, codes_df)`` from a
     prior ``pq_encode`` (e.g. codes persisted to parquet alongside the
     corpus) to skip the per-call train+encode — the deployment shape,
-    where the index build amortizes over every query batch."""
+    where the index build amortizes over every query batch.  The
+    subspace geometry (m, dim) is DERIVED from the codebook shape, so
+    keyword args inconsistent with a prebuilt index cannot silently
+    misroute the LUT math."""
     books, codes = index if index is not None else pq_encode(
         emb, dim=dim, m=m, n_codes=n_codes, train_sample=train_sample,
         id_col=id_col, vec_col=vec_col, seed=seed)
-    qrows = queries.select(q_id_col, q_vec_col).collect()
+    m, _, sub = books.shape          # the index is the truth, not kwargs
+    if m * sub != dim:
+        raise ValueError(f"index codebooks are {m}x{sub}-dim "
+                         f"(= {m * sub}), queries are {dim}-dim")
+    qrows = _collect_queries(queries, q_id_col, q_vec_col)
     Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    sub = dim // m
     # lut[qi, s, c] = q_sub(s) . codebook[s, c]
     lut = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, sub), books)
 
@@ -667,16 +780,25 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     Build-once/query-many: pass ``index=(centroids, codebooks,
     codes_df)`` from a prior ``ivfpq_build`` (the codes frame read back
     from its cell-partitioned parquet) to skip the per-call
-    train+encode — the deployment shape."""
+    train+encode — the deployment shape.  The cell count and subspace
+    geometry are DERIVED from the centroid/codebook shapes, so keyword
+    args inconsistent with a prebuilt index cannot silently misroute
+    the probe or the LUT math."""
     cents, books, codes = index if index is not None else ivfpq_build(
         emb, dim=dim, n_cells=n_cells, m=m, n_codes=n_codes,
         train_sample=train_sample, id_col=id_col, vec_col=vec_col,
         seed=seed)
+    n_cells = cents.shape[0]         # the index is the truth, not kwargs
+    m, _, sub = books.shape
+    if m * sub != dim:
+        raise ValueError(f"index codebooks are {m}x{sub}-dim "
+                         f"(= {m * sub}), queries are {dim}-dim")
+    n_probe = min(n_probe, n_cells)
 
-    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qrows = _collect_queries(queries, q_id_col, q_vec_col)
     Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    lut = np.einsum("qsd,scd->qsc", Qn.reshape(len(Qn), m, dim // m), books)
+    lut = np.einsum("qsd,scd->qsc", Qn.reshape(len(Qn), m, sub), books)
     # Driver-side cell probing (queries are already collected): the
     # (query, cell) pairs broadcast into the pruning join.  Routing
     # ranks cells by the SAME score the encoder assigns with
