@@ -813,7 +813,16 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         [(qi, int(c)) for qi in range(len(qrows)) for c in probe_cells[qi]],
         "`__qi` INT, `cell` INT")
 
-    adc = (codes.join(F.broadcast(probes), "cell")
+    # STATIC partition pruning: the probed cells are driver-side
+    # literals, so filter the codes scan on them directly — when the
+    # index was read back from its partitionBy("cell") parquet, this
+    # plans as PartitionFilters [cell IN (...)] and the scan's I/O is
+    # exactly the probed cells' files (asserted in tests/test_plans.py).
+    # A broadcast join alone would not prune: DPP declines an unfiltered
+    # local-relation build side, and static beats dynamic anyway.
+    probed = sorted({int(c) for row in probe_cells for c in row})
+    adc = (codes.filter(F.col("cell").isin(probed))
+           .join(F.broadcast(probes), "cell")
            .select(F.col(id_col), F.col("__qi"),
                    _pq_adc_pair_udf(lut, qdotc)(
                        F.col("pq_codes"), F.col("__qi"),

@@ -636,6 +636,60 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(_ann_invariants(out, exact, min_hits=4), "q_id")
 
 
+@register("ann_topk_ivf_indexed", _ANN_INVARIANT_ORACLE)
+def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF AT-REST index journey — the deployment shape end-to-end:
+    ivf_build trains the coarse quantizer and assigns cells, the (id,
+    vec, cell) frame is WRITTEN partitionBy("cell") to parquet (the
+    reorganized corpus — the reference's persisted-index analogue,
+    LingoDBHashIndex.cpp/.h: the at-rest structure IS the point), read
+    back, and queried through ``ivf_topk(index=...)``.  The probe join
+    dynamically prunes the cell partitions (Spark DPP: the broadcast
+    probe side filters the scan at runtime — plan-asserted with the
+    static-vs-dynamic story in tests/test_plans.py), so a 6/16-probe
+    query reads 6/16 of the index files, the claim that carries 100 TB.
+    Same seeds as ann_topk_ivf => same quantizer => same invariant
+    bounds (min_hits=4 enforced; 5 measured, pinned in tests)."""
+    import tempfile
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = _query_vectors(emb)
+    cents, cells = ops.ivf_build(base, dim=64, n_cells=16)
+    path = tempfile.mkdtemp(prefix="ldb_ivf_idx_") + "/ivf"
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    out = ops.ivf_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
+                       index=(cents, spark.read.parquet(path)))
+    exact = ops.brute_force_topk(base, qs, k=10)
+    return sorted_result(_ann_invariants(out, exact, min_hits=4), "q_id")
+
+
+@register("ann_topk_ivfpq_indexed", _ANN_INVARIANT_ORACLE)
+def ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ AT-REST index journey: ivfpq_build encodes the corpus
+    to (id, cell, 16-byte residual PQ codes), written partitionBy
+    ("cell") to parquet, read back, queried through ``ivfpq_topk
+    (index=...)``.  The probed cells are driver-side literals, so the
+    codes scan carries a STATIC PartitionFilters [cell IN (...)] — the
+    scan's I/O is exactly the probed cells' code files, (n_probe /
+    n_cells) x ~6% of the embedding bytes (plan-asserted in
+    tests/test_plans.py: the IN-list equals the probe routing's cell
+    set).  Same seeds as ann_topk_ivfpq => same index => same invariant
+    bounds (min_hits=4 enforced; 5 measured, pinned in tests)."""
+    import tempfile
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = _query_vectors(emb)
+    cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
+                                          m=16, n_codes=32)
+    path = tempfile.mkdtemp(prefix="ldb_ivfpq_idx_") + "/ivfpq"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    out = ops.ivfpq_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
+                         m=16, n_codes=32, rerank=64,
+                         index=(cents, books, spark.read.parquet(path)))
+    exact = ops.brute_force_topk(base, qs, k=10)
+    return sorted_result(_ann_invariants(out, exact, min_hits=4), "q_id")
+
+
 @register("ann_topk_pq_full", """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id < 5),

@@ -237,3 +237,94 @@ def test_fuzzy_pairs_no_cartesian(spark):
     p = plan(spark, "pipeline_fuzzy_pairs", "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivfpq_at_rest_index_scan_statically_prunes_probed_cells(spark):
+    """The 100-TB headline claim made a record: ivfpq_build's codes
+    frame written partitionBy("cell"), read back, and queried must plan
+    a STATIC PartitionFilters [cell IN (<probed cells>)] on the code
+    scan — the IN-list must equal the probe routing's cell set exactly,
+    so a probe's I/O is the probed cells' files and nothing else."""
+    import re
+    import tempfile
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    import lingo_db_spark.operators as ops
+    from lingo_db_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
+                                          m=16, n_codes=32)
+    path = tempfile.mkdtemp(prefix="ldb_idxplan_") + "/ivfpq"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    at_rest = spark.read.parquet(path)
+    n_probe = 6
+    out = ops.ivfpq_topk(base, qs, k=10, dim=64, n_cells=16,
+                         n_probe=n_probe, m=16, n_codes=32, rerank=64,
+                         index=(cents, books, at_rest))
+    p = explain_str(out, "formatted")
+    # Recompute the probe routing the operator uses (driver-side, same
+    # math) — the plan's IN-list must be exactly this set.
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qs.collect()])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    score = Qn @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    expect = sorted({int(c) for row in
+                     np.argsort(-score, axis=1)[:, :n_probe] for c in row})
+    pf_lines = [ln for ln in p.splitlines() if "PartitionFilters:" in ln]
+    # Spark renders the literal IN-list as `cell#N INSET v, v, ...` (or
+    # `cell#N IN (v, ...)` for short lists) inside PartitionFilters.
+    m = None
+    for ln in pf_lines:
+        m = re.search(r"cell#\d+ (?:INSET |IN \()([0-9, ]+)", ln)
+        if m:
+            break
+    assert m, f"no static cell IN-list in PartitionFilters: {pf_lines}"
+    got = sorted({int(x) for x in re.findall(r"\d+", m.group(1))})
+    assert got == expect, (got, expect)
+    assert len(expect) < 16, "probe set must actually prune (< n_cells)"
+    # and the query still returns k rows per query on the pruned scan
+    counts = {r.q_id: r.n for r in
+              out.groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert set(counts.values()) == {10}
+
+
+def test_ivf_at_rest_index_scan_dynamically_prunes_cells(spark):
+    """ivf_build's (id, vec, cell) frame written partitionBy("cell") and
+    queried through ivf_topk(index=...) keeps the probe side distributed
+    (cells are computed per-query by a UDF, not driver literals), so the
+    pruning is Spark's DYNAMIC partition pruning: the broadcast probe
+    join must plant a dynamicpruningexpression on the scan's
+    PartitionFilters — at runtime only the probed cells' files are
+    read."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    import lingo_db_spark.operators as ops
+    from lingo_db_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    cents, cells = ops.ivf_build(base, dim=64, n_cells=16)
+    path = tempfile.mkdtemp(prefix="ldb_idxplan_") + "/ivf"
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    out = ops.ivf_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
+                       index=(cents, spark.read.parquet(path)))
+    p = explain_str(out, "formatted")
+    pf_lines = [ln for ln in p.splitlines()
+                if "PartitionFilters:" in ln and "dynamicpruning" in ln]
+    assert pf_lines, "no dynamicpruningexpression on the index scan"
+    counts = {r.q_id: r.n for r in
+              out.groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert set(counts.values()) == {10}
