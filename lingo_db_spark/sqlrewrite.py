@@ -1067,3 +1067,208 @@ def _decorrelate_once(sql: str, columns_of=None) -> str:
             sql = sql[:s] + "(" + rep + ")" + sql[e:]
             edited.append((s, e))
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Monotone-EXISTS -> scalar-aggregate rewrite (the SCALE rewrite class)
+# ---------------------------------------------------------------------------
+# Catalyst plans a correlated EXISTS/NOT EXISTS as a left-semi/anti hash
+# join whose BUILD side is the inner table — when that table is the
+# unbounded fact (TPC-H q4/q21: lineitem), the build side scales with
+# the data, the exact hazard the r10 sf10 study measured at 2.9-3.3 s
+# before the library queries were rewritten (queries/tpch.py:q4,
+# tpch2.py:q21).  The same algebra applies at the SQL door: an EXISTS
+# whose residual correlation is a single monotone comparison is exactly
+# a per-key MIN/MAX (or COUNT) aggregate compared against the outer
+# expression — and Catalyst decorrelates a correlated SCALAR aggregate
+# subquery into a per-key aggregate + join, whose build/shuffle side is
+# one row per key, never the fact.  (The reference reaches the same
+# shape through its general unnesting + groupjoin fusion,
+# Unnesting.cpp / OptimizeImplementations.cpp:771-850.)
+#
+# Recognized class (everything else is left untouched):
+#   [NOT] EXISTS (SELECT ... FROM one_table [alias]
+#                 WHERE conj AND conj AND ...)
+# where every conjunct is one of
+#   - an equality  inner_expr = outer_expr   (>= 1 required: the
+#     correlation keys Catalyst needs to decorrelate the scalar form),
+#   - a predicate over inner columns only (stays in the subquery), or
+#   - at most ONE comparison  inner_expr <op> outer_expr  with
+#     <op> in {<, <=, >, >=, <>, !=}.
+# Rewrites (each wrapped coalesce(..., false), so the replacement is
+# two-valued exactly like EXISTS and safe in any boolean context):
+#   no comparison: (SELECT count(1) ...) > 0
+#   a <  e: (SELECT min(a) ...) <  e      a >  e: (SELECT max(a) ...) >  e
+#   a <= e: (SELECT min(a) ...) <= e      a >= e: (SELECT max(a) ...) >= e
+#   a <> e: (SELECT min(a) ...) <> e OR (SELECT max(a) ...) <> e
+# NULL semantics check out case-by-case: rows with NULL a can never
+# witness the EXISTS and min/max ignore NULLs; an empty group makes the
+# scalar NULL (count: 0) and coalesce(NULL, false) matches the empty
+# EXISTS; a NULL outer e makes both forms false.  min/max pairs over
+# the same child fuse into ONE aggregate (Catalyst
+# MergeScalarSubqueries), so q21's <> form costs one pass, not two.
+
+_EXISTS_RE = re.compile(r"\b(not\s+)?exists\s*\(", re.IGNORECASE)
+_EXISTS_BODY_RE = re.compile(
+    r"^\s*select\b.*?\bfrom\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:as\s+)?(?!where\b)([A-Za-z_]\w*))?\s*"
+    r"\bwhere\b(.*)$",
+    re.IGNORECASE | re.DOTALL)
+_CMP_OPS = ("<=", ">=", "<>", "!=", "=", "<", ">")
+_AGG_FOR_OP = {"<": "min", "<=": "min", ">": "max", ">=": "max"}
+
+
+def _strip_strings(s: str) -> str:
+    """Blank single-quoted string literals so ident scans can't match
+    inside them ('SAUDI ARABIA' must not read as columns)."""
+    return re.sub(r"'(?:[^']|'')*'", "''", s)
+
+
+def _split_cmp(c: str) -> tuple[str, str, str] | None:
+    """Split a conjunct into (lhs, op, rhs) on its single top-level
+    comparison operator; None if there is none or more than one."""
+    found = None
+    depth = 0
+    i = 0
+    while i < len(c):
+        ch = c[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for op in _CMP_OPS:
+                if c.startswith(op, i):
+                    if found is not None:
+                        return None
+                    found = (c[:i].strip(), op, c[i + len(op):].strip())
+                    i += len(op) - 1
+                    break
+        i += 1
+    return found
+
+
+def _exists_body_to_scalar(body: str, columns_of) -> str | None:
+    """The scalar-aggregate replacement expression for one EXISTS body,
+    or None when the body is outside the recognized class."""
+    m = _EXISTS_BODY_RE.match(body)
+    if not m:
+        return None
+    table, alias, preds = m.group(1), m.group(2), m.group(3)
+    # single-table FROM only: the span between FROM and WHERE must be
+    # exactly what the regex consumed (no commas/joins), and the where
+    # part must hold no nested subquery or set operation
+    head = body[:m.start(3)]
+    if re.search(r",|\bjoin\b|\bgroup\b|\bunion\b", _blank_parens(head),
+                 re.IGNORECASE):
+        return None
+    if re.search(r"\(\s*select\b|\bunion\b|\bintersect\b|\bexcept\b"
+                 r"|\bgroup\s+by\b|\bhaving\b|\border\s+by\b|\blimit\b",
+                 preds, re.IGNORECASE):
+        return None
+    if not _balanced(preds):
+        return None
+    inner_names = {(alias or table).lower()}
+    inner_cols: set[str] | None = None
+    if columns_of is not None:
+        try:
+            c = columns_of(table)
+        except Exception:               # noqa: BLE001
+            c = None
+        if c:
+            inner_cols = {str(x).lower() for x in c}
+
+    def _kind(expr: str) -> str | None:
+        """'inner' | 'outer' | None (mixed/unclassifiable)."""
+        e = _strip_strings(expr)
+        kinds: set[str] = set()
+        for r in _alias_refs(e):
+            kinds.add("inner" if r in inner_names else "outer")
+        bare = _bare_idents(e)
+        if bare:
+            if inner_cols is None:
+                return None
+            for b in bare:
+                kinds.add("inner" if b in inner_cols else "outer")
+        if kinds == {"inner"}:
+            return "inner"
+        if not kinds or kinds == {"outer"}:
+            # no column refs at all (a literal) counts as outer-only:
+            # constants are legal on the comparison's outer side
+            return "outer"
+        return None
+
+    corr: list[str] = []
+    inner_preds: list[str] = []
+    extract: tuple[str, str, str] | None = None
+    for conj in _split_top_and(preds):
+        if _kind(conj) == "inner":
+            inner_preds.append(conj)
+            continue
+        cmp_parts = _split_cmp(conj)
+        if cmp_parts is None:
+            return None
+        lhs, op, rhs = cmp_parts
+        lk, rk = _kind(lhs), _kind(rhs)
+        if lk == "outer" and rk == "inner":
+            lhs, rhs, lk, rk = rhs, lhs, rk, lk
+            op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(op, op)
+        if lk != "inner" or rk != "outer":
+            return None
+        if op == "=":
+            corr.append(conj)
+        elif extract is None:
+            extract = (lhs, op, rhs)
+        else:
+            return None                 # two monotone extractions: bail
+    if not corr:
+        return None                     # uncorrelated (or non-equi): leave
+    frm = f"{table} {alias}" if alias else table
+    where_sql = " and ".join(corr + inner_preds)
+    if extract is None:
+        return f"(select count(1) from {frm} where {where_sql}) > 0"
+    a, op, e = extract
+    if op in ("<>", "!="):
+        return (f"(select min({a}) from {frm} where {where_sql}) {op} {e}"
+                f" or "
+                f"(select max({a}) from {frm} where {where_sql}) {op} {e}")
+    return (f"(select {_AGG_FOR_OP[op]}({a}) from {frm} "
+            f"where {where_sql}) {op} {e}")
+
+
+def exists_to_aggregate(sql: str, columns_of=None) -> str:
+    """Rewrite every recognized [NOT] EXISTS in `sql` to its
+    scalar-aggregate form (see the class comment above).  Unchanged
+    text means no rewrite applied.  Callers must value-gate the result
+    (Connection.sql falls back to the original text if the rewritten
+    form fails analysis; the verbatim suites value-check it)."""
+    out = sql
+    guard = 0
+    while guard < 32:
+        guard += 1
+        done = True
+        for m in _EXISTS_RE.finditer(out):
+            depth, i = 1, m.end()
+            while i < len(out) and depth:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                return sql              # unbalanced: refuse to touch
+            body = out[m.end():i - 1]
+            rep = _exists_body_to_scalar(body, columns_of)
+            if rep is None:
+                continue
+            expr = f"coalesce({rep}, false)"
+            if m.group(1):
+                expr = f"(not {expr})"
+            else:
+                expr = f"({expr})"
+            out = out[:m.start()] + expr + out[i:]
+            done = False
+            break                       # indices shifted: rescan
+        if done:
+            return out
+    return out

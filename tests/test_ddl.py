@@ -332,3 +332,30 @@ def test_all_remaining_initialize_scripts_run(spark):
     assert con.sql(
         "select count(*) as c from hoeren h, studenten s "
         "where h.matrnr = s.matrnr").collect()[0].c > 0
+
+
+@pytest.mark.skipif(not REF_TPCH.exists(), reason="reference absent")
+def test_door_q4_q21_monotone_exists_rewrite_kills_fact_hash_builds(
+        spark, tmp_path):
+    """The r10 library rewrites reach the SQL door (r10 verdict missing
+    #1): the verbatim 4.sql/21.sql through Connection.sql must plan NO
+    left-semi/anti join (whose build side would be the lineitem fact —
+    the shape the sf10 study measured at 2.9/3.3 s) — the monotone-
+    EXISTS scale rewrite turns them into per-key scalar aggregates,
+    which Catalyst decorrelates into aggregate + join.  Value equality
+    is covered by test_verbatim_initialize_and_all_22_queries (same
+    door, same fixtures, DuckDB side-by-side)."""
+    from conftest import explain_str
+    _export_tbls(tmp_path)
+    con = Connection(spark)
+    con.run_script((REF_TPCH / "initialize.sql").read_text(),
+                   base_dir=str(tmp_path))
+    for q in ("4", "21"):
+        con.last_rewritten_sql = None
+        df = con.sql((REF_TPCH / f"{q}.sql").read_text())
+        assert con.last_rewritten_sql is not None, f"{q}.sql: no rewrite"
+        assert "exists" not in con.last_rewritten_sql.lower().replace(
+            "not exists", "")
+        p = explain_str(df, "formatted")
+        assert "LeftSemi" not in p, f"{q}.sql still plans a semi join"
+        assert "LeftAnti" not in p, f"{q}.sql still plans an anti join"

@@ -252,3 +252,82 @@ def test_parse_probe_never_executes_commands(spark):
             "SELECT COUNT(*) AS c FROM probe_gate_t").first().c == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS probe_gate_t")
+
+
+# ---------------------------------------------------------------------------
+# monotone-EXISTS -> scalar-aggregate (the scale rewrite class)
+# ---------------------------------------------------------------------------
+
+_TPCH_COLS = {
+    "lineitem": ["l_orderkey", "l_suppkey", "l_commitdate",
+                 "l_receiptdate", "l_shipdate"],
+    "orders": ["o_orderkey", "o_orderdate"],
+}
+
+
+def _tpch_cols(t):
+    return _TPCH_COLS.get(t)
+
+
+def test_exists_inner_only_residual_becomes_count():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from orders where exists (select * from lineitem "
+           "where l_orderkey = o_orderkey and l_commitdate < "
+           "l_receiptdate)")
+    out = exists_to_aggregate(sql, _tpch_cols)
+    assert "count(1)" in out and "exists" not in out.lower()
+    assert "coalesce" in out and "> 0" in out
+
+
+def test_exists_monotone_comparison_becomes_min_max():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from orders where exists (select * from lineitem "
+           "where l_orderkey = o_orderkey and l_shipdate > o_orderdate)")
+    out = exists_to_aggregate(sql, _tpch_cols)
+    assert "max(l_shipdate)" in out and "exists" not in out.lower()
+    # flipped operand order normalizes to the same aggregate
+    flipped = ("select 1 from orders where exists (select * from "
+               "lineitem where l_orderkey = o_orderkey and o_orderdate "
+               "< l_shipdate)")
+    assert "max(l_shipdate)" in exists_to_aggregate(flipped, _tpch_cols)
+
+
+def test_not_exists_neq_becomes_negated_min_max_pair():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from lineitem l1 where not exists (select * from "
+           "lineitem l3 where l3.l_orderkey = l1.l_orderkey and "
+           "l3.l_suppkey <> l1.l_suppkey and l3.l_receiptdate > "
+           "l3.l_commitdate)")
+    out = exists_to_aggregate(sql, _tpch_cols)
+    assert "min(l3.l_suppkey)" in out and "max(l3.l_suppkey)" in out
+    assert out.count("l3.l_receiptdate > l3.l_commitdate") == 2
+    assert "not coalesce" in out.lower()
+
+
+def test_exists_bails_outside_the_class():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    bails = [
+        # multi-table FROM (the TPC-DS shape): untouched
+        "select 1 from orders where exists (select * from lineitem, "
+        "orders o2 where l_orderkey = o_orderkey)",
+        # no correlation equality
+        "select 1 from orders where exists (select * from lineitem "
+        "where l_shipdate > o_orderdate)",
+        # two monotone outer comparisons
+        "select 1 from orders where exists (select * from lineitem "
+        "where l_orderkey = o_orderkey and l_shipdate > o_orderdate "
+        "and l_commitdate < o_orderdate)",
+        # grouped subquery
+        "select 1 from orders where exists (select l_orderkey from "
+        "lineitem where l_orderkey = o_orderkey group by l_orderkey)",
+        # nested subquery inside the EXISTS body
+        "select 1 from orders where exists (select * from lineitem "
+        "where l_orderkey = o_orderkey and l_suppkey in (select "
+        "l_suppkey from lineitem))",
+        # bare idents with no resolver: unclassifiable
+    ]
+    for sql in bails:
+        assert exists_to_aggregate(sql, _tpch_cols) == sql, sql
+    unresolvable = ("select 1 from orders where exists (select * from "
+                    "lineitem where l_orderkey = o_orderkey)")
+    assert exists_to_aggregate(unresolvable, None) == unresolvable
