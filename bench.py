@@ -72,6 +72,10 @@ HEADLINE_EXTRA = [
     # r10: the composed IVF-PQ index (residual ADC scan + exact
     # re-rank) — the new ANN flagship alongside ann_topk_lsh/_ivf
     "ann_topk_ivfpq",
+    # r11: the at-rest index journey (build -> cell-partitioned parquet
+    # -> read back -> statically pruned probe) — tracks the deployment
+    # shape's wall alongside the in-memory ivfpq above
+    "ann_topk_ivfpq_indexed",
 ]
 
 

@@ -49,6 +49,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 import lingo_db_spark.operators as ops
+from bench import _steal_sec
 from lingo_db_spark.catalog import load_table
 from lingo_db_spark.session import build_session
 
@@ -130,10 +131,13 @@ def main() -> int:
     ivf_base.write.mode("overwrite").partitionBy("cell").parquet(ivf_path)
     ivf_index = (ivf_cents, spark.read.parquet(ivf_path))
     lsh_path = idx_path.replace("ann_ivfpq", "ann_lsh")
-    (ops.lsh_buckets(base.select("vec_id", "embedding"), "embedding", 64)
-     .select("vec_id", "table_id", "bucket")
-     .write.mode("overwrite").parquet(lsh_path))
-    lsh_index = spark.read.parquet(lsh_path)
+    lsh_params, lsh_buckets_df = ops.lsh_build(
+        base.select("vec_id", "embedding"), dim=64,
+        n_planes=4, n_tables=16)
+    lsh_buckets_df.write.mode("overwrite").parquet(lsh_path)
+    # geometry travels with the index (r10 advice): lsh_topk validates
+    # it against the query-side knobs and raises on mismatch
+    lsh_index = (lsh_params, spark.read.parquet(lsh_path))
 
     methods = {
         "brute": lambda: ops.brute_force_topk(base, qs, k=kk),
@@ -151,19 +155,28 @@ def main() -> int:
                                     index=lsh_index),
     }
 
-    # Untimed JIT/codegen warm pass (cheapest method) so the first timed
-    # run doesn't bill compiler time — same protocol as bench.py.
-    methods["pq"]().collect()
+    # Untimed JIT/codegen warm pass PER METHOD (r10 advice: the plan
+    # shapes are distinct — window+matmul UDF, probe joins, bucket
+    # equi-join — so warming one method does not drain another's
+    # codegen/C2 tail; measured protocol as bench.py).
+    for fn in methods.values():
+        fn().collect()
 
     results: dict[str, list] = {}
     times: dict[str, float] = {}
+    steal: dict[str, float] = {}
     for name, fn in methods.items():
         walls = []
         rows = None
+        w0, s0 = time.perf_counter(), _steal_sec()
         for _ in range(runs):
             t0 = time.perf_counter()
             rows = fn().collect()
             walls.append(time.perf_counter() - t0)
+        # hypervisor steal per method window: noisy sessions
+        # self-convict in the JSON (bench.py's protocol)
+        steal[name] = round((_steal_sec() - s0)
+                            / max(1e-6, time.perf_counter() - w0), 3)
         times[name] = round(statistics.median(walls), 3)
         results[name] = rows
 
@@ -195,6 +208,7 @@ def main() -> int:
         "index_bytes": _tree_bytes(idx_path),
         "raw_bytes": _tree_bytes(emb_path),
         **{f"{m}_s": times[m] for m in methods},
+        "steal_cores": steal,
         "recall": recall,
         "ivfpq_scanned_pairs": scanned,
         "all_pairs": n * len(qrows),

@@ -45,8 +45,10 @@ def main():
         registry[name].spark_fn(spark, SF_DIR).collect()
         spark.catalog.clearCache()
     spark_t: dict[str, float] = {}
+    steal: dict[str, float] = {}
     for name in names:
         samples = []
+        w0, s0 = time.perf_counter(), bench._steal_sec()
         for i in range(WARMUP + RUNS):
             t0 = time.perf_counter()
             n = len(registry[name].spark_fn(spark, SF_DIR).collect())
@@ -54,9 +56,14 @@ def main():
             if i >= WARMUP:
                 samples.append(el)
             spark.catalog.clearCache()
+        # hypervisor steal per query window (bench.py's protocol): a
+        # noisy session self-convicts in the artifact instead of
+        # reading as an engine regression.
+        steal[name] = round((bench._steal_sec() - s0)
+                            / max(1e-6, time.perf_counter() - w0), 3)
         spark_t[name] = round(statistics.median(samples), 4)
-        print(f"spark  {name}: {spark_t[name]:7.3f} s ({n} rows)",
-              flush=True)
+        print(f"spark  {name}: {spark_t[name]:7.3f} s ({n} rows, "
+              f"steal_cores {steal[name]})", flush=True)
     duck_t = bench.run_duckdb_ref(names, SF_DIR, WARMUP, RUNS)
     total_s, total_d = sum(spark_t.values()), sum(duck_t.values())
     print(f"\n{'query':10s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
@@ -68,6 +75,7 @@ def main():
           f"{total_s/total_d:7.2f}")
     payload = {"sf_dir": SF_DIR, "warmup": WARMUP, "runs": RUNS,
                "spark": spark_t, "duckdb": duck_t,
+               "steal_cores": steal,
                "spark_total": round(total_s, 3),
                "duckdb_total": round(total_d, 3),
                "ratio_total": round(total_s / total_d, 2)}
