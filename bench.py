@@ -399,6 +399,37 @@ def main() -> int:
         if ev["external_busy_cores"] > 1.0:
             log(f"bench: WARNING host not quiet during batch {chunk[0]}..: "
                 f"{ev['external_busy_cores']} external busy cores")
+    # r11: sf1 spot batch — the r10 three-decade study showed sf0.1 is
+    # the least representative decade, so when a prebuilt sf1 copy
+    # exists (tools/make_scaled_data.py 10 .scaledata/sf1) the artifact
+    # carries a 6-query spot check at it (1 warm + 1 timed, ~20 s).
+    # Absent dir => skipped silently: a fresh checkout's bench stays
+    # cheap and identical to before.
+    sf1_spot: dict[str, float] = {}
+    sf1_dir = str(Path(__file__).parent / ".scaledata" / "sf1")
+    if not sys.argv[1:] and os.path.isdir(sf1_dir):
+        spot = ["tpch_q1", "tpch_q4", "tpch_q6",
+                "tpch_q9", "tpch_q18", "tpch_q21"]
+        probe = _LoadProbe(self_only=True)
+        tree_cpu = 0.0
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *spot],
+                env={**env, "SPARK_GRAFT_SF_DIR": sf1_dir,
+                     "BENCH_WARMUP": "1", "BENCH_RUNS": "1"},
+                capture_output=True, text=True, timeout=600)
+            sys.stderr.write(proc.stderr[-2000:])
+            last = [l for l in proc.stdout.splitlines() if l.strip()][-1]
+            got = json.loads(last)
+            tree_cpu = got.pop("_tree_cpu", 0.0)
+            sf1_spot = {n: round(v, 3) for n, v in got.items()}
+        except Exception as e:  # noqa: BLE001 — spot check never kills bench
+            log(f"bench: sf1 spot batch skipped: {type(e).__name__}: "
+                f"{str(e)[:120]}")
+        ev = probe.finish(extra_own=tree_cpu)
+        ev["queries"] = ["sf1_spot"]
+        batch_loads.append(ev)
+
     duck_probe = _LoadProbe()
     duck_ref = run_duckdb_ref(
         [n for n in CALIBRATION if n in timings], sf_dir, warmup, runs)
@@ -439,6 +470,8 @@ def main() -> int:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
         "host_quiet": host_quiet,
     }
+    if sf1_spot:
+        payload["sf1_spot"] = sf1_spot
     # The full per-batch load evidence (loadavg samples, external busy
     # cores, window walls) rides a side file + stderr, never the stdout
     # line.  host_quiet on stdout is the verdict; the file is the proof.
