@@ -360,6 +360,7 @@ def normalize_null_order(sql: str) -> str:
 # same retry; the corpus runner below value-checks every rewrite.
 from lingo_db_spark.sqlrewrite import (  # noqa: E402
     decorrelate_select_list,
+    exists_to_aggregate,
     is_correlated_scope_gap as _is_correlated_scope_gap,
 )
 
@@ -469,6 +470,20 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
                 sort = "rowsort"
         try:
             q = to_spark_sql(sql)
+            if "exists" in q.lower():
+                # the SQL door's monotone-EXISTS scale rewrite (r11)
+                # runs here on its MAIN path so every recognized corpus
+                # EXISTS shape value-checks the rewrite, not just the
+                # verbatim suites; unrecognized shapes pass through
+                # byte-identical
+                def _duck_cols_main(t):
+                    try:
+                        info = con.execute(
+                            f"PRAGMA table_info('{t}')").fetchall()
+                        return [c[1] for c in info] or None
+                    except Exception:           # noqa: BLE001
+                        return None
+                q = exists_to_aggregate(q, columns_of=_duck_cols_main)
             if types == "tsv" and has_order:
                 q = normalize_null_order(q)
             rows = spark.sql(q).collect()
