@@ -415,8 +415,12 @@ def main() -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *spot],
+                # median of 3: the first artifact run recorded q1 at
+                # 13 s from a single timed pass in a steal window (the
+                # same q1 measured 1.1 s interactively minutes later) —
+                # single-run spot batches are too fragile to publish
                 env={**env, "SPARK_GRAFT_SF_DIR": sf1_dir,
-                     "BENCH_WARMUP": "1", "BENCH_RUNS": "1"},
+                     "BENCH_WARMUP": "1", "BENCH_RUNS": "3"},
                 capture_output=True, text=True, timeout=600)
             sys.stderr.write(proc.stderr[-2000:])
             last = [l for l in proc.stdout.splitlines() if l.strip()][-1]

@@ -129,6 +129,7 @@ def dequantize_embeddings(df: DataFrame,
 
 
 _CUT_FANIN = 64
+_CUT_FANIN_GATE = 32
 
 
 def _two_level_cut(df: DataFrame, q_col: str, id_col: str,
@@ -152,19 +153,28 @@ def _two_level_cut(df: DataFrame, q_col: str, id_col: str,
        (n_partitions x limit per query, ids + score only);
     3. per query: ranks <= _CUT_FANIN x limit rows.
 
-    Deterministic tie-break on id.  Returns the survivors with their
-    global rank in `__rank`.  The fan-in is static (no
-    df.rdd.getNumPartitions() probe: under AQE that materializes query
-    stages, turning a lazy builder into an eager execution)."""
+    The fold level is GATED on limit > _CUT_FANIN_GATE: for small
+    limits (the k~10 final top-k) the unfolded bound n_partitions x
+    limit stays reducer-survivable even at 1e5 input partitions
+    (~1e6 skinny rows per query), and the extra window measurably
+    costs ~0.3-0.5 s per query at bench scale for nothing (r11 A/B,
+    SCALE.md); for the rerank-sized cuts (64-1024) where the blow-up
+    actually lives, the fold is on.  Deterministic tie-break on id.
+    Returns the survivors with their global rank in `__rank`.  The
+    fan-in is static (no df.rdd.getNumPartitions() probe: under AQE
+    that materializes query stages, turning a lazy builder into an
+    eager execution)."""
     order = (F.desc(score_col), F.asc(id_col))
     part = df.withColumn("__p", F.spark_partition_id())
     w1 = Window.partitionBy(q_col, "__p").orderBy(*order)
-    l1 = (part.withColumn("__r", F.row_number().over(w1))
+    l2 = (part.withColumn("__r", F.row_number().over(w1))
           .filter(F.col("__r") <= limit).drop("__r"))
-    w2 = Window.partitionBy(
-        q_col, F.pmod(F.col("__p"), F.lit(_CUT_FANIN))).orderBy(*order)
-    l2 = (l1.withColumn("__r", F.row_number().over(w2))
-          .filter(F.col("__r") <= limit).drop("__r", "__p"))
+    if limit > _CUT_FANIN_GATE:
+        w2 = Window.partitionBy(
+            q_col, F.pmod(F.col("__p"), F.lit(_CUT_FANIN))).orderBy(*order)
+        l2 = (l2.withColumn("__r", F.row_number().over(w2))
+              .filter(F.col("__r") <= limit))
+    l2 = l2.drop("__r", "__p")
     w = Window.partitionBy(q_col).orderBy(*order)
     return (l2.withColumn("__rank", F.row_number().over(w))
             .filter(F.col("__rank") <= limit))

@@ -359,3 +359,33 @@ def test_door_q4_q21_monotone_exists_rewrite_kills_fact_hash_builds(
         p = explain_str(df, "formatted")
         assert "LeftSemi" not in p, f"{q}.sql still plans a semi join"
         assert "LeftAnti" not in p, f"{q}.sql still plans an anti join"
+
+
+def test_door_exists_rewrite_null_corner_matches_spark(spark):
+    """The NULL corner where DuckDB 1.0.0's EXISTS diverges from the
+    standard (see test_exists_rewrite_property): Spark implements the
+    STANDARD reading — `EXISTS(... AND t.a != o.e)` with o.e NULL has
+    no witness, so NOT EXISTS keeps the row — and the door's rewrite
+    must return exactly Spark's own un-rewritten answer."""
+    import os
+    spark.createDataFrame([(0, 0)], "k INT, a INT") \
+        .createOrReplaceTempView("exn_t")
+    spark.createDataFrame([(0, None)], "k INT, e INT") \
+        .createOrReplaceTempView("exn_o")
+    q = ("select o.k, o.e from exn_o o where not exists "
+         "(select * from exn_t t where t.k = o.k and t.a != o.e)")
+    plain = [tuple(r) for r in spark.sql(q).collect()]
+    assert plain == [(0, None)]      # the standard reading
+    con = Connection(spark)
+    con.last_rewritten_sql = None
+    through_door = [tuple(r) for r in con.sql(q).collect()]
+    assert con.last_rewritten_sql is not None
+    assert through_door == plain
+    # and the opt-out env var really turns the rewrite off
+    os.environ["LINGODB_SCALE_REWRITES"] = "0"
+    try:
+        con.last_rewritten_sql = None
+        off = [tuple(r) for r in con.sql(q).collect()]
+        assert con.last_rewritten_sql is None and off == plain
+    finally:
+        del os.environ["LINGODB_SCALE_REWRITES"]

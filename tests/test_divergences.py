@@ -11,6 +11,7 @@ The divergences (each discovered by a real query in an earlier round):
 | ROLLUP on empty input | 0 rows                | grand-total row      | oracle SQL avoids rollup-on-empty; witnessed |
 | ORDER BY NULL default | ASC = NULLS FIRST     | ASC = NULLS LAST     | explicit NULLS LAST / asc_nulls_last in ordered outputs |
 | LIMIT across ties     | underdetermined set   | underdetermined set  | tie-breaking sort keys; counts always agree |
+| correlated EXISTS w/ NULL non-eq cmp | standard: no witness | DuckDB 1.0.0 EXISTS says TRUE (mark-join) | spec evaluator oracle in test_exists_rewrite_property; witnessed below |
 """
 
 from __future__ import annotations
@@ -88,3 +89,30 @@ def test_tied_limit_cut_divergence(spark):
     qd = f"SELECT k, s FROM {vals} ORDER BY k, s LIMIT 2"
     assert [tuple(r) for r in spark.sql(qd).collect()] == \
         duck.execute(qd).fetchall() == [(1, "a"), (1, "b")]
+
+
+def test_correlated_exists_null_noneq_divergence(spark):
+    """DuckDB 1.0.0's correlated EXISTS with a NULL non-equality
+    comparison diverges from the standard (its own count(*) of the
+    identical subquery disagrees with its EXISTS); Spark implements
+    the standard reading.  Found by hypothesis while property-testing
+    the r11 monotone-EXISTS rewrite — which is why that test's oracle
+    is a spec evaluator, not DuckDB's EXISTS."""
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+    duck.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+    duck.execute("INSERT INTO t VALUES (0, 0)")
+    duck.execute("INSERT INTO o VALUES (0, NULL)")
+    q_exists = ("select exists(select * from {t} where {t}.k = o.k "
+                "and {t}.a != o.e) from {o} o")
+    q_count = ("select (select count(*) from {t} where {t}.k = o.k "
+               "and {t}.a != o.e) from {o} o")
+    assert duck.execute(q_exists.format(t="t", o="o")).fetchone()[0] \
+        is True                                   # the divergence
+    assert duck.execute(q_count.format(t="t", o="o")).fetchone()[0] == 0
+    spark.createDataFrame([(0, 0)], "k INT, a INT") \
+        .createOrReplaceTempView("div_t")
+    spark.createDataFrame([(0, None)], "k INT, e INT") \
+        .createOrReplaceTempView("div_o")
+    got = spark.sql(q_exists.format(t="div_t", o="div_o")).collect()
+    assert got[0][0] is False                     # standard reading

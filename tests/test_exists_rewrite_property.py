@@ -1,0 +1,187 @@
+"""Property test for the monotone-EXISTS -> scalar-aggregate rewrite
+(sqlrewrite.exists_to_aggregate): on randomized tables WITH NULLs in
+every role (correlation key, compared column, outer expression), the
+rewritten SQL must return exactly the rows STANDARD three-valued
+EXISTS semantics dictate.  The expected set is computed by a Python
+spec evaluator (a row witnesses the EXISTS only when every conjunct
+is TRUE — NULL comparisons are not witnesses; EXISTS itself is
+two-valued), and the rewritten SQL executes in DuckDB — hundreds of
+examples per second, no Spark session.
+
+Why not compare against DuckDB's own evaluation of the ORIGINAL
+EXISTS text: hypothesis found that DuckDB 1.0.0 diverges from the
+standard on `EXISTS(... AND t.a != o.e)` with o.e NULL — its EXISTS
+returns TRUE while `(SELECT count(*) ...)` over the IDENTICAL
+subquery returns 0 (the mark-join decorrelation treats the NULL
+comparison as a match).  Spark implements the standard behavior
+(pinned in test_door_exists_rewrite_null_corner_matches_spark), so
+the spec evaluator — not DuckDB's EXISTS — is the right oracle here.
+
+The Spark-side plan shape and value gates live in test_ddl / the
+verbatim suites; THIS test is the NULL-semantics torture chamber the
+class comment in sqlrewrite.py argues case-by-case."""
+
+from __future__ import annotations
+
+import operator
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lingo_db_spark.sqlrewrite import exists_to_aggregate
+
+_COLS = {"t": ["k", "a"], "o": ["k", "e"]}
+_OPS = {"<": operator.lt, "<=": operator.le, ">": operator.gt,
+        ">=": operator.ge, "<>": operator.ne, "!=": operator.ne}
+
+
+def _resolver(name):
+    return _COLS.get(name)
+
+
+def _key_eq(tk, ok):
+    """t.k = o.k as a witness condition: TRUE only when both non-null
+    and equal."""
+    return tk is not None and ok is not None and tk == ok
+
+
+def _cmp(ta, op, oe):
+    """t.a <op> o.e as a witness condition: TRUE only when both
+    non-null and the comparison holds."""
+    return ta is not None and oe is not None and _OPS[op](ta, oe)
+
+
+def _run_rewritten(t_rows, o_rows, query):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+    con.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+    if t_rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", t_rows)
+    if o_rows:
+        con.executemany("INSERT INTO o VALUES (?, ?)", o_rows)
+    rewritten = exists_to_aggregate(query, _resolver)
+    assert rewritten != query, f"rewrite did not apply: {query}"
+    return con.execute(rewritten).fetchall()
+
+
+def _key(row):
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
+
+def _check(got, expected):
+    assert sorted(map(tuple, got), key=_key) == \
+        sorted(map(tuple, expected), key=_key), (got, expected)
+
+
+nullable_small_int = st.one_of(st.none(), st.integers(-3, 3))
+inner_rows = st.lists(
+    st.tuples(nullable_small_int, nullable_small_int), max_size=12)
+outer_rows = st.lists(
+    st.tuples(nullable_small_int, nullable_small_int), max_size=8)
+
+
+@pytest.mark.parametrize("negate", [False, True])
+@pytest.mark.parametrize("op", ["<", "<=", ">", ">=", "<>", "!="])
+@settings(max_examples=40, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_monotone_comparison_forms(negate, op, t_rows, o_rows):
+    q = (f"select o.k, o.e from o where {'not ' if negate else ''}exists "
+         f"(select * from t where t.k = o.k and t.a {op} o.e)")
+    got = _run_rewritten(t_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if negate != any(_key_eq(tk, ok) and _cmp(ta, op, oe)
+                         for tk, ta in t_rows)]
+    _check(got, expected)
+
+
+@pytest.mark.parametrize("negate", [False, True])
+@settings(max_examples=60, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_count_form_with_inner_residual(negate, t_rows, o_rows):
+    q = (f"select o.k, o.e from o where {'not ' if negate else ''}exists "
+         f"(select * from t where t.k = o.k and t.a > 0)")
+    got = _run_rewritten(t_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if negate != any(_key_eq(tk, ok) and ta is not None and ta > 0
+                         for tk, ta in t_rows)]
+    _check(got, expected)
+
+
+@settings(max_examples=40, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_combined_q21_shape(t_rows, o_rows):
+    """Both polarities in one WHERE, each with a <> outer comparison,
+    the NOT EXISTS side with an extra inner residual — the verbatim
+    q21 composition."""
+    q = ("select o.k from o where "
+         "exists (select * from t where t.k = o.k and t.a <> o.e) "
+         "and not exists (select * from t where t.k = o.k "
+         "and t.a > 0 and t.a <> o.e)")
+    got = _run_rewritten(t_rows, o_rows, q)
+    expected = [
+        (ok,) for ok, oe in o_rows
+        if any(_key_eq(tk, ok) and _cmp(ta, "<>", oe)
+               for tk, ta in t_rows)
+        and not any(_key_eq(tk, ok) and ta is not None and ta > 0
+                    and _cmp(ta, "<>", oe) for tk, ta in t_rows)]
+    _check(got, expected)
+
+
+@settings(max_examples=40, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_exists_in_disjunction_and_select_list(t_rows, o_rows):
+    """The replacement is two-valued like EXISTS itself, so it must
+    stay correct OUTSIDE plain WHERE-conjunct positions: under OR, and
+    projected as a boolean value."""
+    q = ("select o.k, o.e, "
+         "exists (select * from t where t.k = o.k and t.a < o.e) as f "
+         "from o where o.e > 1 or "
+         "exists (select * from t where t.k = o.k and t.a < o.e)")
+    got = _run_rewritten(t_rows, o_rows, q)
+    expected = []
+    for ok, oe in o_rows:
+        ex = any(_key_eq(tk, ok) and _cmp(ta, "<", oe)
+                 for tk, ta in t_rows)
+        if (oe is not None and oe > 1) or ex:
+            expected.append((ok, oe, ex))
+    _check(got, expected)
+
+
+def test_duckdb_exists_null_divergence_documented():
+    """The divergence that forced the spec evaluator: DuckDB 1.0.0's
+    correlated EXISTS with a NULL non-equality comparison returns TRUE
+    while count(*) over the identical subquery is 0.  If a DuckDB
+    upgrade fixes this, the xfail flips and the comparison oracle can
+    go back to DuckDB's own EXISTS."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+    con.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+    con.execute("INSERT INTO t VALUES (0, 0)")
+    con.execute("INSERT INTO o VALUES (0, NULL)")
+    ex = con.execute("select exists(select * from t where t.k = o.k "
+                     "and t.a != o.e) from o").fetchone()[0]
+    cnt = con.execute("select (select count(*) from t where t.k = o.k "
+                      "and t.a != o.e) from o").fetchone()[0]
+    assert cnt == 0              # the standard reading
+    assert ex is True            # the divergence (flips on a fix)
+
+
+def test_bare_ident_classification_uses_inner_scope_first():
+    """A bare ident present in BOTH tables must resolve inner (SQL
+    scoping); the rewrite keeps `k` inside the subquery as an
+    inner-only conjunct, never treats it as correlation."""
+    q = ("select o.k from o where exists "
+         "(select * from t where k = o.k and a > 0)")
+    out = exists_to_aggregate(q, _resolver)
+    assert "count(1)" in out
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+    con.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+    con.execute("INSERT INTO t VALUES (1, 1), (2, 0), (NULL, 5)")
+    con.execute("INSERT INTO o VALUES (1, 9), (2, 9), (3, 9), (NULL, 9)")
+    got = con.execute(out).fetchall()
+    assert sorted(got) == [(1,)]
