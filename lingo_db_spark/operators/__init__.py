@@ -9,8 +9,10 @@ from lingo_db_spark.operators.similarity import (  # noqa: F401
     dot,
     embed_neardup,
     fuzzy_pairs,
+    ivf_append,
     ivf_build,
     ivf_topk,
+    ivfpq_append,
     ivfpq_build,
     ivfpq_topk,
     lsh_buckets,

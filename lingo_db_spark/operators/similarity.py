@@ -384,10 +384,7 @@ def ivf_build(emb: DataFrame, *, dim: int, n_cells: int = 16,
               .limit(train_sample).collect())
     X = np.stack([np.asarray(r[0], dtype=float) for r in sample])
     cents = _lloyd_train(X, n_cells, seed=seed)
-    base = emb.select(
-        id_col, vec_col,
-        _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"))
-    return cents, base
+    return cents, ivf_append(cents, emb, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
@@ -756,11 +753,43 @@ def ivfpq_build(emb: DataFrame, *, dim: int, n_cells: int = 16,
     cents = _lloyd_train(Xn.copy(), n_cells, seed=seed)
     assign = (Xn @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
     books = _pq_train(Xn - cents[assign], m, n_codes, seed=seed)
+    codes = ivfpq_append(cents, books, emb, id_col=id_col,
+                         vec_col=vec_col)
+    return cents, books, codes
+
+
+def ivfpq_append(cents: np.ndarray, books: np.ndarray, new_emb: DataFrame,
+                 *, id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> DataFrame:
+    """Append-path encode: (id, cell, pq_codes) for NEW vectors using an
+    EXISTING index's frozen quantizers — the index-maintenance half of
+    the at-rest story (reference analogue: appending to the persisted
+    LingoDBHashIndex without a rebuild).  A 100 TB deployment absorbs a
+    daily delta as one vectorized encode pass + a
+    ``mode("append").partitionBy("cell")`` parquet write next to the
+    existing files; probe routing and layout are unchanged because the
+    centroids/codebooks are.  Contract boundary: quantizers are FROZEN,
+    so if the delta's distribution drifts from the training sample,
+    within-cell residuals grow and recall decays — the standard IVF
+    maintenance rule is to monitor and periodically retrain+re-encode.
+    Exactness of the machinery is unaffected (the appended corpus under
+    exhaustive knobs still equals brute force —
+    test_ivfpq_append_exhaustive_equals_brute_force)."""
     enc = _ivfpq_encode_udf(cents, books)(F.col(vec_col))
-    codes = emb.select(
+    return new_emb.select(
         id_col, enc.getField("cell").alias("cell"),
         enc.getField("pq_codes").alias("pq_codes"))
-    return cents, books, codes
+
+
+def ivf_append(cents: np.ndarray, new_emb: DataFrame, *,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               ) -> DataFrame:
+    """IVF-Flat append path: (id, vec, cell) for new vectors under an
+    existing index's frozen coarse quantizer — same maintenance
+    contract as ivfpq_append."""
+    return new_emb.select(
+        id_col, vec_col,
+        _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"))
 
 
 def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,

@@ -145,8 +145,11 @@ CHANGED_SINCE_LAST_ATTEST: list[str] = [
 
 NEW_THIS_ROUND: list[str] = [
     # r11: the at-rest ANN index journeys — build, write partitionBy
-    # ("cell") parquet, read back, query with plan-asserted pruning.
+    # ("cell") parquet, read back, query with plan-asserted pruning —
+    # and the index-maintenance append path (frozen-quantizer encode,
+    # exhaustive knobs value-checked exact over the appended union).
     "ann_topk_ivf_indexed", "ann_topk_ivfpq_indexed",
+    "ann_topk_ivfpq_append",
 ]
 
 STALE_ROTATION: list[str] = [
@@ -160,14 +163,13 @@ STALE_ROTATION: list[str] = [
     "probe_trunc_money_sum", "probe_truncdiv_sign",
     "probe_ts_date_render",
     "ssb_q1_2", "ssb_q1_3", "ssb_q2_2", "ssb_q2_3", "ssb_q3_1",
-    # --- fill to 50 with 14 of the 46 r6 rows (alphabetical; the
-    # remaining 32 rotate in r12) ---
+    # --- fill to 50 with 13 of the 46 r6 rows (alphabetical; the
+    # remaining 33 rotate in r12) ---
     "bb_click_precedes_purchase", "bb_rating_activity_scatter",
     "bb_returned_then_repurchased", "cb_const_group",
     "cb_count_distinct", "cb_daily_traffic", "cb_like_filtered_agg",
     "cb_minute_series", "cb_pair_groups", "cb_point_filter_topk",
     "cb_regex_dimension_agg", "cb_scalar_aggregates", "cb_wide_sums",
-    "ds_avg_deviation_topk",
 ]
 
 ATTEST_PRIORITY: list[str] = [

@@ -690,6 +690,50 @@ def ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_result(_ann_invariants(out, exact, min_hits=4), "q_id")
 
 
+@register("ann_topk_ivfpq_append", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, base.vec_id,
+         CAST(list_cosine_similarity(base.embedding, q.q_vec) AS DOUBLE)
+           AS cos_raw
+  FROM base, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def ann_topk_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE journey: the IVF-PQ index is built on only the
+    odd half of the corpus, the even half is APPENDED with the frozen
+    quantizers (ivfpq_append — one encode pass, no retrain, the way a
+    100 TB at-rest index absorbs a daily delta), and the queries run
+    against the union codes frame under exhaustive knobs (probe all
+    cells, rerank >= corpus) — so the result is EXACT and value-checked
+    against the brute-force oracle over the WHOLE corpus: appended
+    vectors are first-class index citizens, not a degraded side path.
+    The approximate-knob recall story is unchanged (appending cannot
+    widen the machinery's error; only distribution drift vs the frozen
+    training sample can — the documented maintenance contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    odd = base.filter(F.col("vec_id") % 2 == 1)
+    even = base.filter(F.col("vec_id") % 2 == 0)
+    cents, books, codes_odd = ops.ivfpq_build(odd, dim=64, n_cells=16,
+                                              m=16, n_codes=32)
+    codes_all = codes_odd.unionAll(ops.ivfpq_append(cents, books, even))
+    out = ops.ivfpq_topk(base, _query_vectors(emb), k=10, dim=64,
+                         n_cells=16, n_probe=16, m=16, n_codes=32,
+                         rerank=1_000_000,
+                         index=(cents, books, codes_all))
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
+
+
 @register("ann_topk_pq_full", """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id < 5),

@@ -433,6 +433,39 @@ def test_ivfpq_exhaustive_equals_brute_force(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivfpq_append_exhaustive_equals_brute_force(spark):
+    """Index maintenance: an index built on HALF the corpus plus an
+    ivfpq_append of the other half (frozen quantizers, one encode pass,
+    no retrain) must — under exhaustive knobs — reproduce the exact
+    brute-force result over the UNION: appended vectors are first-class
+    index citizens.  Also pins that append-encoding equals what a full
+    rebuild with the same quantizers would emit (byte-identical codes),
+    so the at-rest parquet append is exactly a rebuild minus the
+    rewrite."""
+    base, q = _emb_and_queries(spark)
+    odd = base.filter(F.col("vec_id") % 2 == 1)
+    even = base.filter(F.col("vec_id") % 2 == 0)
+    cents, books, codes_odd = ops.ivfpq_build(odd, dim=64, n_cells=8,
+                                              m=16, n_codes=32)
+    appended = ops.ivfpq_append(cents, books, even)
+    codes_all = codes_odd.unionAll(appended)
+    brute = [(r.q_id, r.vec_id, r.rank) for r in
+             ops.brute_force_topk(base, q, k=10)
+             .orderBy("q_id", "rank").collect()]
+    full = [(r.q_id, r.vec_id, r.rank) for r in
+            ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=8, n_probe=8,
+                           m=16, n_codes=32, rerank=1_000_000,
+                           index=(cents, books, codes_all))
+            .orderBy("q_id", "rank").collect()]
+    assert brute == full
+    # append-encode == rebuild-encode under the same quantizers
+    direct = {r.vec_id: (r.cell, list(r.pq_codes)) for r in
+              ops.ivfpq_append(cents, books, base).collect()}
+    via_union = {r.vec_id: (r.cell, list(r.pq_codes)) for r in
+                 codes_all.collect()}
+    assert direct == via_union
+
+
 def test_pq_encode_shape_determinism_and_plan(spark):
     """The code column is the compressed corpus representation: m tinyint
     entries in [0, n_codes), identical across two independent train+encode
