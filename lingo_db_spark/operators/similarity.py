@@ -819,7 +819,12 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     Build-once/query-many: pass ``index=(centroids, codebooks,
     codes_df)`` from a prior ``ivfpq_build`` (the codes frame read back
     from its cell-partitioned parquet) to skip the per-call
-    train+encode — the deployment shape.  The cell count and subspace
+    train+encode — the deployment shape.  FILTERED search (top-k among
+    vectors passing a metadata predicate) is the same call with the
+    codes frame pre-joined to the allowed-id set: the filter applies
+    before the cut, so the k results are k filtered vectors
+    (test_ivfpq_filtered_search_by_composition pins exhaustive-knob
+    equality with filtered brute force).  The cell count and subspace
     geometry are DERIVED from the centroid/codebook shapes, so keyword
     args inconsistent with a prebuilt index cannot silently misroute
     the probe or the LUT math."""

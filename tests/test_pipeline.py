@@ -466,6 +466,43 @@ def test_ivfpq_append_exhaustive_equals_brute_force(spark):
     assert direct == via_union
 
 
+def test_ivfpq_filtered_search_by_composition(spark):
+    """FILTERED ANN (top-k among vectors passing a metadata predicate)
+    needs no new operator: join the codes frame to the allowed-id set
+    before the scan — the filter applies BEFORE the cut, so the top-k
+    are k FILTERED results (not a post-filtered shorter list), and
+    under exhaustive knobs the result equals brute force over the
+    filtered corpus exactly.  The same composition works on the at-rest
+    parquet index (the join prunes row-groups by id after the cell
+    pruning)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", "embedding", "label")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    allowed = base.filter(F.col("label") == 1).select("vec_id")
+    cents, books, codes = ops.ivfpq_build(
+        base.select("vec_id", "embedding"), dim=64, n_cells=8,
+        m=16, n_codes=32)
+    filtered_codes = codes.join(allowed, "vec_id")
+    got = [(r.q_id, r.vec_id, r.rank) for r in
+           ops.ivfpq_topk(base.select("vec_id", "embedding"), q, k=10,
+                          dim=64, n_cells=8, n_probe=8, m=16,
+                          n_codes=32, rerank=1_000_000,
+                          index=(cents, books, filtered_codes))
+           .orderBy("q_id", "rank").collect()]
+    want = [(r.q_id, r.vec_id, r.rank) for r in
+            ops.brute_force_topk(
+                base.join(allowed, "vec_id")
+                .select("vec_id", "embedding"), q, k=10)
+            .orderBy("q_id", "rank").collect()]
+    assert got == want and len(got) == 50
+    # every returned id actually satisfies the predicate
+    lab = {r.vec_id for r in allowed.collect()}
+    assert {v for _, v, _ in got} <= lab
+
+
 def test_pq_encode_shape_determinism_and_plan(spark):
     """The code column is the compressed corpus representation: m tinyint
     entries in [0, n_codes), identical across two independent train+encode
