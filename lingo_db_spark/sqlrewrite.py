@@ -1104,9 +1104,28 @@ def _decorrelate_once(sql: str, columns_of=None) -> str:
 # NULL semantics check out case-by-case: rows with NULL a can never
 # witness the EXISTS and min/max ignore NULLs; an empty group makes the
 # scalar NULL (count: 0) and coalesce(NULL, false) matches the empty
-# EXISTS; a NULL outer e makes both forms false.  min/max pairs over
-# the same child fuse into ONE aggregate (Catalyst
-# MergeScalarSubqueries), so q21's <> form costs one pass, not two.
+# EXISTS; a NULL outer e makes both forms false.
+#
+# FUSION (the groupjoin analogue): several EXISTS in one statement
+# sharing the same (table, correlation keys) but differing in
+# inner-only residuals (q21: the NOT EXISTS side adds the late-line
+# filter) must not each pay their own fact aggregation — measured
+# 11.8 s vs the library's fused 1.1 s at sf1 as separate scalar
+# subqueries (Catalyst's MergeScalarSubqueries cannot merge CORRELATED
+# scalar subqueries, and its LEFT JOIN LATERAL decorrelation plans
+# BroadcastNestedLoopJoin domain joins — a timeout at sf1).  Fused
+# groups therefore emit a PRE-DECORRELATED derived table: residuals
+# move INTO the aggregate as CASE (min(a) WHERE p == min(CASE WHEN p
+# THEN a END); count(1) WHERE p == count(CASE WHEN p THEN 1 END) —
+# row-for-row identical by NULL semantics), the single aggregate
+# GROUPs BY the correlation's inner sides, and the outer query
+# LEFT-joins on them — one per-key aggregate, plain equi-join, zero
+# correlation left for the planner: the reference's relalg.groupjoin
+# fusion (OptimizeImplementations.cpp:771-850) realized in SQL text.
+# Measured at sf1: door q21 1.8 s vs 3.1 s (Catalyst semi/anti) vs
+# 1.25 s (hand-fused library).  Singleton groups keep the WHERE-form
+# scalar subquery: pre-aggregation row pruning beats CASE when there
+# is nothing to fuse.
 
 _EXISTS_RE = re.compile(r"\b(not\s+)?exists\s*\(", re.IGNORECASE)
 _EXISTS_BODY_RE = re.compile(
@@ -1148,9 +1167,10 @@ def _split_cmp(c: str) -> tuple[str, str, str] | None:
     return found
 
 
-def _exists_body_to_scalar(body: str, columns_of) -> str | None:
-    """The scalar-aggregate replacement expression for one EXISTS body,
-    or None when the body is outside the recognized class."""
+def _parse_exists_body(body: str, columns_of):
+    """Parse one EXISTS body into (table, alias, corr_conjuncts,
+    inner_preds, extract) — or None when the body is outside the
+    recognized class."""
     m = _EXISTS_BODY_RE.match(body)
     if not m:
         return None
@@ -1216,59 +1236,226 @@ def _exists_body_to_scalar(body: str, columns_of) -> str | None:
         if lk != "inner" or rk != "outer":
             return None
         if op == "=":
-            corr.append(conj)
+            corr.append((conj, lhs, rhs))   # (raw, inner side, outer side)
         elif extract is None:
             extract = (lhs, op, rhs)
         else:
             return None                 # two monotone extractions: bail
     if not corr:
         return None                     # uncorrelated (or non-equi): leave
+    return table, alias, corr, inner_preds, extract
+
+
+def _emit_scalar(parsed, case_form: bool) -> str:
+    """The scalar-aggregate replacement expression for one parsed
+    EXISTS.  WHERE-form keeps inner residuals as row filters
+    (pre-aggregation pruning — best when the subquery stands alone);
+    CASE-form moves them into the aggregate argument so every member
+    of a shared-(table, correlation) group has an IDENTICAL child and
+    Catalyst's MergeScalarSubqueries fuses the group into one
+    aggregate."""
+    table, alias, corr, inner_preds, extract = parsed
     frm = f"{table} {alias}" if alias else table
-    where_sql = " and ".join(corr + inner_preds)
+    corr_raw = [c[0] for c in corr]
+    if case_form:
+        where_sql = " and ".join(corr_raw)
+        p = " and ".join(inner_preds)
+
+        def wrap(x: str) -> str:
+            return f"case when {p} then {x} end" if inner_preds else x
+    else:
+        where_sql = " and ".join(corr_raw + inner_preds)
+
+        def wrap(x: str) -> str:
+            return x
     if extract is None:
-        return f"(select count(1) from {frm} where {where_sql}) > 0"
+        return (f"(select count({wrap('1')}) from {frm} "
+                f"where {where_sql}) > 0")
     a, op, e = extract
     if op in ("<>", "!="):
-        return (f"(select min({a}) from {frm} where {where_sql}) {op} {e}"
-                f" or "
-                f"(select max({a}) from {frm} where {where_sql}) {op} {e}")
-    return (f"(select {_AGG_FOR_OP[op]}({a}) from {frm} "
+        return (f"(select min({wrap(a)}) from {frm} "
+                f"where {where_sql}) {op} {e} or "
+                f"(select max({wrap(a)}) from {frm} "
+                f"where {where_sql}) {op} {e}")
+    return (f"(select {_AGG_FOR_OP[op]}({wrap(a)}) from {frm} "
             f"where {where_sql}) {op} {e}")
+
+
+def _norm_corr_key(parsed) -> tuple:
+    """Fusion-group key: (table, normalized correlation conjuncts) with
+    the subquery's own alias canonicalized away, so `l2.x = l1.x` and
+    `l3.x = l1.x` over the same table land in one group."""
+    table, alias, corr, _, _ = parsed
+    inner = (alias or table).lower()
+    normed = frozenset(
+        re.sub(rf"\b{re.escape(inner)}\s*\.", "#.",
+               re.sub(r"\s+", " ", raw.strip().lower()))
+        for raw, _, _ in corr)
+    return table.lower(), normed
+
+
+def _member_agg_exprs(parsed) -> list[tuple[str, str]]:
+    """The (agg_fn, argument) pairs one parsed EXISTS needs from its
+    group's fused aggregate — CASE-form arguments so every member
+    shares the group's single child."""
+    _, _, _, inner_preds, extract = parsed
+    p = " and ".join(inner_preds)
+
+    def wrap(x: str) -> str:
+        return f"case when {p} then {x} end" if inner_preds else x
+    if extract is None:
+        return [("count", wrap("1"))]
+    a, op, _ = extract
+    if op in ("<>", "!="):
+        return [("min", wrap(a)), ("max", wrap(a))]
+    return [(_AGG_FOR_OP[op], wrap(a))]
+
+
+def _member_predicate(parsed, fields: dict[tuple[str, str], str],
+                      lat: str) -> str:
+    """The outer-scope predicate for one parsed EXISTS, referencing its
+    group's fused-aggregate fields instead of scalar subqueries."""
+    _, _, _, _, extract = parsed
+    aggs = _member_agg_exprs(parsed)
+    cols = [f"{lat}.{fields[a]}" for a in aggs]
+    if extract is None:
+        return f"{cols[0]} > 0"
+    a, op, e = extract
+    if op in ("<>", "!="):
+        return f"{cols[0]} {op} {e} or {cols[1]} {op} {e}"
+    return f"{cols[0]} {op} {e}"
+
+
+def _fusion_insert_point(sql: str) -> int | None:
+    """Index where a fused join item can be appended to the OUTER
+    query's FROM list — only when the statement is a single SELECT
+    scope (every paren group in it is a recognized EXISTS body or
+    plain expression parens, no other subqueries): exactly one
+    top-level `select` and `from` in the blanked text.  Returns the
+    position of the clause keyword that ends the FROM list (where/
+    group/having/order/limit) or end-of-statement; None = not safely
+    fusable."""
+    blanked = _strip_strings(_blank_parens(sql)).lower()
+    if len(re.findall(r"\bselect\b", blanked)) != 1:
+        return None
+    froms = list(re.finditer(r"\bfrom\b", blanked))
+    if len(froms) != 1:
+        return None
+    m = re.compile(r"\b(where|group\s+by|having|order\s+by|limit"
+                   r"|union|intersect|except)\b").search(
+        blanked, froms[0].end())
+    return m.start() if m else len(sql.rstrip().rstrip(";"))
 
 
 def exists_to_aggregate(sql: str, columns_of=None) -> str:
     """Rewrite every recognized [NOT] EXISTS in `sql` to its
-    scalar-aggregate form (see the class comment above).  Unchanged
-    text means no rewrite applied.  Callers must value-gate the result
-    (Connection.sql falls back to the original text if the rewritten
-    form fails analysis; the verbatim suites value-check it)."""
-    out = sql
-    guard = 0
-    while guard < 32:
-        guard += 1
-        done = True
-        for m in _EXISTS_RE.finditer(out):
-            depth, i = 1, m.end()
-            while i < len(out) and depth:
-                if out[i] == "(":
-                    depth += 1
-                elif out[i] == ")":
-                    depth -= 1
-                i += 1
-            if depth:
-                return sql              # unbalanced: refuse to touch
-            body = out[m.end():i - 1]
-            rep = _exists_body_to_scalar(body, columns_of)
-            if rep is None:
+    scalar-aggregate form (see the class comment above).  Groups of
+    EXISTS sharing (table, correlation keys) FUSE: in a single-SELECT
+    statement they become ONE lateral aggregate subquery in the outer
+    FROM (an ungrouped aggregate returns exactly one row, so the
+    comma-lateral never changes cardinality) whose fields the
+    predicates reference — Catalyst decorrelates it into a single
+    per-key aggregate + join, the reference's relalg.groupjoin fusion
+    (Catalyst's MergeScalarSubqueries cannot merge CORRELATED scalar
+    subqueries, measured 4 separate fact aggregations without this).
+    When the statement has other subqueries (scope not provably
+    single), fused groups fall back to CASE-form scalar subqueries.
+    Unchanged text means no rewrite applied.  Callers must value-gate
+    the result (Connection.sql falls back to the original text if the
+    rewritten form fails analysis; the verbatim suites, the sqllogic
+    corpus and the hypothesis property suite value-check it)."""
+    occs = []       # (start, end, negate, parsed)
+    for m in _EXISTS_RE.finditer(sql):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return sql                  # unbalanced: refuse to touch
+        parsed = _parse_exists_body(sql[m.end():i - 1], columns_of)
+        if parsed is not None:
+            occs.append((m.start(), i, bool(m.group(1)), parsed))
+    if not occs:
+        return sql
+    groups: dict[tuple, list[int]] = {}
+    for idx, (*_, parsed) in enumerate(occs):
+        groups.setdefault(_norm_corr_key(parsed), []).append(idx)
+
+    insert_at = _fusion_insert_point(sql)
+    fused: list[str] = []               # fused join items to insert
+    fused_pred: dict[int, str] = {}     # occ idx -> predicate text
+    if insert_at is not None:
+        for gi, (key, idxs) in enumerate(sorted(groups.items())):
+            if len(idxs) < 2:
                 continue
-            expr = f"coalesce({rep}, false)"
-            if m.group(1):
-                expr = f"(not {expr})"
-            else:
-                expr = f"({expr})"
-            out = out[:m.start()] + expr + out[i:]
-            done = False
-            break                       # indices shifted: rescan
-        if done:
-            return out
+            # canonical FROM item + correlation: the first member; other
+            # members' inner-alias qualifiers re-map onto it (same table
+            # and same normalized correlation by group construction)
+            table, alias, corr, _, _ = occs[idxs[0]][3]
+            canon = alias or table
+            lat = f"__exq{gi}"
+            fields: dict[tuple[str, str], str] = {}
+            for oi in idxs:
+                p = occs[oi][3]
+                member_inner = (p[1] or p[0])
+                for fn, arg in _member_agg_exprs(p):
+                    arg = re.sub(rf"\b{re.escape(member_inner)}\s*\.",
+                                 f"{canon}.", arg)
+                    fields.setdefault((fn, arg),
+                                      f"__a{len(fields)}")
+            sel = ", ".join(f"{fn}({arg}) as {col}"
+                            for (fn, arg), col in fields.items())
+            frm = f"{table} {alias}" if alias else table
+            # PRE-DECORRELATED derived table, not a correlated lateral:
+            # the fused aggregate GROUPs BY the correlation's inner
+            # sides and the outer query LEFT-joins on them — zero
+            # correlation left for the planner to unnest.  Two engine
+            # behaviors forced this shape (both caught by gates):
+            # an inner/comma lateral over an ungrouped aggregate DROPS
+            # outer rows whose key has no inner rows (the count-bug,
+            # found by hypothesis), and Spark decorrelates LEFT JOIN
+            # LATERAL ... ON true via BroadcastNestedLoopJoin domain
+            # joins (q21 at sf1 went from 3 s to a timeout).  A NULL
+            # key never equi-joins, which is exactly the no-witness
+            # EXISTS reading; missing keys leave NULL fields and every
+            # emitted predicate coalesces NULL to false.
+            keys = ", ".join(
+                f"{inner} as __k{ki}" for ki, (_, inner, _)
+                in enumerate(corr))
+            on = " and ".join(
+                f"{lat}.__k{ki} = {outer}" for ki, (_, _, outer)
+                in enumerate(corr))
+            gby = ", ".join(inner for _, inner, _ in corr)
+            fused.append(
+                f" left join (select {keys}, {sel} from {frm} "
+                f"group by {gby}) as {lat} on {on}")
+            for oi in idxs:
+                p = occs[oi][3]
+                member_inner = (p[1] or p[0])
+                # re-map this member's agg args the same way for lookup
+                member_fields = {
+                    (fn, arg): fields[(fn, re.sub(
+                        rf"\b{re.escape(member_inner)}\s*\.",
+                        f"{canon}.", arg))]
+                    for fn, arg in _member_agg_exprs(p)}
+                fused_pred[oi] = _member_predicate(
+                    p, member_fields, lat)
+
+    edits = []      # (start, end, replacement)
+    for idx, (start, end, negate, parsed) in enumerate(occs):
+        if idx in fused_pred:
+            expr = f"coalesce({fused_pred[idx]}, false)"
+        else:
+            case_form = len(groups[_norm_corr_key(parsed)]) >= 2
+            expr = f"coalesce({_emit_scalar(parsed, case_form)}, false)"
+        expr = f"(not {expr})" if negate else f"({expr})"
+        edits.append((start, end, expr))
+    if fused:
+        edits.append((insert_at, insert_at, "".join(fused) + " "))
+    out = sql
+    for start, end, rep in sorted(edits, reverse=True):
+        out = out[:start] + rep + out[end:]
     return out

@@ -359,6 +359,13 @@ def test_door_q4_q21_monotone_exists_rewrite_kills_fact_hash_builds(
         p = explain_str(df, "formatted")
         assert "LeftSemi" not in p, f"{q}.sql still plans a semi join"
         assert "LeftAnti" not in p, f"{q}.sql still plans an anti join"
+        assert "BroadcastNestedLoopJoin" not in p
+    # q21's two EXISTS share (lineitem, l_orderkey-correlation), so they
+    # must FUSE into one pre-decorrelated derived table: a single
+    # 4-function aggregate over lineitem (min/max x plain/late-CASE),
+    # the relalg.groupjoin shape — not one aggregate per subquery.
+    assert "__exq0" in con.last_rewritten_sql
+    assert "Functions [4]" in p
 
 
 def test_door_exists_rewrite_null_corner_matches_spark(spark):
