@@ -1351,15 +1351,14 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
     """Rewrite every recognized [NOT] EXISTS in `sql` to its
     scalar-aggregate form (see the class comment above).  Groups of
     EXISTS sharing (table, correlation keys) FUSE: in a single-SELECT
-    statement they become ONE lateral aggregate subquery in the outer
-    FROM (an ungrouped aggregate returns exactly one row, so the
-    comma-lateral never changes cardinality) whose fields the
-    predicates reference — Catalyst decorrelates it into a single
-    per-key aggregate + join, the reference's relalg.groupjoin fusion
-    (Catalyst's MergeScalarSubqueries cannot merge CORRELATED scalar
-    subqueries, measured 4 separate fact aggregations without this).
-    When the statement has other subqueries (scope not provably
-    single), fused groups fall back to CASE-form scalar subqueries.
+    statement they become ONE pre-decorrelated derived table in the
+    outer FROM — the aggregate GROUPs BY the correlation's inner
+    sides, the outer query LEFT-joins on them, and the predicates
+    reference its fields (see the FUSION class comment for why
+    neither MergeScalarSubqueries nor LATERAL could be left to do
+    this).  When the statement has other subqueries (scope not
+    provably single), fused groups fall back to CASE-form scalar
+    subqueries.
     Unchanged text means no rewrite applied.  Callers must value-gate
     the result (Connection.sql falls back to the original text if the
     rewritten form fails analysis; the verbatim suites, the sqllogic
@@ -1388,7 +1387,11 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
     fused: list[str] = []               # fused join items to insert
     fused_pred: dict[int, str] = {}     # occ idx -> predicate text
     if insert_at is not None:
-        for gi, (key, idxs) in enumerate(sorted(groups.items())):
+        # sort by a fully-orderable key: frozensets are not comparable,
+        # so two groups on the SAME table would TypeError a bare sort
+        for gi, (key, idxs) in enumerate(
+                sorted(groups.items(),
+                       key=lambda kv: (kv[0][0], sorted(kv[0][1])))):
             if len(idxs) < 2:
                 continue
             # canonical FROM item + correlation: the first member; other

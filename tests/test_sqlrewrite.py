@@ -331,3 +331,25 @@ def test_exists_bails_outside_the_class():
     unresolvable = ("select 1 from orders where exists (select * from "
                     "lineitem where l_orderkey = o_orderkey)")
     assert exists_to_aggregate(unresolvable, None) == unresolvable
+
+
+def test_two_fusion_groups_on_same_table():
+    """Two EXISTS pairs over the same table but DIFFERENT correlation
+    keys form two fusion groups; grouping keys contain frozensets, so
+    this shape TypeError'd a bare sorted() before the keyed sort."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from orders o1 "
+           "where exists (select * from lineitem a where a.l_orderkey "
+           "= o1.o_orderkey and a.l_shipdate > o1.o_orderdate) "
+           "and not exists (select * from lineitem b where "
+           "b.l_orderkey = o1.o_orderkey and b.l_shipdate > "
+           "o1.o_orderdate and b.l_suppkey > 0) "
+           "and exists (select * from lineitem c where c.l_suppkey = "
+           "o1.o_orderkey and c.l_shipdate > o1.o_orderdate) "
+           "and not exists (select * from lineitem d where "
+           "d.l_suppkey = o1.o_orderkey and d.l_shipdate > "
+           "o1.o_orderdate and d.l_orderkey > 0)")
+    out = exists_to_aggregate(sql, _tpch_cols)
+    assert "__exq0" in out and "__exq1" in out
+    assert "exists" not in out.lower()
+    assert out.count("left join (select") == 2
