@@ -482,6 +482,7 @@ def main() -> int:
     evidence = {**payload, "load_evidence": batch_loads}
     ev_path = os.environ.get("BENCH_EVIDENCE_PATH",
                              str(Path(__file__).parent / "bench_evidence.json"))
+    ev_path = _evidence_path(ev_path, host_quiet)
     try:
         Path(ev_path).write_text(json.dumps(evidence, indent=1))
         log(f"bench: load evidence written to {ev_path}")
@@ -490,6 +491,29 @@ def main() -> int:
     log("bench: load_evidence=" + json.dumps(batch_loads))
     print(shed_to_budget(payload, ev_path), flush=True)
     return 0
+
+
+def _evidence_path(ev_path: str, host_quiet: bool) -> str:
+    """Clobber guard (VERDICT r11 missing #2): a contaminated run must
+    never silently replace a quiet-host record on disk — the r11
+    driver run (host_quiet=false, loadavg~11) overwrote the committed
+    canonical evidence.  When the host is NOT quiet and the canonical
+    file holds a quiet-host record, divert to a .contaminated.json
+    side file (gitignored); only quiet runs update the canonical
+    path."""
+    if host_quiet or not Path(ev_path).exists():
+        return ev_path
+    try:
+        prior_quiet = json.loads(Path(ev_path).read_text()).get(
+            "host_quiet", False)
+    except Exception:       # noqa: BLE001 — unreadable prior: replace it
+        prior_quiet = False
+    if not prior_quiet:
+        return ev_path
+    side = str(Path(ev_path).with_suffix(".contaminated.json"))
+    log(f"bench: host not quiet — preserving quiet-host {ev_path}, "
+        f"writing this run's evidence to {side}")
+    return side
 
 
 def shed_to_budget(payload: dict, ev_path: str, budget: int = 1900) -> str:

@@ -600,7 +600,7 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
             train_sample: int = 2048,
             id_col: str = "vec_id", vec_col: str = "embedding",
             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-            seed: int = 42,
+            seed: int = 42, max_queries: int | None = None,
             index: tuple[np.ndarray, DataFrame] | None = None) -> DataFrame:
     """Product-quantization approximate top-k (Jégou et al., PAMI'11) —
     the compressed-domain ANN path alongside lsh_topk (hash pruning) and
@@ -616,7 +616,9 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     a corpus-proportional row count.  The re-rank join touches only
     rerank x n_queries full vectors.  Queries are driver-collected to
     build the LUTs: same bounded-query-set contract as the broadcast in
-    brute_force_topk.
+    brute_force_topk (``max_queries`` raises the 4096-row cap per call
+    for deliberately large batches — an explicit opt-in, not a module
+    global to patch).
 
     Build-once/query-many: pass ``index=(codebooks, codes_df)`` from a
     prior ``pq_encode`` (e.g. codes persisted to parquet alongside the
@@ -632,7 +634,7 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     if m * sub != dim:
         raise ValueError(f"index codebooks are {m}x{sub}-dim "
                          f"(= {m * sub}), queries are {dim}-dim")
-    qrows = _collect_queries(queries, q_id_col, q_vec_col)
+    qrows = _collect_queries(queries, q_id_col, q_vec_col, max_queries)
     Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     # lut[qi, s, c] = q_sub(s) . codebook[s, c]
@@ -798,7 +800,7 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
                train_sample: int = 2048,
                id_col: str = "vec_id", vec_col: str = "embedding",
                q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-               seed: int = 42,
+               seed: int = 42, max_queries: int | None = None,
                index: tuple[np.ndarray, np.ndarray, DataFrame]
                | None = None) -> DataFrame:
     """IVF-PQ: the composed billion-scale ANN index (coarse k-means cells
@@ -814,7 +816,7 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     structure — measured recall 0.58 -> 0.80 over direction codes on
     the k=50 probe corpus at identical knobs.  Exact cosine re-rank of
     the top `rerank` ADC candidates per query; same bounded-query-set
-    and two-level top-k contracts as pq_topk.
+    (``max_queries``-tunable) and two-level top-k contracts as pq_topk.
 
     Build-once/query-many: pass ``index=(centroids, codebooks,
     codes_df)`` from a prior ``ivfpq_build`` (the codes frame read back
@@ -839,7 +841,7 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
                          f"(= {m * sub}), queries are {dim}-dim")
     n_probe = min(n_probe, n_cells)
 
-    qrows = _collect_queries(queries, q_id_col, q_vec_col)
+    qrows = _collect_queries(queries, q_id_col, q_vec_col, max_queries)
     Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     lut = np.einsum("qsd,scd->qsc", Qn.reshape(len(Qn), m, sub), books)

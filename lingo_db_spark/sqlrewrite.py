@@ -1139,8 +1139,20 @@ _AGG_FOR_OP = {"<": "min", "<=": "min", ">": "max", ">=": "max"}
 
 def _strip_strings(s: str) -> str:
     """Blank single-quoted string literals so ident scans can't match
-    inside them ('SAUDI ARABIA' must not read as columns)."""
+    inside them ('SAUDI ARABIA' must not read as columns).  NOT
+    length-preserving — never use the result for offsets into the
+    original text (use _blank_strings for that)."""
     return re.sub(r"'(?:[^']|'')*'", "''", s)
+
+
+def _blank_strings(s: str) -> str:
+    """Length-preserving literal blanking: string interiors become
+    spaces, so offsets computed on the result index correctly into the
+    original text (r11's _fusion_insert_point used _strip_strings and
+    spliced the fused join mid-token when a top-level string literal
+    preceded the FROM)."""
+    return re.sub(r"'(?:[^']|'')*'",
+                  lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", s)
 
 
 def _split_cmp(c: str) -> tuple[str, str, str] | None:
@@ -1188,6 +1200,20 @@ def _parse_exists_body(body: str, columns_of):
         return None
     if not _balanced(preds):
         return None
+    # _split_top_and is not string-literal-aware: a boolean keyword
+    # INSIDE a literal ('a and b') would split mid-literal and parse
+    # garbage — refuse the body outright
+    for lit in re.findall(r"'(?:[^']|'')*'", preds):
+        if re.search(r"\b(and|or|not)\b", lit, re.IGNORECASE):
+            return None
+    # a top-level OR anywhere in the WHERE invalidates the AND-split
+    # decomposition itself: `a and b or c` means `(a and b) or c`,
+    # so no conjunct list exists — even an inner-only `or c` fragment
+    # must bail.  Parenthesized disjunctions are blanked and survive
+    # as opaque inner conjuncts.
+    if re.search(r"\bor\b", _strip_strings(_blank_parens(preds)),
+                 re.IGNORECASE):
+        return None
     inner_names = {(alias or table).lower()}
     inner_cols: set[str] | None = None
     if columns_of is not None:
@@ -1223,8 +1249,18 @@ def _parse_exists_body(body: str, columns_of):
     extract: tuple[str, str, str] | None = None
     for conj in _split_top_and(preds):
         if _kind(conj) == "inner":
+            # kept VERBATIM as a row filter (emission parenthesizes
+            # it); NOT binds tighter than AND, so a `not ...` inner
+            # conjunct is a well-formed standalone filter
             inner_preds.append(conj)
             continue
+        # `not t.a = o.b` means not(t.a = o.b) — NOT binds looser
+        # than the comparison — so _split_cmp's lhs `not t.a` would
+        # fabricate a correlation on a negated column.  Any non-inner
+        # conjunct carrying a top-level NOT is outside the class.
+        if re.search(r"\bnot\b",
+                     _strip_strings(_blank_parens(conj)), re.IGNORECASE):
+            return None
         cmp_parts = _split_cmp(conj)
         if cmp_parts is None:
             return None
@@ -1256,15 +1292,19 @@ def _emit_scalar(parsed, case_form: bool) -> str:
     aggregate."""
     table, alias, corr, inner_preds, extract = parsed
     frm = f"{table} {alias}" if alias else table
-    corr_raw = [c[0] for c in corr]
+    # every conjunct re-emitted parenthesized: inner predicates may
+    # hold top-level ORs (`t.a=1 or t.b=2` classified inner-only) and
+    # a bare " and ".join would rebind them
+    corr_raw = [f"({c[0]})" for c in corr]
+    residuals = [f"({p})" for p in inner_preds]
     if case_form:
         where_sql = " and ".join(corr_raw)
-        p = " and ".join(inner_preds)
+        p = " and ".join(residuals)
 
         def wrap(x: str) -> str:
             return f"case when {p} then {x} end" if inner_preds else x
     else:
-        where_sql = " and ".join(corr_raw + inner_preds)
+        where_sql = " and ".join(corr_raw + residuals)
 
         def wrap(x: str) -> str:
             return x
@@ -1299,7 +1339,7 @@ def _member_agg_exprs(parsed) -> list[tuple[str, str]]:
     group's fused aggregate — CASE-form arguments so every member
     shares the group's single child."""
     _, _, _, inner_preds, extract = parsed
-    p = " and ".join(inner_preds)
+    p = " and ".join(f"({x})" for x in inner_preds)
 
     def wrap(x: str) -> str:
         return f"case when {p} then {x} end" if inner_preds else x
@@ -1334,13 +1374,25 @@ def _fusion_insert_point(sql: str) -> int | None:
     top-level `select` and `from` in the blanked text.  Returns the
     position of the clause keyword that ends the FROM list (where/
     group/having/order/limit) or end-of-statement; None = not safely
-    fusable."""
-    blanked = _strip_strings(_blank_parens(sql)).lower()
-    if len(re.findall(r"\bselect\b", blanked)) != 1:
+    fusable.  Refuses when the outer select list contains a top-level
+    bare `*` (including DISTINCT *): the fused derived table is a new
+    FROM item, so a bare star would expand over its helper columns
+    and change the output schema (qualified `alias.*` stays eligible
+    — it never reaches the new item).  Blanking is length-preserving
+    end to end (strings first, then parens) so the returned offset
+    indexes the ORIGINAL sql."""
+    blanked = _blank_parens(_blank_strings(sql)).lower()
+    selects = list(re.finditer(r"\bselect\b", blanked))
+    if len(selects) != 1:
         return None
     froms = list(re.finditer(r"\bfrom\b", blanked))
     if len(froms) != 1:
         return None
+    sellist = blanked[selects[0].end():froms[0].start()]
+    sellist = re.sub(r"^\s*(all|distinct)\b", "", sellist)
+    for item in sellist.split(","):
+        if item.strip() == "*":
+            return None
     m = re.compile(r"\b(where|group\s+by|having|order\s+by|limit"
                    r"|union|intersect|except)\b").search(
         blanked, froms[0].end())
@@ -1364,12 +1416,15 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
     rewritten form fails analysis; the verbatim suites, the sqllogic
     corpus and the hypothesis property suite value-check it)."""
     occs = []       # (start, end, negate, parsed)
-    for m in _EXISTS_RE.finditer(sql):
+    ssql = _blank_strings(sql)  # scan/depth-track outside literals;
+    #                             length-preserving, so offsets map
+    #                             straight onto the original text
+    for m in _EXISTS_RE.finditer(ssql):
         depth, i = 1, m.end()
-        while i < len(sql) and depth:
-            if sql[i] == "(":
+        while i < len(ssql) and depth:
+            if ssql[i] == "(":
                 depth += 1
-            elif sql[i] == ")":
+            elif ssql[i] == ")":
                 depth -= 1
             i += 1
         if depth:

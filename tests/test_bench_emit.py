@@ -59,3 +59,29 @@ def test_monster_payload_still_fits():
     line = shed_to_budget(_payload(500), "/tmp/ev.json")
     assert len(line) <= 1900
     assert json.loads(line)["metric"] == "sum_of_per_query_median_wall_sec"
+
+
+def test_contaminated_run_never_clobbers_quiet_evidence(tmp_path):
+    """VERDICT r11 missing #2: a host_quiet=false run silently replaced
+    the committed quiet-host bench_evidence.json.  The guard diverts
+    non-quiet runs to a .contaminated.json side file whenever the
+    canonical file holds a quiet record, and lets quiet runs (or runs
+    over non-quiet/unreadable priors) write through."""
+    import json
+    from bench import _evidence_path
+
+    ev = tmp_path / "bench_evidence.json"
+    side = str(tmp_path / "bench_evidence.contaminated.json")
+    # no prior file: anyone writes through
+    assert _evidence_path(str(ev), host_quiet=False) == str(ev)
+    # quiet prior + contaminated run: divert
+    ev.write_text(json.dumps({"host_quiet": True, "value": 45.4}))
+    assert _evidence_path(str(ev), host_quiet=False) == side
+    # quiet prior + quiet run: write through
+    assert _evidence_path(str(ev), host_quiet=True) == str(ev)
+    # non-quiet prior: replace freely
+    ev.write_text(json.dumps({"host_quiet": False}))
+    assert _evidence_path(str(ev), host_quiet=False) == str(ev)
+    # unreadable prior: replace
+    ev.write_text("{not json")
+    assert _evidence_path(str(ev), host_quiet=False) == str(ev)

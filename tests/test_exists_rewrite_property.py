@@ -185,3 +185,40 @@ def test_bare_ident_classification_uses_inner_scope_first():
     con.execute("INSERT INTO o VALUES (1, 9), (2, 9), (3, 9), (NULL, 9)")
     got = con.execute(out).fetchall()
     assert sorted(got) == [(1,)]
+
+
+@pytest.mark.parametrize("star", ["*", "distinct *", "o.*"])
+@settings(max_examples=30, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_fusable_pair_under_star_select(star, t_rows, o_rows):
+    """r11 shipped a wrong answer here: a fused EXISTS pair under a
+    bare top-level `SELECT *` leaked the fused derived table's helper
+    columns into the output (2 columns became 5; DISTINCT * also
+    changed the row multiset).  Every star form must keep the exact
+    2-column schema and the spec values — bare/DISTINCT star via the
+    fusion-refusal fallback (CASE-form scalar subqueries), qualified
+    `o.*` via fusion (it never expands over the new FROM item)."""
+    q = (f"select {star} from o where "
+         "exists (select * from t where t.k = o.k and t.a > 0) and "
+         "exists (select * from t where t.k = o.k and t.a < 5)")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+    con.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+    if t_rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", t_rows)
+    if o_rows:
+        con.executemany("INSERT INTO o VALUES (?, ?)", o_rows)
+    rewritten = exists_to_aggregate(q, _resolver)
+    assert rewritten != q, q
+    cur = con.execute(rewritten)
+    assert [d[0] for d in cur.description] == ["k", "e"]
+    got = cur.fetchall()
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if any(_key_eq(tk, ok) and ta is not None and ta > 0
+               for tk, ta in t_rows)
+        and any(_key_eq(tk, ok) and ta is not None and ta < 5
+                for tk, ta in t_rows)]
+    if star == "distinct *":
+        expected = list({_key(r): r for r in expected}.values())
+    _check(got, expected)

