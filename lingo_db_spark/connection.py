@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,10 +183,10 @@ class Connection:
         """PERFORMANCE rewrites on the successfully-analyzed path (the
         error-retry rewrites above are correctness shims; this one
         changes plans that already work).  Today exactly one class:
-        monotone-EXISTS -> scalar-aggregate
+        monotone-EXISTS / positive correlated IN -> scalar-aggregate
         (sqlrewrite.exists_to_aggregate), which removes Catalyst's
         fact-sized left-semi/anti hash-build for the verbatim TPC-H
-        q4/q21 shapes — the library queries got the same algebra in
+        q4/q21 shapes and their IN-membership siblings (r12) — the library queries got the same algebra in
         r10 (queries/tpch.py:q4, tpch2.py:q21); this closes the door
         the reference's primary entry point uses (run-sql.cpp:15-41).
         The rewritten text must itself pass analysis or the original
@@ -197,7 +198,9 @@ class Connection:
         import os
         if os.environ.get("LINGODB_SCALE_REWRITES", "1") == "0":
             return df
-        if "exists" not in query.lower():
+        ql = query.lower()
+        if ("exists" not in ql
+                and re.search(r"\bin\s*\(\s*select\b", ql) is None):
             return df
         from lingo_db_spark.sqlrewrite import exists_to_aggregate
         rewritten = exists_to_aggregate(query, self._resolve_columns)

@@ -128,48 +128,48 @@ def register(name: str, oracle: str | None, *,
 # not break the gate).
 
 CHANGED_SINCE_LAST_ATTEST: list[str] = [
-    # r10 rewrites whose latest driver green predates them (r10 verdict
-    # "What's wrong #1"): q4 aggregate-EXISTS, q21 groupjoin fusion,
-    # q11 build-side pin, q16 filter-below-distinct, minhash barrier
-    # removal.
-    "tpch_q4", "tpch_q21", "tpch_q11", "tpch_q16",
-    "pipeline_minhash_neardup",
-    # r11 ANN changes: k-means++ seeding in _lloyd_train, the bounded-
-    # depth top-k cut in _two_level_cut, index-shape-derived knobs and
-    # the bounded-query-set guard — every registered query that flows
-    # through those operators.
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
-    "ann_topk_ivf_full", "ann_topk_pq", "ann_topk_pq_full",
-    "ann_topk_ivfpq", "ann_topk_quantized",
+    # r12: pq_topk/ivfpq_topk grew the max_queries kwarg (the bounded-
+    # query-set cap became per-call tunable; _collect_queries is now
+    # called with the explicit argument) — every registered query that
+    # flows through those two entry points re-attests.  The r10/r11
+    # names all dropped off green in CORRECTNESS_r11.
+    "ann_topk_pq", "ann_topk_pq_full", "ann_topk_ivfpq",
+    "ann_topk_ivfpq_indexed", "ann_topk_ivfpq_append",
 ]
 
 NEW_THIS_ROUND: list[str] = [
-    # r11: the at-rest ANN index journeys — build, write partitionBy
-    # ("cell") parquet, read back, query with plan-asserted pruning —
-    # and the index-maintenance append path (frozen-quantizer encode,
-    # exhaustive knobs value-checked exact over the appended union).
-    "ann_topk_ivf_indexed", "ann_topk_ivfpq_indexed",
-    "ann_topk_ivfpq_append",
+    # r12: the correlated-IN scale-rewrite journey through the SQL door
+    # (the builder asserts the rewrite fired, so the driver value-
+    # checks the REWRITTEN plan) and the filtered at-rest ANN search
+    # (exhaustive knobs == brute force over the filtered corpus).
+    "in_membership_priority_repeat", "ann_topk_ivfpq_filtered",
 ]
 
 STALE_ROTATION: list[str] = [
-    # --- the 20 rows whose latest green is r5 ---
-    "probe_cast_dec_total_cents", "probe_dbl_varchar_repr",
-    "probe_dec18_2_transport", "probe_dec5_2_transport",
-    "probe_dec_unscale_mul", "probe_hugeint_floordiv_1e25",
-    "probe_hugeint_mod_1e25", "probe_hugeint_pow10",
-    "probe_lpad_digits", "probe_rescale_narrow",
-    "probe_rescale_negative", "probe_rescale_wide",
-    "probe_trunc_money_sum", "probe_truncdiv_sign",
-    "probe_ts_date_render",
-    "ssb_q1_2", "ssb_q1_3", "ssb_q2_2", "ssb_q2_3", "ssb_q3_1",
-    # --- fill to 50 with 13 of the 46 r6 rows (alphabetical; the
-    # remaining 33 rotate in r12) ---
-    "bb_click_precedes_purchase", "bb_rating_activity_scatter",
-    "bb_returned_then_repurchased", "cb_const_group",
-    "cb_count_distinct", "cb_daily_traffic", "cb_like_filtered_agg",
-    "cb_minute_series", "cb_pair_groups", "cb_point_filter_topk",
-    "cb_regex_dimension_agg", "cb_scalar_aggregates", "cb_wide_sums",
+    # --- all 33 rows whose latest green is r6 (the r10 verdict's
+    # freshness tail, scheduled for r12 since the r11 rotation plan) ---
+    "ds_avg_deviation_topk", "ds_conditional_count_band",
+    "ds_crosschannel_ratio", "ds_date_offset_lateness",
+    "ds_fullouter_cumulative_compare", "ds_having_count_band",
+    "ds_intersect_in_membership", "ds_notexists_or_cascade",
+    "ds_qoq_growth_channels", "ds_quantity_chain_stats",
+    "ds_return_ratio_dual_rank", "ds_returns_adjusted_bottomk",
+    "ds_returns_excluded_ratio", "ds_revenue_share_window",
+    "ds_rollup_hierarchy_rank", "ds_scalar_cte_gates",
+    "ds_three_channel_union", "ds_time_band_counts",
+    "ds_two_snapshot_self_join", "ds_union_in_subquery",
+    "ds_week_shift_self_join", "ds_windowed_deviation",
+    "job_disjunctive_like_chain", "job_like_cascade_minagg",
+    "job_mixed_predicate_chain", "job_ten_way_min_chain",
+    "job_transitive_equijoin_minagg",
+    "ssb_q2_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4", "ssb_q4_2",
+    "ssb_q4_3",
+    # --- fill to 50 with the alphabetically-first r7 rows (41 remain;
+    # the rest rotate in r13) ---
+    "cardest_broadcast_probe", "cse_cte_reused_auto",
+    "cse_selfjoin_auto", "ds_double_exists_shared_cte",
+    "ds_rank_position_join", "ds_scalar_range_bounds",
+    "ds_year_total_ratio", "events_asof_join", "events_salted_agg",
 ]
 
 ATTEST_PRIORITY: list[str] = [

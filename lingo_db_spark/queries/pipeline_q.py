@@ -734,6 +734,55 @@ def ann_topk_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "rank")
 
 
+@register("ann_topk_ivfpq_filtered", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id >= 5 AND label = 1),
+scored AS (
+  SELECT q.q_id, base.vec_id,
+         CAST(list_cosine_similarity(base.embedding, q.q_vec) AS DOUBLE)
+           AS cos_raw
+  FROM base, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def ann_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search over the AT-REST IVF-PQ index (r12; the last ANN
+    claim promoted from pytest composition into the driver record):
+    top-k among vectors passing a metadata predicate (label = 1) is
+    the same ivfpq_topk call with the read-back codes frame pre-joined
+    to the allowed-id set — the filter applies BEFORE the candidate
+    cut, so the k results are k FILTERED vectors, and at rest the id
+    join prunes row-groups after the cell pruning.  Exhaustive knobs
+    (probe all cells, rerank >= corpus) make the result EXACT: value-
+    checked against brute force over the filtered corpus (the DuckDB
+    oracle).  Composition pinned in
+    tests/test_pipeline.py::test_ivfpq_filtered_search_by_composition."""
+    import tempfile
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", "embedding", "label")
+    cents, books, codes = ops.ivfpq_build(
+        base.select("vec_id", "embedding"), dim=64, n_cells=16,
+        m=16, n_codes=32)
+    path = tempfile.mkdtemp(prefix="ldb_ivfpq_fidx_") + "/ivfpq"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    allowed = base.filter(F.col("label") == 1).select("vec_id")
+    filtered_codes = spark.read.parquet(path).join(allowed, "vec_id")
+    out = ops.ivfpq_topk(base.select("vec_id", "embedding"),
+                         _query_vectors(emb), k=10, dim=64, n_cells=16,
+                         n_probe=16, m=16, n_codes=32, rerank=1_000_000,
+                         index=(cents, books, filtered_codes))
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"),
+        "q_id", "rank")
+
+
 @register("ann_topk_pq_full", """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id < 5),

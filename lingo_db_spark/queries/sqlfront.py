@@ -390,6 +390,43 @@ def _tpch11_oracle() -> str | None:
             f"FROM ({body}) v")
 
 
+_IN_MEMBERSHIP_SQL = """
+SELECT o1.o_orderpriority, COUNT(*) AS repeat_orders
+FROM orders o1
+WHERE o1.o_orderpriority IN (
+  SELECT o2.o_orderpriority FROM orders o2
+  WHERE o2.o_custkey = o1.o_custkey
+    AND o2.o_orderkey <> o1.o_orderkey)
+GROUP BY o1.o_orderpriority
+ORDER BY o1.o_orderpriority
+"""
+
+
+@register("in_membership_priority_repeat", _IN_MEMBERSHIP_SQL)
+def in_membership_priority_repeat(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Positive correlated `IN (subquery)` through the SQL door (r12):
+    orders whose priority the same customer also used on a DIFFERENT
+    order — membership equality (o2.o_orderpriority = o1's) + true
+    correlation (o2.o_custkey = o1.o_custkey) + a monotone `<>`
+    residual, the exact class the r12 scale rewrite turns into a
+    per-key scalar aggregate instead of Catalyst's fact-side
+    left-semi hash build (reference analogue: the same
+    ImplicitToExplicitJoins/groupjoin path that covers EXISTS,
+    Unnesting.cpp).  The door asserts the rewrite FIRED, so the
+    driver's value check gates the rewritten plan, not the native
+    one; plan shape is asserted in
+    tests/test_ddl.py::test_door_correlated_in_rewrite_kills_fact_hash_build."""
+    from lingo_db_spark.connection import Connection
+
+    register_views(spark, sf_dir, ("orders",))
+    con = Connection(spark)
+    con.last_rewritten_sql = None
+    df = con.sql(_IN_MEMBERSHIP_SQL)
+    assert con.last_rewritten_sql is not None, "IN rewrite did not fire"
+    return df
+
+
 @register("sql_tpch11_verbatim", _tpch11_oracle())
 def sql_tpch11_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's resources/sql/tpch/11.sql byte-for-byte through

@@ -1133,6 +1133,11 @@ _EXISTS_BODY_RE = re.compile(
     r"(?:\s+(?:as\s+)?(?!where\b)([A-Za-z_]\w*))?\s*"
     r"\bwhere\b(.*)$",
     re.IGNORECASE | re.DOTALL)
+_IN_BODY_RE = re.compile(
+    r"^\s*select\s+(?:distinct\s+)?(.+?)\s+from\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:as\s+)?(?!where\b)([A-Za-z_]\w*))?\s*"
+    r"\bwhere\b(.*)$",
+    re.IGNORECASE | re.DOTALL)
 _CMP_OPS = ("<=", ">=", "<>", "!=", "=", "<", ">")
 _AGG_FOR_OP = {"<": "min", "<=": "min", ">": "max", ">=": "max"}
 
@@ -1186,11 +1191,66 @@ def _parse_exists_body(body: str, columns_of):
     m = _EXISTS_BODY_RE.match(body)
     if not m:
         return None
-    table, alias, preds = m.group(1), m.group(2), m.group(3)
+    got = _parse_subquery(m.group(1), m.group(2), body[:m.start(3)],
+                          m.group(3), columns_of)
+    return got[0] if got else None
+
+
+def _parse_in_body(body: str, outer_expr: str, columns_of):
+    """Parse `<outer_expr> IN (body)` — positive membership in a
+    correlated single-table subquery — into the SAME parsed tuple as
+    _parse_exists_body: the membership is one more equality
+    correlation `y = outer_expr` (`x IN (SELECT y ...)` is TRUE
+    exactly when a row with y = x exists; in a TRUE-only conjunct
+    position the two-valued coalesce replacement is exact, and a NULL
+    x or y never equi-joins, matching IN's no-witness reading).
+    Requires at least one REAL correlation conjunct in the body's
+    WHERE: uncorrelated IN is left to Catalyst, whose plain semi join
+    already handles it — the rewrite targets the correlated family
+    Catalyst plans as fact-side hash builds."""
+    m = _IN_BODY_RE.match(body)
+    if not m:
+        return None
+    y, table, alias, preds = m.groups()
+    got = _parse_subquery(table, alias, body[:m.start(4)], preds,
+                          columns_of)
+    if got is None:
+        return None
+    (table, alias, corr, inner_preds, extract), kind = got
+    if not corr:
+        return None                 # membership alone: leave to Catalyst
+    y = y.strip()
+    # the select item must be a single inner-only expression with no
+    # structure the conjunct grammar can't re-emit verbatim
+    if (re.search(r",|\b(or|and|not|case)\b|\(\s*select\b",
+                  _strip_strings(_blank_parens(y)), re.IGNORECASE)
+            or kind(y) != "inner"):
+        return None
+    # outer_expr sits in the OUTER scope: every reference must look
+    # outer from the subquery's viewpoint (a bare ident that is also
+    # an inner column classifies inner here — conservatively bail
+    # rather than fabricate a correlation on the wrong scope)
+    if (re.search(r"\b(or|and|not)\b|\(\s*select\b",
+                  _strip_strings(_blank_parens(outer_expr)),
+                  re.IGNORECASE)
+            or _split_cmp(outer_expr) is not None
+            or kind(outer_expr) != "outer"):
+        return None
+    corr = corr + [(f"{y} = {outer_expr}", y, outer_expr)]
+    return table, alias, corr, inner_preds, extract
+
+
+def _parse_subquery(table, alias, head, preds, columns_of):
+    """Shared core for the EXISTS/IN body parsers: classify the WHERE
+    conjuncts of a single-table subquery into equality correlations,
+    inner residuals and at most one monotone outer comparison.
+    Returns ((table, alias, corr, inner_preds, extract), kind) or
+    None; `kind` is the scope classifier, exposed so the IN wrapper
+    can validate its membership expressions against the same column
+    resolution."""
     # single-table FROM only: the span between FROM and WHERE must be
     # exactly what the regex consumed (no commas/joins), and the where
     # part must hold no nested subquery or set operation
-    head = body[:m.start(3)]
     if re.search(r",|\bjoin\b|\bgroup\b|\bunion\b", _blank_parens(head),
                  re.IGNORECASE):
         return None
@@ -1279,7 +1339,7 @@ def _parse_exists_body(body: str, columns_of):
             return None                 # two monotone extractions: bail
     if not corr:
         return None                     # uncorrelated (or non-equi): leave
-    return table, alias, corr, inner_preds, extract
+    return (table, alias, corr, inner_preds, extract), _kind
 
 
 def _emit_scalar(parsed, case_form: bool) -> str:
@@ -1366,6 +1426,74 @@ def _member_predicate(parsed, fields: dict[tuple[str, str], str],
     return f"{cols[0]} {op} {e}"
 
 
+_WHERE_END_RE = re.compile(
+    r"\b(group\s+by|having|order\s+by|limit|offset|window|qualify"
+    r"|union|intersect|except)\b", re.IGNORECASE)
+
+
+def _depth0_where_conjuncts(ssql: str) -> list[tuple[int, int]]:
+    """(start, end) spans — in original coordinates — of the top-level
+    conjuncts of every depth-0 WHERE clause in `ssql` (which must be
+    the string-blanked sql, so literals can't fake keywords).  Every
+    keyword match in _blank_parens output is depth-0 by construction
+    (paren interiors are spaces)."""
+    blanked = _blank_parens(ssql)
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"\bwhere\b", blanked, re.IGNORECASE):
+        endm = _WHERE_END_RE.search(blanked, m.end())
+        lo, hi = m.end(), endm.start() if endm else len(ssql)
+        depth, start, i = 0, lo, lo
+        while i < hi:
+            c = ssql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if (depth == 0 and ssql[i:i + 3].lower() == "and"
+                    and not (i > 0 and (ssql[i - 1].isalnum()
+                                        or ssql[i - 1] == "_"))
+                    and not (i + 3 < hi and (ssql[i + 3].isalnum()
+                                             or ssql[i + 3] == "_"))):
+                spans.append((start, i))
+                start = i + 3
+                i += 3
+                continue
+            i += 1
+        spans.append((start, hi))
+    return spans
+
+
+def _match_in_subquery(conj: str) -> tuple[str, str] | None:
+    """If the conjunct is exactly `<expr> in (select ...)` — positive
+    IN whose subquery parens close the conjunct — return (expr, body);
+    else None.  `not in` is refused: its three-valued NULL semantics
+    (NULL probe or NULL member flips the whole predicate) are not
+    expressible as the two-valued coalesce replacement."""
+    c = conj.rstrip()
+    if not c.endswith(")"):
+        return None
+    m = re.search(r"\b(not\s+)?in\s*\(", _blank_parens(c), re.IGNORECASE)
+    if m is None or m.group(1):
+        return None
+    p = c.index("(", m.start())
+    depth, i = 1, p + 1
+    while i < len(c) and depth:
+        if c[i] == "(":
+            depth += 1
+        elif c[i] == ")":
+            depth -= 1
+        i += 1
+    if depth or i != len(c):        # group must end the conjunct
+        return None
+    expr = c[:m.start()].strip()
+    if not expr:
+        return None
+    body = c[p + 1:i - 1]
+    if not re.match(r"\s*select\b", body, re.IGNORECASE):
+        return None
+    return expr, body
+
+
 def _fusion_insert_point(sql: str) -> int | None:
     """Index where a fused join item can be appended to the OUTER
     query's FROM list — only when the statement is a single SELECT
@@ -1400,9 +1528,12 @@ def _fusion_insert_point(sql: str) -> int | None:
 
 
 def exists_to_aggregate(sql: str, columns_of=None) -> str:
-    """Rewrite every recognized [NOT] EXISTS in `sql` to its
-    scalar-aggregate form (see the class comment above).  Groups of
-    EXISTS sharing (table, correlation keys) FUSE: in a single-SELECT
+    """Rewrite every recognized [NOT] EXISTS in `sql` — and every
+    positive correlated `IN (subquery)` standing as a depth-0 WHERE
+    conjunct (r12: membership is one more equality correlation, see
+    _parse_in_body) — to its scalar-aggregate form (see the class
+    comment above).  Groups of predicates sharing (table, correlation
+    keys) FUSE: in a single-SELECT
     statement they become ONE pre-decorrelated derived table in the
     outer FROM — the aggregate GROUPs BY the correlation's inner
     sides, the outer query LEFT-joins on them, and the predicates
@@ -1432,6 +1563,26 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
         parsed = _parse_exists_body(sql[m.end():i - 1], columns_of)
         if parsed is not None:
             occs.append((m.start(), i, bool(m.group(1)), parsed))
+    # positive correlated `IN (subquery)` conjuncts of a depth-0 WHERE
+    # join the same occurrence list (r12): membership is one more
+    # equality correlation, so the algebra — and the fusion groups —
+    # are shared across the two predicate kinds.  Conjunct position
+    # only: IN is three-valued (NULL probe against a non-matching
+    # non-empty set is NULL, not FALSE), so the two-valued coalesce
+    # replacement is exact only where rows are kept on TRUE.
+    taken = [(s, e) for s, e, *_ in occs]
+    for s0, e0 in _depth0_where_conjuncts(ssql):
+        frag = sql[s0:e0]
+        s = s0 + (len(frag) - len(frag.lstrip()))
+        e = s0 + len(frag.rstrip())
+        if e <= s or any(s < te and ts < e for ts, te in taken):
+            continue
+        hit = _match_in_subquery(sql[s:e])
+        if hit is None:
+            continue
+        parsed = _parse_in_body(hit[1], hit[0], columns_of)
+        if parsed is not None:
+            occs.append((s, e, False, parsed))
     if not occs:
         return sql
     groups: dict[tuple, list[int]] = {}

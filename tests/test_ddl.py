@@ -396,3 +396,40 @@ def test_door_exists_rewrite_null_corner_matches_spark(spark):
         assert con.last_rewritten_sql is None and off == plain
     finally:
         del os.environ["LINGODB_SCALE_REWRITES"]
+
+
+@pytest.mark.skipif(not REF_TPCH.exists(), reason="reference absent")
+def test_door_correlated_in_rewrite_kills_fact_hash_build(
+        spark, tmp_path):
+    """r12: the scale-rewrite class extends to positive correlated
+    `IN (subquery)` — the same algebra as monotone EXISTS with the
+    membership as one more equality correlation.  A correlated-IN
+    over the lineitem-sized side must NOT plan a left-semi join
+    (fact-side hash build); the rewrite yields a per-key scalar
+    aggregate that Catalyst decorrelates into aggregate + join.
+    Value semantics are pinned by test_correlated_in_membership
+    (spec evaluator) and the in_membership_clerk_repeat registered
+    query (DuckDB oracle)."""
+    from conftest import explain_str
+    _export_tbls(tmp_path)
+    con = Connection(spark)
+    con.run_script((REF_TPCH / "initialize.sql").read_text(),
+                   base_dir=str(tmp_path))
+    # "the same customer used this order's clerk on ANOTHER order":
+    # membership (o2.o_clerk = o1.o_clerk) + correlation
+    # (o2.o_custkey = o1.o_custkey) + monotone residual (<> extract)
+    q = ("select count(*) as c from orders o1 "
+         "where o1.o_clerk in (select o2.o_clerk from orders o2 "
+         "where o2.o_custkey = o1.o_custkey "
+         "and o2.o_orderkey <> o1.o_orderkey)")
+    con.last_rewritten_sql = None
+    df = con.sql(q)
+    assert con.last_rewritten_sql is not None, "IN rewrite did not fire"
+    assert " in (" not in con.last_rewritten_sql.lower()
+    p = explain_str(df, "formatted")
+    assert "LeftSemi" not in p, "still plans a semi join"
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+    # the rewritten plan must agree with Catalyst's native IN plan
+    native = spark.sql(q).collect()[0].c
+    assert df.collect()[0].c == native

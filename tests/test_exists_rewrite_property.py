@@ -222,3 +222,61 @@ def test_fusable_pair_under_star_select(star, t_rows, o_rows):
     if star == "distinct *":
         expected = list({_key(r): r for r in expected}.values())
     _check(got, expected)
+
+
+@pytest.mark.parametrize("residual", [False, True])
+@settings(max_examples=60, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_correlated_in_membership(residual, t_rows, o_rows):
+    """r12: positive correlated `IN (subquery)` as a WHERE conjunct
+    joins the rewrite class — membership is one more equality
+    correlation.  Spec: `o.e IN (SELECT t.a ...)` keeps the row only
+    when a witness row has BOTH the correlation key and the membership
+    equality TRUE (NULL probe / NULL member is never a witness)."""
+    extra = " and t.a > 0" if residual else ""
+    q = (f"select o.k, o.e from o where o.e in "
+         f"(select t.a from t where t.k = o.k{extra})")
+    got = _run_rewritten(t_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if any(_key_eq(tk, ok) and ta is not None and oe is not None
+               and ta == oe and (not residual or ta > 0)
+               for tk, ta in t_rows)]
+    _check(got, expected)
+
+
+@settings(max_examples=40, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_in_and_exists_compose_in_one_where(t_rows, o_rows):
+    """An IN conjunct and a NOT EXISTS over the same table in one
+    WHERE — both rewritten, independently grouped (their correlation
+    keys differ by the membership equality)."""
+    q = ("select o.k from o where o.e in "
+         "(select t.a from t where t.k = o.k) "
+         "and not exists (select * from t where t.k = o.k and t.a > 2)")
+    got = _run_rewritten(t_rows, o_rows, q)
+    expected = [
+        (ok,) for ok, oe in o_rows
+        if any(_key_eq(tk, ok) and ta is not None and oe is not None
+               and ta == oe for tk, ta in t_rows)
+        and not any(_key_eq(tk, ok) and ta is not None and ta > 2
+                    for tk, ta in t_rows)]
+    _check(got, expected)
+
+
+def test_in_rewrite_class_boundaries():
+    """Shapes that must pass through byte-identical: NOT IN (three-
+    valued), IN under OR (not a TRUE-only conjunct), IN in the select
+    list, uncorrelated IN (Catalyst's semi join already handles it),
+    literal-list IN."""
+    qs = [
+        "select o.k from o where o.e not in "
+        "(select t.a from t where t.k = o.k)",
+        "select o.k from o where o.k > 9 or o.e in "
+        "(select t.a from t where t.k = o.k)",
+        "select o.e in (select t.a from t where t.k = o.k) as f from o",
+        "select o.k from o where o.e in (select t.a from t where t.a > 0)",
+        "select o.k from o where o.e in (1, 2, 3)",
+    ]
+    for q in qs:
+        assert exists_to_aggregate(q, _resolver) == q, q

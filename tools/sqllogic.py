@@ -471,12 +471,13 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
         try:
             q = to_spark_sql(sql)
             q_plain = q
-            if "exists" in q.lower():
-                # the SQL door's monotone-EXISTS scale rewrite (r11)
-                # runs here on its MAIN path so every recognized corpus
-                # EXISTS shape value-checks the rewrite, not just the
-                # verbatim suites; unrecognized shapes pass through
-                # byte-identical
+            if ("exists" in q.lower()
+                    or re.search(r"\bin\s*\(\s*select\b", q.lower())):
+                # the SQL door's monotone-EXISTS / correlated-IN scale
+                # rewrite (r11/r12) runs here on its MAIN path so every
+                # recognized corpus shape value-checks the rewrite, not
+                # just the verbatim suites; unrecognized shapes pass
+                # through byte-identical
                 def _duck_cols_main(t):
                     try:
                         info = con.execute(
