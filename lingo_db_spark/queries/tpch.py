@@ -436,15 +436,23 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the rare qualifying orders, and only that tiny set joins
     orders/customer (the same re-aggregation elimination the reference's
     unnesting applies; at scale this replaces an orders><lineitem fact
-    join with a probe of a few thousand rows)."""
+    join with a probe of a few thousand rows).
+
+    The aggregate is dsum's micro-unit long accumulation, not a
+    DECIMAL(38,10) buffer (r12, from the sf1 audit: q18 was the spot
+    outlier at 4.2 s — a 1.5M-group Decimal128 hash aggregate over the
+    whole fact; q1's 4-group decimal pass hid the per-group cost).
+    Exactness of the > 300 boundary is unchanged: l_quantity is
+    integral by the TPC-H spec (dbgen: 1..50), so the micro-unit sum
+    and the decimal sum are the same number, and dsum stays exact to
+    2^63 micro-units per group regardless."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__q"))
-           .filter(F.col("__q") > 300)
-           .select("l_orderkey",
-                   F.round(F.col("__q").cast("double"), 4).alias("sum_qty")))
+           .agg(dsum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300)
+           .select("l_orderkey", "sum_qty"))
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

@@ -30,7 +30,10 @@ corpus data is all-integer, so `/` is rewritten to Spark's `div`
 own SQL frontend makes by typing integer division integrally
 (sql_analyzer binds `/` on ints to db.div on ints).
 
-Usage: python tools/sqllogic.py [file ...] [--stride N] [--limit N]
+Usage: python tools/sqllogic.py [file ...] [--stride N] [--offset K]
+       [--limit N]
+N shard processes with --stride N --offset 0..N-1 partition the corpus
+exactly (a stride-1-equivalent full sweep in 1/N the wall time).
 """
 
 from __future__ import annotations
@@ -410,8 +413,11 @@ def corpus_session():
 
 
 def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
-             on_fail=None) -> tuple[int, int, int, int, int]:
-    """Execute one .test file.
+             on_fail=None, offset: int = 0) -> tuple[int, int, int, int, int]:
+    """Execute one .test file.  `stride`/`offset` select every stride-th
+    query starting at `offset` — N concurrent shard processes with
+    stride N and offsets 0..N-1 partition a file exactly (statements
+    always run in every shard: each needs the full table state).
     Returns (ran, passed, failed, dialect_skipped, engine_unsupported)."""
     import duckdb
 
@@ -439,7 +445,7 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
             dirty = True
             continue
         qidx += 1
-        if qidx % stride != 0:
+        if qidx % stride != offset % stride:
             continue
         if limit is not None and ran >= limit:
             break
@@ -626,12 +632,15 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     stride = 1
+    offset = 0
     limit = None
     files: list[Path] = []
     it = iter(args)
     for a in it:
         if a == "--stride":
             stride = int(next(it))
+        elif a == "--offset":
+            offset = int(next(it))
         elif a == "--limit":
             limit = int(next(it))
         else:
@@ -652,7 +661,7 @@ def main() -> int:
     tot = [0, 0, 0, 0, 0]
     for f in files:
         r, p, x, s, u = run_file(spark, f, stride=stride, limit=limit,
-                                 on_fail=on_fail)
+                                 on_fail=on_fail, offset=offset)
         for i, v in enumerate((r, p, x, s, u)):
             tot[i] += v
         print(f"{f.name}: ran {r} passed {p} failed {x}"
