@@ -1184,15 +1184,69 @@ def _split_cmp(c: str) -> tuple[str, str, str] | None:
     return found
 
 
-def _parse_exists_body(body: str, columns_of):
-    """Parse one EXISTS body into (table, alias, corr_conjuncts,
-    inner_preds, extract) — or None when the body is outside the
-    recognized class."""
-    m = _EXISTS_BODY_RE.match(body)
+def _split_body(body: str):
+    """(select_seg, from_seg, preds) of a single-scope body split at
+    its depth-0 FROM and WHERE — exactly one of each, WHERE after FROM
+    — else None.  Keyword matches in _blank_parens(_blank_strings(..))
+    output are depth-0 outside literals by construction."""
+    blanked = _blank_parens(_blank_strings(body))
+    m = re.match(r"\s*select\b", blanked, re.IGNORECASE)
     if not m:
         return None
-    got = _parse_subquery(m.group(1), m.group(2), body[:m.start(3)],
-                          m.group(3), columns_of)
+    froms = list(re.finditer(r"\bfrom\b", blanked, re.IGNORECASE))
+    wheres = list(re.finditer(r"\bwhere\b", blanked, re.IGNORECASE))
+    if len(froms) != 1 or len(wheres) != 1:
+        return None
+    if wheres[0].start() < froms[0].end():
+        return None
+    return (body[m.end():froms[0].start()],
+            body[froms[0].end():wheres[0].start()],
+            body[wheres[0].end():])
+
+
+def _parse_from_list(seg: str):
+    """[(table, alias)] from a comma-list of PLAIN table references —
+    None on anything else (joins, derived tables, repeats).  Repeated
+    tables are refused: the class comment's alias-remap reasoning
+    assumes a table identifies its FROM item."""
+    tables: list[tuple[str, str | None]] = []
+    for item in seg.split(","):
+        m = re.match(r"^\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?"
+                     r"([A-Za-z_]\w*))?\s*$", item)
+        if not m:
+            return None
+        tables.append((m.group(1), m.group(2)))
+    names = [(a or t).lower() for t, a in tables]
+    tbls = [t.lower() for t, _ in tables]
+    if len(set(names)) != len(names) or len(set(tbls)) != len(tbls):
+        return None
+    return tables
+
+
+def _parse_exists_body(body: str, columns_of):
+    """Parse one EXISTS body into (table, alias, corr_conjuncts,
+    inner_preds, extract, multi) — or None when the body is outside
+    the recognized class.  Single-table first; then the multi-table
+    comma-list FROM (r12: the TPC-DS q10/q35 shape — EXISTS over
+    fact, dim with the join condition in WHERE)."""
+    m = _EXISTS_BODY_RE.match(body)
+    if m:
+        head = body[:m.start(3)]
+        if re.search(r",|\bjoin\b|\bgroup\b|\bunion\b",
+                     _blank_parens(head), re.IGNORECASE):
+            return None
+        got = _parse_subquery([(m.group(1), m.group(2))], m.group(3),
+                              columns_of)
+        return got[0] if got else None
+    parts = _split_body(body)
+    if parts is None:
+        return None
+    _sel, frm_seg, preds = parts
+    tables = _parse_from_list(frm_seg)
+    if tables is None or len(tables) < 2:
+        return None
+    got = _parse_subquery(tables, preds, columns_of,
+                          frm_sql=frm_seg.strip())
     return got[0] if got else None
 
 
@@ -1209,14 +1263,27 @@ def _parse_in_body(body: str, outer_expr: str, columns_of):
     already handles it — the rewrite targets the correlated family
     Catalyst plans as fact-side hash builds."""
     m = _IN_BODY_RE.match(body)
-    if not m:
-        return None
-    y, table, alias, preds = m.groups()
-    got = _parse_subquery(table, alias, body[:m.start(4)], preds,
-                          columns_of)
+    if m:
+        y, table, alias, preds = m.groups()
+        head = body[:m.start(4)]
+        if re.search(r",|\bjoin\b|\bgroup\b|\bunion\b",
+                     _blank_parens(head), re.IGNORECASE):
+            return None
+        got = _parse_subquery([(table, alias)], preds, columns_of)
+    else:
+        parts = _split_body(body)
+        if parts is None:
+            return None
+        y, frm_seg, preds = parts
+        y = re.sub(r"^\s*distinct\b", "", y, flags=re.IGNORECASE)
+        tables = _parse_from_list(frm_seg)
+        if tables is None or len(tables) < 2:
+            return None
+        got = _parse_subquery(tables, preds, columns_of,
+                              frm_sql=frm_seg.strip())
     if got is None:
         return None
-    (table, alias, corr, inner_preds, extract), kind = got
+    (table, alias, corr, inner_preds, extract, multi), kind = got
     if not corr:
         return None                 # membership alone: leave to Catalyst
     y = y.strip()
@@ -1237,23 +1304,23 @@ def _parse_in_body(body: str, outer_expr: str, columns_of):
             or kind(outer_expr) != "outer"):
         return None
     corr = corr + [(f"{y} = {outer_expr}", y, outer_expr)]
-    return table, alias, corr, inner_preds, extract
+    return table, alias, corr, inner_preds, extract, multi
 
 
-def _parse_subquery(table, alias, head, preds, columns_of):
+def _parse_subquery(tables, preds, columns_of, frm_sql=None):
     """Shared core for the EXISTS/IN body parsers: classify the WHERE
-    conjuncts of a single-table subquery into equality correlations,
-    inner residuals and at most one monotone outer comparison.
-    Returns ((table, alias, corr, inner_preds, extract), kind) or
-    None; `kind` is the scope classifier, exposed so the IN wrapper
+    conjuncts of a subquery over `tables` (a [(table, alias)] list)
+    into equality correlations, inner residuals and at most one
+    monotone outer comparison.
+    Returns ((table, alias, corr, inner_preds, extract, multi), kind)
+    or None; `kind` is the scope classifier, exposed so the IN wrapper
     can validate its membership expressions against the same column
-    resolution."""
-    # single-table FROM only: the span between FROM and WHERE must be
-    # exactly what the regex consumed (no commas/joins), and the where
-    # part must hold no nested subquery or set operation
-    if re.search(r",|\bjoin\b|\bgroup\b|\bunion\b", _blank_parens(head),
-                 re.IGNORECASE):
-        return None
+    resolution.  Multi-table bodies (the TPC-DS q10/q35 fact-joins-dim
+    EXISTS shape) set multi=True and carry the verbatim FROM text in
+    the `table` slot (alias None): they re-emit the FROM list as-is,
+    and the caller must keep them OUT of fusion and CASE-form — both
+    would move the JOIN conjuncts out of WHERE and cross-join the
+    FROM items."""
     if re.search(r"\(\s*select\b|\bunion\b|\bintersect\b|\bexcept\b"
                  r"|\bgroup\s+by\b|\bhaving\b|\border\s+by\b|\blimit\b",
                  preds, re.IGNORECASE):
@@ -1274,15 +1341,24 @@ def _parse_subquery(table, alias, head, preds, columns_of):
     if re.search(r"\bor\b", _strip_strings(_blank_parens(preds)),
                  re.IGNORECASE):
         return None
-    inner_names = {(alias or table).lower()}
+    inner_names = {(a or t).lower() for t, a in tables}
     inner_cols: set[str] | None = None
     if columns_of is not None:
-        try:
-            c = columns_of(table)
-        except Exception:               # noqa: BLE001
-            c = None
-        if c:
-            inner_cols = {str(x).lower() for x in c}
+        cols: set[str] = set()
+        resolved_all = True
+        for t, _a in tables:
+            try:
+                c = columns_of(t)
+            except Exception:           # noqa: BLE001
+                c = None
+            if c:
+                cols |= {str(x).lower() for x in c}
+            else:
+                resolved_all = False
+        # a partially-resolved union would misclassify the unresolved
+        # table's bare columns as outer — all or nothing
+        if resolved_all and cols:
+            inner_cols = cols
 
     def _kind(expr: str) -> str | None:
         """'inner' | 'outer' | None (mixed/unclassifiable)."""
@@ -1339,7 +1415,10 @@ def _parse_subquery(table, alias, head, preds, columns_of):
             return None                 # two monotone extractions: bail
     if not corr:
         return None                     # uncorrelated (or non-equi): leave
-    return (table, alias, corr, inner_preds, extract), _kind
+    if len(tables) == 1:
+        table, alias = tables[0]
+        return (table, alias, corr, inner_preds, extract, False), _kind
+    return (frm_sql, None, corr, inner_preds, extract, True), _kind
 
 
 def _emit_scalar(parsed, case_form: bool) -> str:
@@ -1349,8 +1428,12 @@ def _emit_scalar(parsed, case_form: bool) -> str:
     CASE-form moves them into the aggregate argument so every member
     of a shared-(table, correlation) group has an IDENTICAL child and
     Catalyst's MergeScalarSubqueries fuses the group into one
-    aggregate."""
-    table, alias, corr, inner_preds, extract = parsed
+    aggregate.  Multi-table bodies re-emit their FROM list verbatim
+    and are never CASE-form (inner preds include the JOIN conjuncts —
+    moving them into the aggregate argument would cross-join the FROM
+    items)."""
+    table, alias, corr, inner_preds, extract, multi = parsed
+    case_form = case_form and not multi
     frm = f"{table} {alias}" if alias else table
     # every conjunct re-emitted parenthesized: inner predicates may
     # hold top-level ORs (`t.a=1 or t.b=2` classified inner-only) and
@@ -1384,8 +1467,9 @@ def _emit_scalar(parsed, case_form: bool) -> str:
 def _norm_corr_key(parsed) -> tuple:
     """Fusion-group key: (table, normalized correlation conjuncts) with
     the subquery's own alias canonicalized away, so `l2.x = l1.x` and
-    `l3.x = l1.x` over the same table land in one group."""
-    table, alias, corr, _, _ = parsed
+    `l3.x = l1.x` over the same table land in one group.  Single-table
+    parses only — callers keep multi-table entries out of grouping."""
+    table, alias, corr, _, _, _ = parsed
     inner = (alias or table).lower()
     normed = frozenset(
         re.sub(rf"\b{re.escape(inner)}\s*\.", "#.",
@@ -1398,7 +1482,7 @@ def _member_agg_exprs(parsed) -> list[tuple[str, str]]:
     """The (agg_fn, argument) pairs one parsed EXISTS needs from its
     group's fused aggregate — CASE-form arguments so every member
     shares the group's single child."""
-    _, _, _, inner_preds, extract = parsed
+    _, _, _, inner_preds, extract, _ = parsed
     p = " and ".join(f"({x})" for x in inner_preds)
 
     def wrap(x: str) -> str:
@@ -1415,7 +1499,7 @@ def _member_predicate(parsed, fields: dict[tuple[str, str], str],
                       lat: str) -> str:
     """The outer-scope predicate for one parsed EXISTS, referencing its
     group's fused-aggregate fields instead of scalar subqueries."""
-    _, _, _, _, extract = parsed
+    _, _, _, _, extract, _ = parsed
     aggs = _member_agg_exprs(parsed)
     cols = [f"{lat}.{fields[a]}" for a in aggs]
     if extract is None:
@@ -1586,8 +1670,15 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
     if not occs:
         return sql
     groups: dict[tuple, list[int]] = {}
+    keyed: list[tuple | None] = []      # None = multi-table: never
+    #                                     grouped, fused, or CASE-form
     for idx, (*_, parsed) in enumerate(occs):
-        groups.setdefault(_norm_corr_key(parsed), []).append(idx)
+        if parsed[5]:
+            keyed.append(None)
+            continue
+        k = _norm_corr_key(parsed)
+        keyed.append(k)
+        groups.setdefault(k, []).append(idx)
 
     insert_at = _fusion_insert_point(sql)
     fused: list[str] = []               # fused join items to insert
@@ -1603,7 +1694,7 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
             # canonical FROM item + correlation: the first member; other
             # members' inner-alias qualifiers re-map onto it (same table
             # and same normalized correlation by group construction)
-            table, alias, corr, _, _ = occs[idxs[0]][3]
+            table, alias, corr, _, _, _ = occs[idxs[0]][3]
             canon = alias or table
             lat = f"__exq{gi}"
             fields: dict[tuple[str, str], str] = {}
@@ -1658,7 +1749,8 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
         if idx in fused_pred:
             expr = f"coalesce({fused_pred[idx]}, false)"
         else:
-            case_form = len(groups[_norm_corr_key(parsed)]) >= 2
+            case_form = (keyed[idx] is not None
+                         and len(groups[keyed[idx]]) >= 2)
             expr = f"coalesce({_emit_scalar(parsed, case_form)}, false)"
         expr = f"(not {expr})" if negate else f"({expr})"
         edits.append((start, end, expr))

@@ -433,3 +433,38 @@ def test_door_correlated_in_rewrite_kills_fact_hash_build(
     # the rewritten plan must agree with Catalyst's native IN plan
     native = spark.sql(q).collect()[0].c
     assert df.collect()[0].c == native
+
+
+@pytest.mark.skipif(not REF_TPCH.exists(), reason="reference absent")
+def test_door_multi_table_exists_rewrite(spark, tmp_path):
+    """r12: EXISTS over a comma-list FROM (fact joins dim inside the
+    subquery — the TPC-DS q10/q35 shape) joins the scale-rewrite
+    class as singleton WHERE-form scalar aggregates (never fusion /
+    CASE-form: that would move the join conjunct out of WHERE and
+    cross-join the FROM items).  Catalyst decorrelates the correlated
+    scalar aggregate into a per-key aggregate over the join — the
+    fact side gets map-side partial aggregation before the shuffle
+    instead of a fact-sized semi-join build.  Values pinned vs
+    Spark's native EXISTS; NULL corners in
+    test_multi_table_exists_body (spec evaluator)."""
+    from conftest import explain_str
+    _export_tbls(tmp_path)
+    con = Connection(spark)
+    con.run_script((REF_TPCH / "initialize.sql").read_text(),
+                   base_dir=str(tmp_path))
+    q = ("select c_name from customer c "
+         "where exists (select * from orders o, lineitem l "
+         "where o.o_custkey = c.c_custkey "
+         "and l.l_orderkey = o.o_orderkey "
+         "and l.l_receiptdate > l.l_commitdate)")
+    con.last_rewritten_sql = None
+    df = con.sql(q)
+    assert con.last_rewritten_sql is not None, "rewrite did not fire"
+    assert "exists" not in con.last_rewritten_sql.lower()
+    p = explain_str(df, "formatted")
+    assert "LeftSemi" not in p and "ExistenceJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+    got = sorted(r.c_name for r in df.collect())
+    want = sorted(r.c_name for r in spark.sql(q).collect())
+    assert got == want and len(got) > 0

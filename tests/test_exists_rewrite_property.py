@@ -280,3 +280,61 @@ def test_in_rewrite_class_boundaries():
     ]
     for q in qs:
         assert exists_to_aggregate(q, _resolver) == q, q
+
+
+_COLS3 = {"t": ["k", "a"], "o": ["k", "e"], "d": ["a", "b"]}
+d_rows_st = st.lists(
+    st.tuples(nullable_small_int, nullable_small_int), max_size=8)
+
+
+def _run_rewritten3(t_rows, d_rows, o_rows, query, negate_ok=False):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+    con.execute("CREATE TABLE d (a INTEGER, b INTEGER)")
+    con.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+    if t_rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", t_rows)
+    if d_rows:
+        con.executemany("INSERT INTO d VALUES (?, ?)", d_rows)
+    if o_rows:
+        con.executemany("INSERT INTO o VALUES (?, ?)", o_rows)
+    rewritten = exists_to_aggregate(query, _COLS3.get)
+    assert rewritten != query, f"rewrite did not apply: {query}"
+    assert "exists" not in rewritten.lower().replace("not exists", "")
+    return con.execute(rewritten).fetchall()
+
+
+@pytest.mark.parametrize("negate", [False, True])
+@settings(max_examples=50, deadline=None)
+@given(t_rows=inner_rows, d_rows=d_rows_st, o_rows=outer_rows)
+def test_multi_table_exists_body(negate, t_rows, d_rows, o_rows):
+    """r12: EXISTS over a comma-list FROM (the TPC-DS q10/q35
+    fact-joins-dim shape) — witness requires a (t, d) pair with the
+    join equality, the dim filter and the correlation all TRUE.  The
+    emission keeps every conjunct in WHERE (never CASE-form/fusion:
+    moving the join condition would cross-join the FROM items)."""
+    q = (f"select o.k, o.e from o where {'not ' if negate else ''}exists "
+         "(select * from t, d where t.k = o.k and t.a = d.a and d.b > 0)")
+    got = _run_rewritten3(t_rows, d_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if negate != any(
+            _key_eq(tk, ok) and ta is not None and da is not None
+            and ta == da and db is not None and db > 0
+            for tk, ta in t_rows for da, db in d_rows)]
+    _check(got, expected)
+
+
+@settings(max_examples=50, deadline=None)
+@given(t_rows=inner_rows, d_rows=d_rows_st, o_rows=outer_rows)
+def test_multi_table_in_membership(t_rows, d_rows, o_rows):
+    """r12: correlated IN whose subquery joins two tables."""
+    q = ("select o.k, o.e from o where o.e in "
+         "(select t.a from t, d where t.k = o.k and t.a = d.a)")
+    got = _run_rewritten3(t_rows, d_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if any(_key_eq(tk, ok) and ta is not None and oe is not None
+               and ta == oe and da is not None and ta == da
+               for tk, ta in t_rows for da, _db in d_rows)]
+    _check(got, expected)
