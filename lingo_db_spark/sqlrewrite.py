@@ -62,23 +62,39 @@ def _split_top(s: str, sep: str) -> list[str]:
 
 def _split_top_and(s: str) -> list[str]:
     """Split a predicate on top-level AND (case-insensitive, word
-    boundaries)."""
+    boundaries).  BETWEEN-aware (r12): the AND that closes a depth-0
+    `[not] between lo and hi` is part of the BETWEEN expression, not a
+    conjunction — `d_moy between 4 and 4+3` must stay ONE conjunct
+    (the TPC-DS q10/q35 bodies; previously the split produced a bare
+    `4+3` fragment and downstream parsing had to bail)."""
     out, depth, cur, i = [], 0, [], 0
+    pending_between = 0
     n = len(s)
+
+    def _word(at: int, w: str) -> bool:
+        return (s[at:at + len(w)].lower() == w
+                and (at == 0 or not (s[at - 1].isalnum()
+                                     or s[at - 1] == "_"))
+                and (at + len(w) >= n
+                     or not (s[at + len(w)].isalnum()
+                             or s[at + len(w)] == "_")))
+
     while i < n:
         c = s[i]
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        if (depth == 0 and s[i:i + 3].lower() == "and"
-                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-                and (i + 3 >= n or not (s[i + 3].isalnum()
-                                        or s[i + 3] == "_"))):
-            out.append("".join(cur))
-            cur = []
-            i += 3
-            continue
+        if depth == 0 and _word(i, "between"):
+            pending_between += 1
+        if depth == 0 and _word(i, "and"):
+            if pending_between:
+                pending_between -= 1
+            else:
+                out.append("".join(cur))
+                cur = []
+                i += 3
+                continue
         cur.append(c)
         i += 1
     out.append("".join(cur))
@@ -1526,24 +1542,11 @@ def _depth0_where_conjuncts(ssql: str) -> list[tuple[int, int]]:
     for m in re.finditer(r"\bwhere\b", blanked, re.IGNORECASE):
         endm = _WHERE_END_RE.search(blanked, m.end())
         lo, hi = m.end(), endm.start() if endm else len(ssql)
-        depth, start, i = 0, lo, lo
-        while i < hi:
-            c = ssql[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            if (depth == 0 and ssql[i:i + 3].lower() == "and"
-                    and not (i > 0 and (ssql[i - 1].isalnum()
-                                        or ssql[i - 1] == "_"))
-                    and not (i + 3 < hi and (ssql[i + 3].isalnum()
-                                             or ssql[i + 3] == "_"))):
-                spans.append((start, i))
-                start = i + 3
-                i += 3
-                continue
-            i += 1
-        spans.append((start, hi))
+        base = lo
+        for conj in _split_top_and(ssql[lo:hi]):
+            at = ssql.index(conj, base)
+            spans.append((at, at + len(conj)))
+            base = at + len(conj)
     return spans
 
 

@@ -452,11 +452,15 @@ def test_door_multi_table_exists_rewrite(spark, tmp_path):
     con = Connection(spark)
     con.run_script((REF_TPCH / "initialize.sql").read_text(),
                    base_dir=str(tmp_path))
+    # the BETWEEN residual pins the r12 BETWEEN-aware AND-split: its
+    # `and` is part of the expression, not a conjunction (the TPC-DS
+    # q10/q35 bodies' d_moy between 4 and 4+3)
     q = ("select c_name from customer c "
          "where exists (select * from orders o, lineitem l "
          "where o.o_custkey = c.c_custkey "
          "and l.l_orderkey = o.o_orderkey "
-         "and l.l_receiptdate > l.l_commitdate)")
+         "and l.l_receiptdate > l.l_commitdate "
+         "and o.o_totalprice between 1000 and 200000)")
     con.last_rewritten_sql = None
     df = con.sql(q)
     assert con.last_rewritten_sql is not None, "rewrite did not fire"
