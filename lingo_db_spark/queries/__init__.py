@@ -136,8 +136,10 @@ CHANGED_SINCE_LAST_ATTEST: list[str] = [
     "ann_topk_pq", "ann_topk_pq_full", "ann_topk_ivfpq",
     "ann_topk_ivfpq_indexed", "ann_topk_ivfpq_append",
     # r12: q18's HAVING aggregate moved from the DECIMAL(38,10) buffer
-    # to dsum's micro-unit long accumulation (the sf1 audit's outlier).
-    "tpch_q18",
+    # to dsum's micro-unit long accumulation (the sf1 audit's outlier);
+    # q11's per-part aggregate got the same treatment with an exact
+    # integer/decimal threshold compare on the aggregated frame.
+    "tpch_q18", "tpch_q11",
 ]
 
 NEW_THIS_ROUND: list[str] = [
@@ -172,7 +174,7 @@ STALE_ROTATION: list[str] = [
     "cardest_broadcast_probe", "cse_cte_reused_auto",
     "cse_selfjoin_auto", "ds_double_exists_shared_cte",
     "ds_rank_position_join", "ds_scalar_range_bounds",
-    "ds_year_total_ratio", "events_asof_join",
+    "ds_year_total_ratio",
 ]
 
 ATTEST_PRIORITY: list[str] = [

@@ -227,14 +227,16 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_ORACLE = """
 WITH pr AS (
   SELECT l_partkey,
-         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS val
+         SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000.0)
+                  AS BIGINT)) AS vm
   FROM lineitem, supplier, nation, region
   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
     AND n_regionkey = r_regionkey AND r_name = 'ASIA'
   GROUP BY l_partkey)
-SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 4) AS part_value
+SELECT l_partkey, ROUND(CAST(vm AS DOUBLE) / 1000000.0, 4) AS part_value
 FROM pr
-WHERE CAST(val AS DOUBLE) > (SELECT CAST(AVG(val) AS DOUBLE) * 2.0 FROM pr)
+WHERE CAST(vm AS DECIMAL(38,0)) * (SELECT COUNT(*) FROM pr)
+      > 2 * (SELECT SUM(CAST(vm AS DECIMAL(38,0))) FROM pr)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -256,7 +258,17 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate-driven fact broadcast is exactly the scale hazard SCALE.md r9
     records).  asia_supp is supplier-proportional, NOT bounded by
     construction, so it gets the shuffle pin rather than a broadcast hint;
-    measured 3.1 s -> 2.0 s at sf1."""
+    measured 3.1 s -> 2.0 s at sf1.
+
+    r12: the hot per-part aggregate accumulates MICRO-UNITS as int64
+    (the dsum model — primitive long adds inside whole-stage codegen)
+    instead of a DECIMAL(38,10) buffer; the threshold compare
+    `val > 2 x mean` is evaluated as the exact integer/decimal cross-
+    product `vm x n > 2 x total` ON THE AGGREGATED frame (part-count
+    rows, decimal cost negligible there), so the decision stays
+    order-insensitive and bit-agreed with the DuckDB oracle without
+    paying Decimal128 per fact row — the q18 lesson applied to the
+    second-largest decimal hash aggregate."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -266,15 +278,20 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
                  .select("s_suppkey")
                  .hint("shuffle_hash"))
+    micros = F.round((F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))) * 1_000_000.0,
+                     0).cast("long")
     pr = (li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
           .groupBy("l_partkey")
-          .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                     .cast(DEC)).alias("val"))).cache()
-    total = pr.agg((F.avg("val").cast("double") * 2.0).alias("threshold"))
+          .agg(F.sum(micros).alias("vm"))).cache()
+    total = pr.agg(F.sum(F.col("vm").cast("decimal(38,0)")).alias("tm"),
+                   F.count(F.lit(1)).alias("n"))
     return (pr.crossJoin(F.broadcast(total))
-            .filter(F.col("val").cast("double") > F.col("threshold"))
+            .filter(F.col("vm").cast("decimal(38,0)") * F.col("n")
+                    > 2 * F.col("tm"))
             .select("l_partkey",
-                    F.round(F.col("val").cast("double"), 4).alias("part_value"))
+                    F.round(F.col("vm").cast("double") / 1_000_000.0,
+                            4).alias("part_value"))
             .orderBy(F.desc("part_value"), "l_partkey"))
 
 
