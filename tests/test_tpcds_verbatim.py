@@ -195,3 +195,32 @@ def test_tpcds_verbatim_initialize_and_all_103_queries(spark, tmp_path):
     # r8 needle fixes; floor set just below the sf0.001 count so a
     # domain regression fails loudly
     assert row_bearing >= 80, f"only {row_bearing}/103 row-bearing"
+
+
+def test_q10_q35_verbatim_plan_drops_fact_side_builds(spark, tmp_path):
+    """r12: the multi-table EXISTS rewrite's flagship targets — the
+    verbatim 10.sql/35.sql (EXISTS over store_sales/web_sales/
+    catalog_sales joined to date_dim, with `d_moy between 4 and 4+3`
+    exercising the BETWEEN-aware AND-split) must rewrite through the
+    door and plan NO semi/anti/existence join and NO nested-loop
+    join: every membership probe becomes a decorrelated per-customer
+    aggregate, so the fact sides get map-side partial aggregation
+    before their shuffles.  Values for both queries are covered by
+    the 103/103 verbatim value gate above (same door, same
+    fixtures)."""
+    from synth_tpcds import export_tpcds
+    from conftest import explain_str
+
+    export_tpcds(SF_DIR, tmp_path)
+    con = Connection(spark)
+    con.run_script((REF_DS / "initialize.sql").read_text(),
+                   base_dir=str(tmp_path))
+    for name in ("10.sql", "35.sql"):
+        con.last_rewritten_sql = None
+        df = con.sql((REF_DS / name).read_text())
+        assert con.last_rewritten_sql is not None, f"{name}: no rewrite"
+        assert "exists" not in con.last_rewritten_sql.lower()
+        p = explain_str(df, "formatted")
+        for shape in ("LeftSemi", "LeftAnti", "ExistenceJoin",
+                      "BroadcastNestedLoopJoin"):
+            assert shape not in p, f"{name} still plans {shape}"
