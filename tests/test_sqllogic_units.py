@@ -88,3 +88,26 @@ def test_correlated_scope_gap_requires_real_shape():
     # alias bound inside the same subquery -> NOT correlated
     assert not S._is_correlated_scope_gap(
         "SELECT (SELECT SUM(i1.i) FROM t1 AS i1) FROM t2", "i1")
+
+
+def test_runner_retries_unrewritten_on_rewrite_failure(spark, tmp_path,
+                                                       monkeypatch):
+    """ADVICE r11: a rewriter bug must cost the optimization, never
+    record a previously-passing corpus query as failed.  Force the
+    rewrite to emit garbage; the runner must fall back to the
+    original text and PASS the query."""
+    t = tmp_path / "broken_rewrite.test"
+    t.write_text(
+        "statement ok\n"
+        "CREATE TABLE rt1 (a INTEGER, b INTEGER)\n\n"
+        "statement ok\n"
+        "INSERT INTO rt1 VALUES (1, 2), (2, 3)\n\n"
+        "query I rowsort\n"
+        "SELECT a FROM rt1 o WHERE EXISTS "
+        "(SELECT * FROM rt1 t WHERE t.a = o.b AND t.b > 0)\n"
+        "----\n"
+        "1\n")
+    monkeypatch.setattr(S, "exists_to_aggregate",
+                        lambda q, columns_of=None: q + " THIS BREAKS )")
+    ran, passed, failed, skipped, unsupported = S.run_file(spark, t)
+    assert (ran, passed, failed) == (1, 1, 0)
