@@ -198,7 +198,16 @@ class Connection:
         import os
         if os.environ.get("LINGODB_SCALE_REWRITES", "1") == "0":
             return df
-        ql = query.lower()
+        # Bare queries ONLY: spark.sql() already EXECUTED command
+        # statements (INSERT/CTAS/COPY...) eagerly at connection.py:56
+        # — re-running a rewritten INSERT...SELECT here would apply the
+        # DML twice (the same eager-execution hazard the parse probe
+        # documents above; caught by the r12 adversarial review before
+        # any gate tripped it, since every gate query is a SELECT).
+        ql = query.lstrip().lower()
+        if not (ql.startswith("select") or ql.startswith("with")
+                or ql.startswith("(")):
+            return df
         if ("exists" not in ql
                 and re.search(r"\bin\s*\(\s*select\b", ql) is None):
             return df

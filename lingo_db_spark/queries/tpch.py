@@ -427,8 +427,9 @@ LIMIT 100
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customer: IN (grouped subquery with HAVING) -> semi
     join.  Reference resources/sql/tpch/18.sql; relalg.in
-    (RelAlgOps.td:523-528).  The HAVING sum accumulates in exact decimal so
-    the > 300 decision boundary can't flip with summation order.
+    (RelAlgOps.td:523-528).  The HAVING sum accumulates in dsum's exact
+    int64 micro-units (r12 — see below) so the > 300 decision boundary
+    can't flip with summation order.
 
     Single-pass form: because the outer query re-groups by o_orderkey
     (orders/customer are key-unique), the HAVING aggregate IS the output

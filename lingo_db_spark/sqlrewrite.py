@@ -1303,9 +1303,18 @@ def _parse_in_body(body: str, outer_expr: str, columns_of):
     if not corr:
         return None                 # membership alone: leave to Catalyst
     y = y.strip()
-    # the select item must be a single inner-only expression with no
-    # structure the conjunct grammar can't re-emit verbatim
-    if (re.search(r",|\b(or|and|not|case)\b|\(\s*select\b",
+    # the select item must be a single inner-only ROW expression with
+    # no structure the conjunct grammar can't re-emit verbatim — in
+    # particular no aggregate/window function: `x IN (SELECT max(a)
+    # ...)` would fabricate the WHERE conjunct `max(a) = x` (invalid
+    # SQL that only the callers' analysis-failure fallback would
+    # catch, r12 review)
+    if (re.search(r",|\b(or|and|not|case|over|min|max|sum|avg|count"
+                  r"|median|mode|stddev|stddev_pop|stddev_samp|var_pop"
+                  r"|var_samp|variance|bool_and|bool_or|every|string_agg"
+                  r"|group_concat|array_agg|listagg|first|last|any_value"
+                  r"|bit_and|bit_or|bit_xor|product|corr|covar_pop"
+                  r"|covar_samp|approx_count_distinct)\b|\(\s*select\b",
                   _strip_strings(_blank_parens(y)), re.IGNORECASE)
             or kind(y) != "inner"):
         return None

@@ -408,7 +408,7 @@ def test_door_correlated_in_rewrite_kills_fact_hash_build(
     (fact-side hash build); the rewrite yields a per-key scalar
     aggregate that Catalyst decorrelates into aggregate + join.
     Value semantics are pinned by test_correlated_in_membership
-    (spec evaluator) and the in_membership_clerk_repeat registered
+    (spec evaluator) and the in_membership_priority_repeat registered
     query (DuckDB oracle)."""
     from conftest import explain_str
     _export_tbls(tmp_path)
@@ -472,3 +472,27 @@ def test_door_multi_table_exists_rewrite(spark, tmp_path):
     got = sorted(r.c_name for r in df.collect())
     want = sorted(r.c_name for r in spark.sql(q).collect())
     assert got == want and len(got) > 0
+
+
+def test_scale_rewrite_never_reexecutes_dml(spark):
+    """r12 adversarial review: Connection.sql eagerly executes command
+    statements at analysis time, so _scale_rewrite re-running a
+    rewritten INSERT...SELECT would apply the DML TWICE.  The gate
+    must restrict the rewrite to bare SELECT/WITH statements —
+    exactly one row set may land."""
+    spark.sql("DROP TABLE IF EXISTS dml_gate_t")
+    spark.sql("DROP TABLE IF EXISTS dml_gate_z")
+    spark.createDataFrame([(1, 1), (1, 4), (2, 7)], "k INT, a INT") \
+        .createOrReplaceTempView("dml_gate_src")
+    spark.sql("CREATE TABLE dml_gate_z (k INT) USING parquet")
+    con = Connection(spark)
+    try:
+        con.sql("insert into dml_gate_z "
+                "select o.k from dml_gate_src o where o.a in "
+                "(select t.a from dml_gate_src t where t.k = o.k "
+                "and t.a > 0)")
+        got = spark.sql("select count(*) as c from dml_gate_z") \
+            .first().c
+        assert got == 3, f"{got} rows landed — DML executed twice"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_gate_z")

@@ -398,7 +398,10 @@ def test_fusion_refused_under_bare_star():
     assert "__exq" not in out and "left join" not in out.lower()
     cols, rows = _duck_to(out)
     assert cols == ["k", "e"]                      # schema preserved
-    assert rows == _duck_to(sql.replace("where", "where ", 1))[1] or True
+    # the rewritten result must equal DuckDB's evaluation of the
+    # ORIGINAL query (r12 review: an earlier `== ... or True` version
+    # of this line was a dead assertion)
+    assert rows == _duck_to(sql)[1]
     # spec check: o rows whose k has a t-witness with a>0 AND one <5
     assert rows == [(1, 0)]
 
@@ -489,3 +492,16 @@ def test_boolean_keyword_inside_literal_bails():
     sql = ("select o.k from o where exists (select * from t "
            "where t.k = o.k and cast(t.a as varchar) = 'a and b')")
     assert exists_to_aggregate(sql, _to_cols) == sql
+
+
+def test_in_with_aggregate_select_item_bails():
+    """r12 review: `x IN (SELECT max(a) ...)` must refuse — treating
+    the aggregate as the membership expression would fabricate the
+    WHERE conjunct `max(a) = x` (invalid SQL that only the callers'
+    analysis-failure fallback would catch)."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    for y in ("max(t.a)", "count(*)", "sum(t.a)",
+              "rank() over (order by t.a)"):
+        q = (f"select o.k from o where o.e in (select {y} from t "
+             "where t.k = o.k)")
+        assert exists_to_aggregate(q, _to_cols) == q, y
