@@ -204,7 +204,9 @@ class Connection:
         # DML twice (the same eager-execution hazard the parse probe
         # documents above; caught by the r12 adversarial review before
         # any gate tripped it, since every gate query is a SELECT).
-        ql = query.lstrip().lower()
+        # Leading `--` comment lines are skipped before classifying:
+        # the verbatim benchmark files open with a title comment.
+        ql = re.sub(r"^(\s*--[^\n]*\n)+", "", query).lstrip().lower()
         if not (ql.startswith("select") or ql.startswith("with")
                 or ql.startswith("(")):
             return df
