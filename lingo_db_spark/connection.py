@@ -204,12 +204,17 @@ class Connection:
         # DML twice (the same eager-execution hazard the parse probe
         # documents above; caught by the r12 adversarial review before
         # any gate tripped it, since every gate query is a SELECT).
-        # Leading `--` comment lines are skipped before classifying:
-        # the verbatim benchmark files open with a title comment.
-        ql = re.sub(r"^(\s*--[^\n]*\n)+", "", query).lstrip().lower()
-        if not (ql.startswith("select") or ql.startswith("with")
-                or ql.startswith("(")):
+        # Classification is by the MAIN statement's keyword with the
+        # depth-0 CTE list skipped (sqlrewrite.main_statement_keyword):
+        # Spark accepts CTE-prefixed DML (`WITH x AS (...) INSERT INTO
+        # ...`), which starts with `with` but is NOT a bare query — the
+        # r12 leading-keyword gate would have re-run that INSERT.
+        # Comment headers are stripped inside the classifier (the
+        # verbatim benchmark files open with a title comment).
+        from lingo_db_spark.sqlrewrite import main_statement_keyword
+        if main_statement_keyword(query) not in ("select", "("):
             return df
+        ql = re.sub(r"^(\s*--[^\n]*\n)+", "", query).lstrip().lower()
         if ("exists" not in ql
                 and re.search(r"\bin\s*\(\s*select\b", ql) is None):
             return df

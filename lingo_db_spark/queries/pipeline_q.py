@@ -483,6 +483,24 @@ SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_ret,
 FROM embeddings WHERE vec_id < 5 ORDER BY q_id
 """
 
+_IDX_DIRS: dict[str, str] = {}
+
+
+def _index_dir(prefix: str) -> str:
+    """One scratch directory per prefix per process, removed at
+    interpreter exit (r13, ADVICE: a bare mkdtemp per call leaked a
+    directory per driver run).  Re-running a query overwrites the same
+    path (every write here uses mode("overwrite")), so repeat bench
+    iterations don't accumulate files either."""
+    if prefix not in _IDX_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+        d = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _IDX_DIRS[prefix] = d
+    return _IDX_DIRS[prefix]
+
 
 @register("ann_topk_lsh", _ANN_INVARIANT_ORACLE)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,12 +668,11 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query reads 6/16 of the index files, the claim that carries 100 TB.
     Same seeds as ann_topk_ivf => same quantizer => same invariant
     bounds (min_hits=4 enforced; 5 measured, pinned in tests)."""
-    import tempfile
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     qs = _query_vectors(emb)
     cents, cells = ops.ivf_build(base, dim=64, n_cells=16)
-    path = tempfile.mkdtemp(prefix="ldb_ivf_idx_") + "/ivf"
+    path = _index_dir("ldb_ivf_idx_") + "/ivf"
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
     out = ops.ivf_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
                        index=(cents, spark.read.parquet(path)))
@@ -675,14 +692,52 @@ def ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py: the IN-list equals the probe routing's cell
     set).  Same seeds as ann_topk_ivfpq => same index => same invariant
     bounds (min_hits=4 enforced; 5 measured, pinned in tests)."""
-    import tempfile
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     qs = _query_vectors(emb)
     cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
                                           m=16, n_codes=32)
-    path = tempfile.mkdtemp(prefix="ldb_ivfpq_idx_") + "/ivfpq"
+    path = _index_dir("ldb_ivfpq_idx_") + "/ivfpq"
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    out = ops.ivfpq_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
+                         m=16, n_codes=32, rerank=64,
+                         index=(cents, books, spark.read.parquet(path)))
+    exact = ops.brute_force_topk(base, qs, k=10)
+    return sorted_result(_ann_invariants(out, exact, min_hits=4), "q_id")
+
+
+_IVFPQ_PREBUILT: dict[str, tuple] = {}
+
+
+@register("ann_topk_ivfpq_query_only", _ANN_INVARIANT_ORACLE)
+def ann_topk_ivfpq_query_only(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """The AMORTIZED at-rest query path (r13, verdict item 5):
+    ``ann_topk_ivfpq_indexed``'s wall time is dominated by the one-time
+    build+write, which the build-once/query-many API exists to
+    amortize (similarity.py ivfpq_build/ivfpq_topk(index=...); the
+    reference's persisted index is likewise built once,
+    LingoDBHashIndex.cpp).  Here the index is built and written on the
+    FIRST call per process and every subsequent call — bench warm
+    iterations, repeat driver runs — only routes probes and scans the
+    prebuilt partitioned codes, so the bench median reflects the
+    steady-state query cost.  Same seeds/knobs as
+    ann_topk_ivfpq_indexed => identical quantizers => the same measured
+    recall (min_hits=4 enforced; 5 measured, pinned in tests), and the
+    static PartitionFilters plan assert
+    (test_ivfpq_at_rest_index_scan_statically_prunes_probed_cells)
+    covers this scan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = _query_vectors(emb)
+    got = _IVFPQ_PREBUILT.get(sf_dir)
+    if got is None:
+        cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
+                                              m=16, n_codes=32)
+        path = _index_dir("ldb_ivfpq_qidx_") + "/ivfpq"
+        codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+        got = _IVFPQ_PREBUILT[sf_dir] = (cents, books, path)
+    cents, books, path = got
     out = ops.ivfpq_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
                          m=16, n_codes=32, rerank=64,
                          index=(cents, books, spark.read.parquet(path)))
@@ -763,14 +818,13 @@ def ann_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against brute force over the filtered corpus (the DuckDB
     oracle).  Composition pinned in
     tests/test_pipeline.py::test_ivfpq_filtered_search_by_composition."""
-    import tempfile
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 5).select(
         "vec_id", "embedding", "label")
     cents, books, codes = ops.ivfpq_build(
         base.select("vec_id", "embedding"), dim=64, n_cells=16,
         m=16, n_codes=32)
-    path = tempfile.mkdtemp(prefix="ldb_ivfpq_fidx_") + "/ivfpq"
+    path = _index_dir("ldb_ivfpq_fidx_") + "/ivfpq"
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
     allowed = base.filter(F.col("label") == 1).select("vec_id")
     filtered_codes = spark.read.parquet(path).join(allowed, "vec_id")

@@ -1176,6 +1176,62 @@ def _blank_strings(s: str) -> str:
                   lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", s)
 
 
+def main_statement_keyword(sql: str) -> str:
+    """First keyword of the MAIN statement, lowercased — skipping past
+    `--` comments, string literals, and a leading depth-0 CTE list.
+    Spark accepts CTE-prefixed DML (``WITH x AS (...) INSERT INTO
+    ...``), so a caller that gates "is this a bare query?" on the
+    leading keyword alone would classify that as a query and re-execute
+    the INSERT through a rewrite retry (the double-DML hazard fixed for
+    plain DML in a54e20a; the reference dialect executes each statement
+    exactly once, run-sql.cpp).  Returns '' when the shape doesn't
+    parse — callers must treat '' as "not provably a bare query" and
+    refuse."""
+    s = _blank_strings(re.sub(r"--[^\n]*", "", sql)).lstrip()
+    m = re.match(r"(?is)with\b(?:\s+recursive\b)?", s)
+    if m is None:
+        first = re.match(r"[A-Za-z_]\w*|\(", s)
+        return first.group(0).lower() if first else ""
+    pos = m.end()
+
+    def _past_parens(i: int) -> int:
+        # s[i] == '(' -> index just past its matching ')' (-1: unbalanced)
+        depth = 0
+        while i < len(s):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            i += 1
+        return -1
+
+    while True:                       # ident [ (cols) ] AS ( body ) [,]*
+        nm = re.match(r"\s*(?:[A-Za-z_]\w*|`[^`]+`|\"[^\"]+\")", s[pos:])
+        if nm is None:
+            return ""
+        pos += nm.end()
+        cm = re.match(r"\s*\(", s[pos:])
+        if cm is not None:            # optional column list
+            pos = _past_parens(pos + cm.end() - 1)
+            if pos < 0:
+                return ""
+        am = re.match(r"(?is)\s*as\s*\(", s[pos:])
+        if am is None:
+            return ""
+        pos = _past_parens(pos + am.end() - 1)
+        if pos < 0:
+            return ""
+        sep = re.match(r"\s*,", s[pos:])
+        if sep is None:
+            break
+        pos += sep.end()
+    tail = s[pos:].lstrip()
+    first = re.match(r"[A-Za-z_]\w*|\(", tail)
+    return first.group(0).lower() if first else ""
+
+
 def _split_cmp(c: str) -> tuple[str, str, str] | None:
     """Split a conjunct into (lhs, op, rhs) on its single top-level
     comparison operator; None if there is none or more than one."""
@@ -1303,19 +1359,21 @@ def _parse_in_body(body: str, outer_expr: str, columns_of):
     if not corr:
         return None                 # membership alone: leave to Catalyst
     y = y.strip()
-    # the select item must be a single inner-only ROW expression with
-    # no structure the conjunct grammar can't re-emit verbatim — in
-    # particular no aggregate/window function: `x IN (SELECT max(a)
-    # ...)` would fabricate the WHERE conjunct `max(a) = x` (invalid
-    # SQL that only the callers' analysis-failure fallback would
-    # catch, r12 review)
-    if (re.search(r",|\b(or|and|not|case|over|min|max|sum|avg|count"
-                  r"|median|mode|stddev|stddev_pop|stddev_samp|var_pop"
-                  r"|var_samp|variance|bool_and|bool_or|every|string_agg"
-                  r"|group_concat|array_agg|listagg|first|last|any_value"
-                  r"|bit_and|bit_or|bit_xor|product|corr|covar_pop"
-                  r"|covar_samp|approx_count_distinct)\b|\(\s*select\b",
-                  _strip_strings(_blank_parens(y)), re.IGNORECASE)
+    # ALLOWLIST (r13, ADVICE): the select item must be a bare inner
+    # column or simple arithmetic over inner columns — identifiers,
+    # numeric literals, + - * / %, parens.  ANY function call refuses:
+    # the r12 blacklist was an open list (max_by/percentile/UDAFs, and
+    # aggregates nested under non-aggregate calls like
+    # coalesce(max(a),0), all slipped through and fabricated an
+    # `agg(...) = x` WHERE conjunct — invalid SQL that only the
+    # callers' analysis-failure fallback caught).  Refusing strictly
+    # can only cost the optimization, never correctness.
+    ystr = _strip_strings(y)
+    if (re.search(r"[A-Za-z_]\w*\s*\(", ystr)
+            or re.fullmatch(r"[\w.`\"\s()+\-*/%]*", ystr) is None
+            or re.search(r"\b(case|and|or|not|select|null|interval"
+                         r"|between|distinct|cast|over)\b",
+                         ystr, re.IGNORECASE)
             or kind(y) != "inner"):
         return None
     # outer_expr sits in the OUTER scope: every reference must look
@@ -1354,9 +1412,13 @@ def _parse_subquery(tables, preds, columns_of, frm_sql=None):
         return None
     # _split_top_and is not string-literal-aware: a boolean keyword
     # INSIDE a literal ('a and b') would split mid-literal and parse
-    # garbage — refuse the body outright
+    # garbage, and a literal 'between' desyncs the splitter's
+    # pending-BETWEEN counter so the NEXT real AND is silently merged
+    # into the preceding conjunct (r13, ADVICE: previously only
+    # downstream bails kept that from mis-rewriting) — refuse the body
+    # outright
     for lit in re.findall(r"'(?:[^']|'')*'", preds):
-        if re.search(r"\b(and|or|not)\b", lit, re.IGNORECASE):
+        if re.search(r"\b(and|or|not|between)\b", lit, re.IGNORECASE):
             return None
     # a top-level OR anywhere in the WHERE invalidates the AND-split
     # decomposition itself: `a and b or c` means `(a and b) or c`,

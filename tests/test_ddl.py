@@ -496,3 +496,55 @@ def test_scale_rewrite_never_reexecutes_dml(spark):
         assert got == 3, f"{got} rows landed — DML executed twice"
     finally:
         spark.sql("DROP TABLE IF EXISTS dml_gate_z")
+
+
+def test_scale_rewrite_never_reexecutes_cte_prefixed_dml(spark):
+    """r13 (ADVICE high): Spark accepts CTE-prefixed DML — `WITH x AS
+    (...) INSERT INTO ...` — which starts with `with` and so passed the
+    r12 leading-keyword gate; the rewrite retry would re-run the
+    INSERT.  The gate now classifies by the MAIN statement keyword
+    with the depth-0 CTE list skipped."""
+    spark.sql("DROP TABLE IF EXISTS dml_gate_w")
+    spark.createDataFrame([(1, 1), (1, 4), (2, 7)], "k INT, a INT") \
+        .createOrReplaceTempView("dml_gate_src2")
+    spark.sql("CREATE TABLE dml_gate_w (k INT) USING parquet")
+    con = Connection(spark)
+    try:
+        con.sql("with src (k, a) as (select k, a from dml_gate_src2) "
+                "insert into dml_gate_w "
+                "select o.k from src o where exists "
+                "(select 1 from src t where t.k = o.k and t.a > 3)")
+        got = spark.sql("select count(*) as c from dml_gate_w") \
+            .first().c
+        # single execution: all three src rows have an a>3 sibling on
+        # their key ((1,4) covers k=1; (2,7) covers k=2) -> 3 rows.
+        # A re-executed INSERT would land 6.
+        assert got == 3, f"{got} rows landed — CTE-prefixed DML " \
+                         f"executed twice"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_gate_w")
+
+
+def test_main_statement_keyword_classifier():
+    """Unit arms for sqlrewrite.main_statement_keyword: the gate that
+    decides whether the scale rewrite may retry a statement."""
+    from lingo_db_spark.sqlrewrite import main_statement_keyword as k
+    assert k("SELECT 1") == "select"
+    assert k("  -- title\n-- more\nselect 1") == "select"
+    assert k("(select 1) union all (select 2)") == "("
+    assert k("WITH a AS (select 1) SELECT * FROM a") == "select"
+    assert k("with recursive a as (select 1 union all select 2) "
+             "select * from a") == "select"
+    assert k("with a (x) as (select 1), b as (select * from a) "
+             "select * from b") == "select"
+    # the hazard class: CTE-prefixed DML must NOT classify as a query
+    assert k("WITH a AS (select 1) INSERT INTO t SELECT * FROM a") \
+        == "insert"
+    assert k("with a as (select 1) create table t as "
+             "select * from a") == "create"
+    # literals / comments containing keywords can't confuse the walk
+    assert k("with a as (select ' insert ' x) select * from a "
+             "-- insert") == "select"
+    # malformed CTE shapes classify as '' (refused, never rewritten)
+    assert k("with a select 1") == ""
+    assert k("with a as (select 1") == ""

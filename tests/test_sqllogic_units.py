@@ -109,5 +109,9 @@ def test_runner_retries_unrewritten_on_rewrite_failure(spark, tmp_path,
         "1\n")
     monkeypatch.setattr(S, "exists_to_aggregate",
                         lambda q, columns_of=None: q + " THIS BREAKS )")
+    fb0 = S.REWRITE_FALLBACKS
     ran, passed, failed, skipped, unsupported = S.run_file(spark, t)
     assert (ran, passed, failed) == (1, 1, 0)
+    # r13 (ADVICE): the fallback must be COUNTED so a runtime-failing
+    # rewrite stays visible in the sweep summary, not silently green
+    assert S.REWRITE_FALLBACKS == fb0 + 1

@@ -47,6 +47,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CORPUS_DIR = Path("/root/reference/test/sqlite")
 
+# Count of keep-the-working-plan fallbacks (a scale-rewritten query
+# failed at RUNTIME and the un-rewritten text was retried).  Reported
+# per-file and in TOTAL so a rewriter runtime regression stays visible
+# in the sweep artifacts instead of silently showing green (r13,
+# ADVICE): Connection users gate analysis only, so a runtime-failing
+# rewrite would hit them even while the corpus passes.
+REWRITE_FALLBACKS = 0
+
 
 # ---------------------------------------------------------------------------
 # Parsing
@@ -500,9 +508,14 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
             except Exception:                       # noqa: BLE001
                 # mirror Connection._scale_rewrite's keep-the-working-
                 # plan gate: a rewriter bug must cost the optimization,
-                # never record a previously-passing query as failed
+                # never record a previously-passing query as failed —
+                # but COUNT it (REWRITE_FALLBACKS, surfaced per-file
+                # and in TOTAL) so runtime-failing rewrites can't hide
+                # behind a green sweep
                 if q == q_plain:
                     raise
+                global REWRITE_FALLBACKS
+                REWRITE_FALLBACKS += 1
                 rows = spark.sql(q_plain).collect()
             values = result_values(rows, types, sort)
             if types == "tsv":
@@ -659,15 +672,19 @@ def main() -> int:
                   file=sys.stderr)
 
     tot = [0, 0, 0, 0, 0]
+    fb_prev = 0
     for f in files:
         r, p, x, s, u = run_file(spark, f, stride=stride, limit=limit,
                                  on_fail=on_fail, offset=offset)
         for i, v in enumerate((r, p, x, s, u)):
             tot[i] += v
+        fb_file, fb_prev = REWRITE_FALLBACKS - fb_prev, REWRITE_FALLBACKS
         print(f"{f.name}: ran {r} passed {p} failed {x}"
-              f" dialect-skipped {s} engine-unsupported {u}", flush=True)
+              f" dialect-skipped {s} engine-unsupported {u}"
+              f" rewrite-fallbacks {fb_file}", flush=True)
     print(f"TOTAL: ran {tot[0]} passed {tot[1]} failed {tot[2]}"
-          f" dialect-skipped {tot[3]} engine-unsupported {tot[4]}")
+          f" dialect-skipped {tot[3]} engine-unsupported {tot[4]}"
+          f" rewrite-fallbacks {REWRITE_FALLBACKS}")
     return 1 if tot[2] else 0
 
 
