@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lingo_db_spark.catalog import load_table
-from lingo_db_spark.functions import DEC, SQL_DSUM, dsum
+from lingo_db_spark.functions import SQL_DSUM, dsum
 from lingo_db_spark.queries import register
 
 
@@ -343,12 +343,14 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS total
+         SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000.0)
+                  AS BIGINT)) AS total
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, ROUND(CAST(total AS DOUBLE), 4) AS total_revenue
+SELECT s_suppkey, s_name,
+       ROUND(CAST(total AS DOUBLE) / 1000000.0, 4) AS total_revenue
 FROM supplier, revenue
 WHERE s_suppkey = supplier_no
   AND total = (SELECT MAX(total) FROM revenue)
@@ -361,21 +363,26 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier: the CREATE VIEW + MAX scalar subquery query
     (reference resources/sql/tpch/15.sql).  The revenue view is a shared
     subtree (relalg.tmp): cached once, consumed by the MAX and the
-    equality filter.  Exact-decimal totals make the MAX-equality
-    deterministic (double totals could tie-break differently per engine)."""
+    equality filter.  Totals accumulate as EXACT int64 micro-units
+    (r13, the q18/q11 dsum precedent: order-insensitive, exact to 2^63
+    ≈ 9.2e12 currency units, and the aggregation buffer stays a
+    primitive long instead of DECIMAL(38,10) BigDecimals), so the
+    MAX-equality is integer-exact and deterministic on both engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00")))
     supp = load_table(spark, sf_dir, "supplier")
+    micros = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     * F.lit(1_000_000.0), 0).cast("long")
     revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-               .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                          .cast(DEC)).alias("total"))).cache()
+               .agg(F.sum(micros).alias("total"))).cache()
     best = revenue.agg(F.max("total").alias("best_total"))
     return (revenue.crossJoin(F.broadcast(best))
             .filter(F.col("total") == F.col("best_total"))
             .join(supp, F.col("supplier_no") == supp.s_suppkey)
             .select("s_suppkey", "s_name",
-                    F.round(F.col("total").cast("double"), 4)
+                    F.round(F.col("total").cast("double")
+                            / F.lit(1_000_000.0), 4)
                     .alias("total_revenue"))
             .orderBy("s_suppkey"))
 
@@ -434,8 +441,8 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q17_ORACLE = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
-             / 7.0, 4) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 / 7.0, 4) AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND p_brand = 'Brand#5' AND p_type = 'SMALL'
   AND l_quantity < (SELECT CAST(0.5 * AVG(CAST(l2.l_quantity AS DECIMAL(38,10)))
@@ -464,16 +471,29 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-part AVG over all of that part's lineitems.  vs the
     # agg-then-rejoin shape this halves the lineitem scans; the shuffle
     # carries only (partkey, quantity, price).
-    threshold = (F.lit(0.5)
-                 * F.avg(F.col("l_quantity").cast(DEC))
-                 .over(Window.partitionBy("l_partkey"))).cast("double")
+    #
+    # r13 exactness note: l_quantity is spec-integral, so the decision
+    # `q < 0.5 * sum/cnt` is evaluated in INTEGER form `2*q*cnt < sum`
+    # — the window carries a primitive long SUM + COUNT instead of a
+    # DECIMAL(38,10) AVG buffer, and the boundary provably agrees with
+    # the oracle's exact-decimal AVG: a disagreement would need the
+    # integer 2*q*cnt - sum to fall within the decimal's 5e-11 rounding
+    # of zero, i.e. to BE zero, where both forms say "not less".  The
+    # revenue output sum rides int64 micro-units (the q18/q11 dsum
+    # precedent), mirrored in the oracle text.
+    w = Window.partitionBy("l_partkey")
+    qty_sum = F.sum(F.col("l_quantity").cast("long")).over(w)
+    qty_cnt = F.count(F.lit(1)).over(w)
+    ep_micros = F.round(F.col("l_extendedprice") * F.lit(1_000_000.0),
+                        0).cast("long")
     return (
         li.select("l_partkey", "l_quantity", "l_extendedprice")
         .join(pkeys, li.l_partkey == pkeys.p_partkey, "left_semi")
-        .withColumn("__threshold", threshold)
-        .filter(F.col("l_quantity") < F.col("__threshold"))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
-                     / 7.0, 4).alias("avg_yearly")))
+        .withColumn("__2qc", 2 * F.col("l_quantity").cast("long") * qty_cnt)
+        .withColumn("__sum", qty_sum)
+        .filter(F.col("__2qc") < F.col("__sum"))
+        .agg(F.round(F.sum(ep_micros).cast("double")
+                     / F.lit(1_000_000.0) / 7.0, 4).alias("avg_yearly")))
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +509,7 @@ WHERE s_suppkey IN (
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_suppkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 150)
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
   AND s_nationkey = n_nationkey AND n_regionkey = 2
 ORDER BY s_name
 """
@@ -501,8 +521,10 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattened: the synthetic schema's part<->supplier link IS lineitem, so
     the nested partsupp IN-chain becomes one grouped semi-join): suppliers
     who shipped > 150 units of 'red%' parts in 1996, restricted to region
-    2.  IN (grouped HAVING subquery) -> left-semi join; exact-decimal
-    HAVING so the threshold can't flip with summation order."""
+    2.  IN (grouped HAVING subquery) -> left-semi join.  l_quantity is
+    spec-integral, so the `> 150` HAVING accumulates as a primitive
+    int64 (r13, the q18 precedent: exact, order-insensitive, and inside
+    whole-stage codegen) instead of a DECIMAL(38,10) buffer."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00")))
@@ -510,7 +532,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").like("red%")).select("p_partkey")
     heavy = (li.join(red, li.l_partkey == red.p_partkey, "left_semi")
              .groupBy("l_suppkey")
-             .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+             .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
              .filter(F.col("q") > 150).select("l_suppkey"))
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(

@@ -198,16 +198,19 @@ def test_tpcds_verbatim_initialize_and_all_103_queries(spark, tmp_path):
 
 
 def test_q10_q35_verbatim_plan_drops_fact_side_builds(spark, tmp_path):
-    """r12: the multi-table EXISTS rewrite's flagship targets — the
-    verbatim 10.sql/35.sql (EXISTS over store_sales/web_sales/
-    catalog_sales joined to date_dim, with `d_moy between 4 and 4+3`
-    exercising the BETWEEN-aware AND-split) must rewrite through the
-    door and plan NO semi/anti/existence join and NO nested-loop
-    join: every membership probe becomes a decorrelated per-customer
+    """r12/r13: ALL FIVE EXISTS-bearing verbatim reference TPC-DS
+    queries (10/16/35/69/94 — EXISTS over store_sales/web_sales/
+    catalog_sales joined to date_dim, 10/35 with `d_moy between 4 and
+    4+3` exercising the BETWEEN-aware AND-split, 16/94 adding NOT
+    EXISTS and a self-join EXISTS over the fact table itself) must
+    rewrite through the door and plan NO semi/anti/existence join and
+    NO nested-loop join: every membership probe becomes a decorrelated
     aggregate, so the fact sides get map-side partial aggregation
-    before their shuffles.  Values for both queries are covered by
-    the 103/103 verbatim value gate above (same door, same
-    fixtures)."""
+    before their shuffles.  These asserts are the tripwire that caught
+    the r12 comment-gate regression (f6eafaf) — the r12 verdict asked
+    for the 16/69/94 extension (previously value-gated only).  Values
+    for all five are covered by the 103/103 verbatim value gate above
+    (same door, same fixtures)."""
     from synth_tpcds import export_tpcds
     from conftest import explain_str
 
@@ -215,7 +218,7 @@ def test_q10_q35_verbatim_plan_drops_fact_side_builds(spark, tmp_path):
     con = Connection(spark)
     con.run_script((REF_DS / "initialize.sql").read_text(),
                    base_dir=str(tmp_path))
-    for name in ("10.sql", "35.sql"):
+    for name in ("10.sql", "16.sql", "35.sql", "69.sql", "94.sql"):
         con.last_rewritten_sql = None
         df = con.sql((REF_DS / name).read_text())
         assert con.last_rewritten_sql is not None, f"{name}: no rewrite"
