@@ -85,3 +85,34 @@ def test_contaminated_run_never_clobbers_quiet_evidence(tmp_path):
     # unreadable prior: replace
     ev.write_text("{not json")
     assert _evidence_path(str(ev), host_quiet=False) == str(ev)
+
+
+def test_quiet_rerun_diverts_from_committed_record(tmp_path, monkeypatch):
+    """VERDICT r12 item 8: a quiet re-run over a git-COMMITTED quiet
+    record diverts to .fresh.json (the committed record only changes by
+    explicit BENCH_EVIDENCE_CANONICAL=1 refresh + commit); outside a
+    git repo, or with the file untracked/dirty, quiet runs still write
+    through."""
+    import json
+    import subprocess as sp
+
+    from bench import _evidence_path
+
+    ev = tmp_path / "bench_evidence.json"
+    ev.write_text(json.dumps({"host_quiet": True, "value": 1.0}))
+    # tmp_path is not a git repo: write through (back-compat)
+    assert _evidence_path(str(ev), host_quiet=True) == str(ev)
+    # make it a repo with the file committed: divert
+    sp.run(["git", "init", "-q"], cwd=tmp_path, check=True)
+    sp.run(["git", "add", "bench_evidence.json"], cwd=tmp_path, check=True)
+    sp.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+            "commit", "-qm", "x"], cwd=tmp_path, check=True)
+    assert _evidence_path(str(ev), host_quiet=True) == \
+        str(tmp_path / "bench_evidence.fresh.json")
+    # explicit refresh env: write through
+    monkeypatch.setenv("BENCH_EVIDENCE_CANONICAL", "1")
+    assert _evidence_path(str(ev), host_quiet=True) == str(ev)
+    monkeypatch.delenv("BENCH_EVIDENCE_CANONICAL")
+    # dirty working copy: write through (it's already uncommitted)
+    ev.write_text(json.dumps({"host_quiet": True, "value": 2.0}))
+    assert _evidence_path(str(ev), host_quiet=True) == str(ev)
