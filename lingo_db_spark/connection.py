@@ -219,7 +219,8 @@ class Connection:
                 and re.search(r"\bin\s*\(\s*select\b", ql) is None):
             return df
         from lingo_db_spark.sqlrewrite import exists_to_aggregate
-        rewritten = exists_to_aggregate(query, self._resolve_columns)
+        rewritten = exists_to_aggregate(query, self._resolve_columns,
+                                        notnull_of=self._notnull_columns)
         if rewritten == query:
             return df
         try:
@@ -238,6 +239,20 @@ class Connection:
             return self.spark.table(t).columns
         except Exception:       # noqa: BLE001
             return None
+
+    def _notnull_columns(self, t: str) -> set[str]:
+        """Columns of `t` PROVABLY non-null from declared metadata —
+        the NOT NULL / PRIMARY KEY constraints ddl.parse_create_table
+        pinned (the reference's catalog nullability,
+        InferNotNullConditions.cpp reads the same facts).  Parquet-
+        backed views deliberately yield the empty set (Spark marks
+        their columns nullable), so the NOT IN scale rewrite only
+        fires on declared schemas."""
+        out: set[str] = set(self.primary_keys.get(t, ()))
+        schema = self.declared.get(t)
+        if schema is not None:
+            out.update(f.name for f in schema.fields if not f.nullable)
+        return out
 
     def sql_arrow(self, query: str):
         """Exact reference signature: query -> materialized pyarrow.Table

@@ -1621,17 +1621,22 @@ def _depth0_where_conjuncts(ssql: str) -> list[tuple[int, int]]:
     return spans
 
 
-def _match_in_subquery(conj: str) -> tuple[str, str] | None:
-    """If the conjunct is exactly `<expr> in (select ...)` — positive
-    IN whose subquery parens close the conjunct — return (expr, body);
-    else None.  `not in` is refused: its three-valued NULL semantics
-    (NULL probe or NULL member flips the whole predicate) are not
-    expressible as the two-valued coalesce replacement."""
+def _match_in_subquery(conj: str) -> tuple[str, str, bool] | None:
+    """If the conjunct is exactly `<expr> [not] in (select ...)` — a
+    membership predicate whose subquery parens close the conjunct —
+    return (expr, body, negated); else None.  Positive IN rewrites
+    directly.  `not in` carries three-valued NULL semantics (a NULL
+    probe or NULL member flips the whole predicate), so the CALLER may
+    only use a negated match when probe and member are both PROVABLY
+    non-null (catalog metadata) — then NOT IN collapses to NOT EXISTS,
+    which the negate machinery already emits (r13; the reference's
+    analogue is InferNotNullConditions.cpp feeding
+    ImplicitToExplicitJoins.cpp's mark-join simplification)."""
     c = conj.rstrip()
     if not c.endswith(")"):
         return None
     m = re.search(r"\b(not\s+)?in\s*\(", _blank_parens(c), re.IGNORECASE)
-    if m is None or m.group(1):
+    if m is None:
         return None
     p = c.index("(", m.start())
     depth, i = 1, p + 1
@@ -1649,7 +1654,86 @@ def _match_in_subquery(conj: str) -> tuple[str, str] | None:
     body = c[p + 1:i - 1]
     if not re.match(r"\s*select\b", body, re.IGNORECASE):
         return None
-    return expr, body
+    return expr, body, bool(m.group(1))
+
+
+def _outer_from_items(sql: str):
+    """[(table, alias)] of the OUTER query's depth-0 FROM comma-list —
+    None unless the statement is a single-SELECT scope over plain table
+    references (joins/derived tables/set-ops refuse: alias resolution
+    would need real scoping)."""
+    ssql = _blank_strings(sql)
+    b = _blank_parens(ssql)
+    if len(re.findall(r"\bselect\b", b, re.IGNORECASE)) != 1:
+        return None
+    fm = re.search(r"\bfrom\b", b, re.IGNORECASE)
+    if fm is None:
+        return None
+    endm = re.search(r"\b(where|group|having|qualify|window|order"
+                     r"|limit|offset|union|intersect|except)\b",
+                     b[fm.end():], re.IGNORECASE)
+    seg = (ssql[fm.end():fm.end() + endm.start()] if endm
+           else ssql[fm.end():])
+    if "(" in seg or ")" in seg:
+        return None                 # derived table / function source
+    return _parse_from_list(seg)
+
+
+def _notin_nullfree(sql: str, probe: str, body: str,
+                    columns_of, notnull_of) -> bool:
+    """True only when a `probe NOT IN (body)` is PROVABLY free of the
+    three-valued NULL corner: the probe is a bare (possibly qualified)
+    column of exactly one outer FROM table with a catalog NOT NULL
+    declaration, and the member item is a bare inner column likewise
+    declared NOT NULL.  Then `x NOT IN (SELECT y ...)` ≡ `NOT EXISTS
+    (SELECT 1 ... AND y = x)` — the mark-join simplification the
+    reference derives from inferred not-null facts
+    (InferNotNullConditions.cpp -> ImplicitToExplicitJoins.cpp).
+    Any doubt returns False: the caller simply keeps Catalyst's
+    null-aware anti join, so this gate can only COST the rewrite."""
+    if notnull_of is None:
+        return False
+
+    def _nn(table: str) -> set[str]:
+        try:
+            got = notnull_of(table)
+        except Exception:           # noqa: BLE001 — metadata gap: refuse
+            return set()
+        return {c.lower() for c in (got or ())}
+
+    m = _IN_BODY_RE.match(body)
+    if m is None:
+        return False                # multi-table NOT IN body: refuse
+    y, table, alias, _preds = m.groups()
+    ym = re.fullmatch(r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)",
+                      y.strip())
+    if ym is None:
+        return False                # arithmetic member: keep it simple
+    yq, yc = ym.groups()
+    inner = (alias or table).lower()
+    if yq is not None and yq.lower() != inner:
+        return False                # member references the outer scope
+    if yc.lower() not in _nn(table):
+        return False
+    pm = re.fullmatch(r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)",
+                      probe.strip())
+    if pm is None:
+        return False
+    pq, pc = pm.groups()
+    frm = _outer_from_items(sql)
+    if frm is None:
+        return False
+    if pq is not None:
+        cands = [t for t, a in frm if (a or t).lower() == pq.lower()]
+    else:
+        if columns_of is None:
+            return False
+        cands = [t for t, a in frm
+                 if pc.lower() in {c.lower()
+                                   for c in (columns_of(t) or ())}]
+    if len(cands) != 1:
+        return False
+    return pc.lower() in _nn(cands[0])
 
 
 def _fusion_insert_point(sql: str) -> int | None:
@@ -1685,7 +1769,7 @@ def _fusion_insert_point(sql: str) -> int | None:
     return m.start() if m else len(sql.rstrip().rstrip(";"))
 
 
-def exists_to_aggregate(sql: str, columns_of=None) -> str:
+def exists_to_aggregate(sql: str, columns_of=None, notnull_of=None) -> str:
     """Rewrite every recognized [NOT] EXISTS in `sql` — and every
     positive correlated `IN (subquery)` standing as a depth-0 WHERE
     conjunct (r12: membership is one more equality correlation, see
@@ -1738,9 +1822,12 @@ def exists_to_aggregate(sql: str, columns_of=None) -> str:
         hit = _match_in_subquery(sql[s:e])
         if hit is None:
             continue
+        if hit[2] and not _notin_nullfree(sql, hit[0], hit[1],
+                                          columns_of, notnull_of):
+            continue        # NOT IN: three-valued unless provably null-free
         parsed = _parse_in_body(hit[1], hit[0], columns_of)
         if parsed is not None:
-            occs.append((s, e, False, parsed))
+            occs.append((s, e, hit[2], parsed))
     if not occs:
         return sql
     groups: dict[tuple, list[int]] = {}

@@ -435,6 +435,47 @@ def test_door_correlated_in_rewrite_kills_fact_hash_build(
     assert df.collect()[0].c == native
 
 
+def test_door_not_in_rewrite_requires_declared_notnull(spark):
+    """r13 (verdict item 6): NOT IN widens into the scale rewrite ONLY
+    when the probe and member columns are catalog-provably non-null
+    (declared NOT NULL / PRIMARY KEY — the reference's
+    InferNotNullConditions.cpp feeding the mark-join simplification).
+    Then it collapses to NOT EXISTS: no null-aware anti join in the
+    plan, values identical to Catalyst's native NOT IN.  Without the
+    declaration the door must leave the text alone."""
+    from conftest import explain_str
+    con = Connection(spark)
+    con.sql_stmt("create table nn_t (k int not null, a int not null)")
+    con.sql_stmt("insert into nn_t (k, a) values (1, 1), (1, 2), (2, 5)")
+    con.sql_stmt("create table nn_o (k int not null, e int not null)")
+    con.sql_stmt("insert into nn_o (k, e) values (1, 1), (1, 3), "
+                 "(2, 5), (3, 7)")
+    q = ("select o.k, o.e from nn_o o where o.e not in "
+         "(select t.a from nn_t t where t.k = o.k)")
+    con.last_rewritten_sql = None
+    df = con.sql(q)
+    assert con.last_rewritten_sql is not None, "NOT IN rewrite no-fire"
+    assert "not in" not in con.last_rewritten_sql.lower()
+    p = explain_str(df, "formatted")
+    assert "LeftAnti" not in p and "ExistenceJoin" not in p
+    got = sorted((r.k, r.e) for r in df.collect())
+    native = sorted((r.k, r.e) for r in spark.sql(q).collect())
+    # (1,1): 1 in {1,2} -> out; (2,5): 5 in {5} -> out; (1,3)/(3,7) kept
+    assert got == native == [(1, 3), (3, 7)]
+    # nullable twin: same query over undeclared (nullable) views must
+    # NOT rewrite — three-valued NOT IN stays with Catalyst
+    spark.createDataFrame([(1, 1), (1, 2), (2, 5)], "k int, a int") \
+        .createOrReplaceTempView("nul_t")
+    spark.createDataFrame([(1, 1), (1, 3), (2, 5)], "k int, e int") \
+        .createOrReplaceTempView("nul_o")
+    q2 = ("select o.k, o.e from nul_o o where o.e not in "
+          "(select t.a from nul_t t where t.k = o.k)")
+    con.last_rewritten_sql = None
+    con.sql(q2)
+    assert con.last_rewritten_sql is None, \
+        "NOT IN rewrote without a non-null proof"
+
+
 @pytest.mark.skipif(not REF_TPCH.exists(), reason="reference absent")
 def test_door_multi_table_exists_rewrite(spark, tmp_path):
     """r12: EXISTS over a comma-list FROM (fact joins dim inside the

@@ -338,3 +338,88 @@ def test_multi_table_in_membership(t_rows, d_rows, o_rows):
                and ta == oe and da is not None and ta == da
                for tk, ta in t_rows for da, _db in d_rows)]
     _check(got, expected)
+
+
+# ---------------------------------------------------------------------------
+# r13: NOT IN with catalog-provable non-null columns -> NOT EXISTS
+# ---------------------------------------------------------------------------
+
+nonnull_small_int = st.integers(-3, 3)
+nn_inner_rows = st.lists(
+    st.tuples(nonnull_small_int, nonnull_small_int), max_size=12)
+nn_outer_rows = st.lists(
+    st.tuples(nonnull_small_int, nonnull_small_int), max_size=8)
+
+_NN_ALL = {"t": {"k", "a"}, "o": {"k", "e"}}.get
+
+
+@settings(max_examples=60, deadline=None)
+@given(t_rows=nn_inner_rows, o_rows=nn_outer_rows)
+def test_not_in_rewrites_when_provably_nonnull(t_rows, o_rows):
+    """r13: with probe and member both declared NOT NULL, `x NOT IN
+    (correlated subquery)` collapses to NOT EXISTS and must return
+    exactly DuckDB's evaluation of the ORIGINAL text (no NULLs exist,
+    so the engines' NOT IN agree and is a safe oracle here)."""
+    q = ("select o.k, o.e from o where o.e not in "
+         "(select t.a from t where t.k = o.k)")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER NOT NULL, a INTEGER NOT NULL)")
+    con.execute("CREATE TABLE o (k INTEGER NOT NULL, e INTEGER NOT NULL)")
+    if t_rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", t_rows)
+    if o_rows:
+        con.executemany("INSERT INTO o VALUES (?, ?)", o_rows)
+    rewritten = exists_to_aggregate(q, _resolver, notnull_of=_NN_ALL)
+    assert rewritten != q, "NOT IN rewrite did not apply"
+    assert "not in" not in rewritten.lower()
+    got = con.execute(rewritten).fetchall()
+    expected = con.execute(q).fetchall()
+    _check(got, expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(t_rows=inner_rows, o_rows=outer_rows)
+def test_not_in_refused_without_notnull_proof(t_rows, o_rows):
+    """NULL-bearing refusal arms: with no metadata, or with the probe
+    or the member column nullable, NOT IN must NEVER rewrite — its
+    three-valued semantics (NULL probe or NULL member) are not the
+    two-valued coalesce form."""
+    q = ("select o.k, o.e from o where o.e not in "
+         "(select t.a from t where t.k = o.k)")
+    assert exists_to_aggregate(q, _resolver) == q
+    assert exists_to_aggregate(
+        q, _resolver, notnull_of={"t": {"k"}, "o": {"k", "e"}}.get) == q
+    assert exists_to_aggregate(
+        q, _resolver, notnull_of={"t": {"k", "a"}, "o": {"k"}}.get) == q
+    # and the gate really matters: with NULLs present, the would-be
+    # rewritten form DIVERGES from NOT IN (sanity of the refusal)
+    if (any(v is None for r in t_rows for v in r) and t_rows and o_rows):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k INTEGER, a INTEGER)")
+        con.execute("CREATE TABLE o (k INTEGER, e INTEGER)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", t_rows)
+        con.executemany("INSERT INTO o VALUES (?, ?)", o_rows)
+        forced = exists_to_aggregate(q, _resolver, notnull_of=_NN_ALL)
+        assert forced != q  # (metadata lied; just exercising the text)
+        con.execute(forced).fetchall()  # must at least run
+
+
+def test_not_in_proof_requires_resolvable_unique_probe():
+    """Bare probe idents must resolve to exactly ONE outer FROM table
+    with the column declared non-null; ambiguity or arithmetic
+    probes/members refuse."""
+    cols = {"t": ["k", "a", "e"], "o": ["k", "e"]}.get
+    nn = {"t": {"k", "a", "e"}, "o": {"k", "e"}}.get
+    # probe `e` lives in both o (outer) and t... outer FROM is just o,
+    # so it resolves; but with BOTH tables in the outer FROM it refuses
+    q_two = ("select o.e from o, t where e not in "
+             "(select t2.a from t t2 where t2.k = o.k)")
+    assert exists_to_aggregate(q_two, cols, notnull_of=nn) == q_two
+    # arithmetic probe refuses
+    q_arith = ("select o.e from o where o.e + 1 not in "
+               "(select t.a from t where t.k = o.k)")
+    assert exists_to_aggregate(q_arith, cols, notnull_of=nn) == q_arith
+    # arithmetic member refuses
+    q_m = ("select o.e from o where o.e not in "
+           "(select t.a + 1 from t where t.k = o.k)")
+    assert exists_to_aggregate(q_m, cols, notnull_of=nn) == q_m

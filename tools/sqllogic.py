@@ -499,7 +499,17 @@ def run_file(spark, path: Path, stride: int = 1, limit: int | None = None,
                         return [c[1] for c in info] or None
                     except Exception:           # noqa: BLE001
                         return None
-                q = exists_to_aggregate(q, columns_of=_duck_cols_main)
+
+                def _duck_notnull(t):
+                    # PRAGMA table_info: c[3] = notnull flag, c[5] = pk
+                    try:
+                        info = con.execute(
+                            f"PRAGMA table_info('{t}')").fetchall()
+                        return {c[1] for c in info if c[3] or c[5]}
+                    except Exception:           # noqa: BLE001
+                        return set()
+                q = exists_to_aggregate(q, columns_of=_duck_cols_main,
+                                        notnull_of=_duck_notnull)
             if types == "tsv" and has_order:
                 q = normalize_null_order(q)
                 q_plain = normalize_null_order(q_plain)
