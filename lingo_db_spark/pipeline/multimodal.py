@@ -1,13 +1,21 @@
 """Multimodal-column plumbing: media as opaque binary columns + typed
 metadata, with decode / feature-extraction / frame-sampling operators.
 
-The container ships no image/audio libraries, so the *codec* step is a
-deterministic fake (documented stub): a 16-byte header
-(magic, width, height, n_frames as big-endian u32) prepended to a payload.
-Everything around the codec — binary schema, Arrow-batched mapInPandas
-decode, batch shapes, feature extraction, frame-index explosion — is real
-and is exactly the plumbing a PIL/ffmpeg-backed decoder would plug into
-(swap _parse_header/_decode_payload for the real library call).
+Two codec tiers (r13):
+- WAV/PCM is a REAL codec, implemented here from the RIFF spec with
+  the stdlib only (struct walk of fmt/data chunks; numpy resample) —
+  synth_wav emits genuine PCM16 WAVE files, decode_wav_meta parses
+  them, resample_wav re-rates them, and tests cross-check the bytes
+  against the stdlib `wave` module.
+- Image/video codecs (JPEG decode, ffmpeg frames) need libraries this
+  container doesn't ship, so THAT step is a deterministic fake: a
+  16-byte header (magic, width, height, n_frames as big-endian u32)
+  prepended to a payload.  Everything around it — binary schema,
+  Arrow-batched mapInPandas decode, batch shapes, feature extraction,
+  frame-index explosion — is real and is exactly the plumbing a
+  PIL/ffmpeg-backed decoder would plug into.  real_codec=True
+  dispatches RIFF/WAVE blobs through the real WAV path and refuses
+  other formats loudly (ValueError naming the missing library).
 """
 
 from __future__ import annotations
@@ -57,18 +65,27 @@ def decode_media_meta(media: DataFrame, binary_col: str = "media",
     """Parse the typed metadata out of the binary column via Arrow-batched
     mapInPandas (one pandas frame per input batch — the shape a real
     decoder wants: decode library loaded once per worker, rows processed
-    vectorized).  real_codec=True is the seam for an actual image/video
-    library, absent in this container."""
-    if real_codec:
-        raise NotImplementedError(
-            "no image/audio codecs in this environment; wire PIL/av here")
-
+    vectorized).  real_codec=True decodes REAL formats: RIFF/WAVE blobs
+    go through the from-spec WAV parser (_wav_info; width carries the
+    sample rate, height the channel count, n_frames the PCM frame
+    count — the time-series reading of the image axes); any other real
+    format refuses loudly with the library it would need."""
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
                 b = bytes(blob)
-                if len(b) >= _HEADER_SIZE and b[:4] == _MAGIC:
+                if real_codec:
+                    info = _wav_info(b)
+                    if info is None:
+                        raise ValueError(
+                            "real_codec: only WAV/PCM is decodable in "
+                            "this container (blob is not RIFF/WAVE); "
+                            "JPEG/video need PIL/av — wire them here")
+                    rate, ch, _bits, nf, _off, _dlen = info
+                    metas.append((int(doc_id), rate, ch, nf,
+                                  len(b)))
+                elif len(b) >= _HEADER_SIZE and b[:4] == _MAGIC:
                     _, w, h, nf = struct.unpack(_HEADER_FMT, b[:_HEADER_SIZE])
                     metas.append((int(doc_id), w, h, nf,
                                   len(b) - _HEADER_SIZE))
@@ -78,6 +95,149 @@ def decode_media_meta(media: DataFrame, binary_col: str = "media",
                                                MEDIA_META_SCHEMA.fields])
 
     return media.mapInPandas(_decode, MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM: a REAL codec, from the RIFF spec, stdlib-only (r13).
+# Reference parity: the reference models media as opaque blobs with
+# typed accessors; this implements the audio tier end-to-end.
+# ---------------------------------------------------------------------------
+
+WAV_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("bits_per_sample", T.IntegerType(), True),
+    T.StructField("n_samples", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+def wav_pack_pcm16(rate: int, channels: int, frames: bytes) -> bytes:
+    """Minimal canonical PCM16 WAVE file: RIFF header + fmt chunk +
+    data chunk (the exact layout `wave.open` writes; cross-checked in
+    tests by reading these bytes back with the stdlib module)."""
+    n = len(frames)
+    block = channels * 2
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + n), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                             rate * block, block, 16),
+        b"data", struct.pack("<I", n), frames,
+    ])
+
+
+def _wav_info(b: bytes):
+    """Walk a RIFF/WAVE file's chunks: (sample_rate, n_channels,
+    bits_per_sample, n_frames, data_offset, data_len) or None when the
+    blob is not WAVE / is malformed.  Handles arbitrary chunk order and
+    extra chunks (LIST, fact, ...) — a real parser, not a fixed-offset
+    read."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = (pos + 8, clen)
+        pos += 8 + clen + (clen & 1)        # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    _audio_fmt, channels, rate, _bps, block, bits = fmt
+    if block == 0:
+        return None
+    return (rate, channels, bits, data[1] // block, data[0], data[1])
+
+
+def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM16 WAVE fixtures derived from doc_id arithmetic
+    (rate/channels/length are pure doc_id functions, the samples a
+    fixed ramp), so an exact SQL oracle can PREDICT what the real
+    parser must decode — the Spark side still round-trips through
+    genuine RIFF bytes.  Stands in for binaryFile ingest of an audio
+    corpus."""
+    rates = _WAV_RATES
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            rate = rates[i % len(rates)]
+            channels = i % 2 + 1
+            n_samp = (i % 50 + 1) * 100
+            frames = bytes(n_samp * channels * 2)   # silence PCM16
+            out.append(wav_pack_pcm16(rate, channels, frames))
+        return pd.Series(out)
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       _pack(F.col(id_col)).alias("media"))
+
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def decode_wav_meta(media: DataFrame,
+                    binary_col: str = "media") -> DataFrame:
+    """REAL audio decode: RIFF chunk walk per blob via Arrow-batched
+    mapInPandas -> (sample_rate, n_channels, bits_per_sample,
+    n_samples, duration_ms).  Non-WAV blobs yield NULL metadata (the
+    dirty-corpus posture: one bad object must not kill a 100 TB scan).
+    duration_ms = n_samples * 1000 // rate (integer floor, exact in
+    SQL)."""
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                info = _wav_info(bytes(blob))
+                if info is None:
+                    rows.append((int(doc_id),) + (None,) * 5)
+                    continue
+                rate, ch, bits, nf, _off, _dlen = info
+                rows.append((int(doc_id), rate, ch, bits, nf,
+                             nf * 1000 // rate if rate else None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              WAV_META_SCHEMA.fields])
+    return media.mapInPandas(_decode, WAV_META_SCHEMA)
+
+
+def resample_wav(media: DataFrame, target_hz: int,
+                 binary_col: str = "media") -> DataFrame:
+    """REAL PCM16 resample (nearest-sample index mapping, vectorized
+    numpy per Arrow batch): binary WAV in -> binary WAV at target_hz
+    out.  Output frame count is the exact integer
+    floor(n_in * target_hz / rate_in), so tests and SQL oracles can pin
+    it.  Non-WAV blobs pass through as NULL."""
+    import numpy as np
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField(binary_col, T.BinaryType(), True),
+    ])
+
+    def _res(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                b = bytes(blob)
+                info = _wav_info(b)
+                if info is None or info[2] != 16:
+                    rows.append((int(doc_id), None))
+                    continue
+                rate, ch, _bits, nf, off, dlen = info
+                pcm = np.frombuffer(b[off:off + dlen], dtype="<i2")
+                pcm = pcm[:nf * ch].reshape(nf, ch) if nf else \
+                    pcm.reshape(0, max(ch, 1))
+                n_out = nf * target_hz // rate
+                idx = (np.arange(n_out, dtype="int64") * rate
+                       // target_hz).clip(0, max(nf - 1, 0))
+                out_pcm = pcm[idx] if nf else pcm[:0]
+                rows.append((int(doc_id), wav_pack_pcm16(
+                    target_hz, ch, out_pcm.astype("<i2").tobytes())))
+            yield pd.DataFrame(rows, columns=["doc_id", binary_col])
+    return media.mapInPandas(_res, out_schema)
 
 
 def byte_histogram_features(media: DataFrame, binary_col: str = "media",
@@ -114,10 +274,14 @@ def resize_media(media: DataFrame, target_w: int, target_h: int,
     "resize" rewrites the header to the target dims and scales the
     payload length proportionally to the pixel-count ratio —
     deterministic, so tests can pin exact output sizes.  real_codec=True
-    is the seam for the actual library, absent in this container."""
+    resizes REAL media: for RIFF/WAVE blobs the temporal axis is the
+    resolution, so target_w is the target sample rate and the blob is
+    genuinely resampled (resample_wav); non-WAV blobs yield NULL
+    (dirty-corpus row-level posture — the decode_media_meta seam is
+    the one that refuses loudly when a format needs PIL/av)."""
     if real_codec:
-        raise NotImplementedError(
-            "no image/audio codecs in this environment; wire PIL/av here")
+        return resample_wav(media, target_hz=target_w,
+                            binary_col=binary_col)
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
         T.StructField(binary_col, T.BinaryType(), True),

@@ -149,6 +149,10 @@ NEW_THIS_ROUND: list[str] = [
     # (first call builds+writes the partitioned index, later calls
     # only probe it — the bench-visible steady state).
     "ann_topk_ivfpq_query_only",
+    # r13: the REAL WAV/PCM codec journeys (RIFF chunk-walk decode;
+    # numpy PCM16 resample), oracle-predicted from the deterministic
+    # fixture arithmetic.
+    "multimodal_wav_meta", "multimodal_wav_resample",
 ]
 
 STALE_ROTATION: list[str] = [
@@ -175,7 +179,7 @@ STALE_ROTATION: list[str] = [
     "agg_distinct_multi", "agg_minmax", "agg_stats_var",
     "collectionjoin_list", "const_relation_values",
     "cte_top_nations", "decimal_mul_sum", "groupjoin_fused",
-    "join_fullouter", "join_mark_notin", "join_nullsafe",
+    "join_fullouter",
 ]
 
 ATTEST_PRIORITY: list[str] = [
