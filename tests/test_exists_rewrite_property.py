@@ -423,3 +423,28 @@ def test_not_in_proof_requires_resolvable_unique_probe():
     q_m = ("select o.e from o where o.e not in "
            "(select t.a + 1 from t where t.k = o.k)")
     assert exists_to_aggregate(q_m, cols, notnull_of=nn) == q_m
+
+
+@settings(max_examples=60, deadline=None)
+@given(t_rows=nn_inner_rows, o_rows=nn_outer_rows)
+def test_not_in_fuses_with_exists_on_shared_correlation(t_rows, o_rows):
+    """r13 battery promotion: a provably-null-free NOT IN and an EXISTS
+    sharing (table, correlation key) land in the same fusion group —
+    one pre-decorrelated derived table, the NOT IN's predicate negated
+    per-occurrence.  Values must match DuckDB on the original text
+    (non-null data, so its NOT IN is a safe oracle)."""
+    q = ("select o.k, o.e from o where exists "
+         "(select * from t where t.k = o.k and t.a > 0) "
+         "and o.e not in (select t.a from t where t.k = o.k)")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER NOT NULL, a INTEGER NOT NULL)")
+    con.execute("CREATE TABLE o (k INTEGER NOT NULL, e INTEGER NOT NULL)")
+    if t_rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", t_rows)
+    if o_rows:
+        con.executemany("INSERT INTO o VALUES (?, ?)", o_rows)
+    rewritten = exists_to_aggregate(q, _resolver, notnull_of=_NN_ALL)
+    assert rewritten != q
+    assert "not in" not in rewritten.lower()
+    assert "exists" not in rewritten.lower()
+    _check(con.execute(rewritten).fetchall(), con.execute(q).fetchall())
