@@ -108,7 +108,7 @@ def test_runner_retries_unrewritten_on_rewrite_failure(spark, tmp_path,
         "----\n"
         "1\n")
     monkeypatch.setattr(S, "exists_to_aggregate",
-                        lambda q, columns_of=None: q + " THIS BREAKS )")
+                        lambda q, columns_of=None, **kw: q + " THIS BREAKS )")
     fb0 = S.REWRITE_FALLBACKS
     ran, passed, failed, skipped, unsupported = S.run_file(spark, t)
     assert (ran, passed, failed) == (1, 1, 0)
