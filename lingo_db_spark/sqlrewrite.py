@@ -1176,18 +1176,57 @@ def _blank_strings(s: str) -> str:
                   lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", s)
 
 
+def _blank_comments_and_strings(s: str) -> str:
+    """One lexer scan that blanks string-literal interiors, `--` line
+    comments, and `/* */` block comments — each region recognized in
+    source order, so a `--` INSIDE a literal is not a comment and a
+    quote inside a comment does not open a literal (the two-regex
+    compose-order bug class).  Length-preserving."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        elif c == "-" and s[i:i + 2] == "--":
+            j = s.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif c == "/" and s[i:i + 2] == "/*":
+            j = s.find("*/", i)
+            j = n if j < 0 else j + 2
+            for k in range(i, min(j, n)):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
 def main_statement_keyword(sql: str) -> str:
     """First keyword of the MAIN statement, lowercased — skipping past
-    `--` comments, string literals, and a leading depth-0 CTE list.
-    Spark accepts CTE-prefixed DML (``WITH x AS (...) INSERT INTO
-    ...``), so a caller that gates "is this a bare query?" on the
+    `--`/`/* */` comments, string literals, and a leading depth-0 CTE
+    list.  Spark accepts CTE-prefixed DML (``WITH x AS (...) INSERT
+    INTO ...``), so a caller that gates "is this a bare query?" on the
     leading keyword alone would classify that as a query and re-execute
     the INSERT through a rewrite retry (the double-DML hazard fixed for
     plain DML in a54e20a; the reference dialect executes each statement
     exactly once, run-sql.cpp).  Returns '' when the shape doesn't
     parse — callers must treat '' as "not provably a bare query" and
     refuse."""
-    s = _blank_strings(re.sub(r"--[^\n]*", "", sql)).lstrip()
+    s = _blank_comments_and_strings(sql).lstrip()
     m = re.match(r"(?is)with\b(?:\s+recursive\b)?", s)
     if m is None:
         first = re.match(r"[A-Za-z_]\w*|\(", s)

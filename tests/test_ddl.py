@@ -586,6 +586,19 @@ def test_main_statement_keyword_classifier():
     # literals / comments containing keywords can't confuse the walk
     assert k("with a as (select ' insert ' x) select * from a "
              "-- insert") == "select"
+    # `--` INSIDE a literal is not a comment: a DML on the same line
+    # must still classify as DML (the two-regex compose-order bug —
+    # stripping comments before blanking strings truncated the line)
+    assert k("with a as (select 'x -- y' c) insert into t "
+             "select * from a") == "insert"
+    assert k("with a as (select 'x -- y' c) select * from a") \
+        == "select"
+    # block comments are comments
+    assert k("/* title */ select 1") == "select"
+    assert k("with a as (select 1) /* note */ insert into t "
+             "select * from a") == "insert"
+    # a quote inside a comment does not open a literal
+    assert k("-- don't\nselect 1") == "select"
     # malformed CTE shapes classify as '' (refused, never rewritten)
     assert k("with a select 1") == ""
     assert k("with a as (select 1") == ""
