@@ -4,11 +4,13 @@ and the composition helpers that back them)."""
 from lingo_db_spark.operators.groupjoin import group_join  # noqa: F401
 from lingo_db_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
+    compact_index_cells,
     cosine,
     dequantize_embeddings,
     dot,
     embed_neardup,
     fuzzy_pairs,
+    index_delete,
     ivf_append,
     ivf_build,
     ivf_topk,

@@ -794,6 +794,56 @@ def ivf_append(cents: np.ndarray, new_emb: DataFrame, *,
         _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"))
 
 
+def index_delete(codes: DataFrame, deleted: DataFrame, *,
+                 id_col: str = "vec_id") -> DataFrame:
+    """TOMBSTONE delete — the read-path half of index-maintenance
+    deletion (complement of ivfpq_append/ivf_append): the at-rest codes
+    frame anti-joins the deleted-id set, so queries immediately stop
+    returning deleted vectors without touching a single index file.
+    The tombstone set is the small side (broadcast anti join); the
+    codes scan keeps its cell partition pruning.  Reference analogue:
+    logical deletion against the persisted LingoDBHashIndex before a
+    rebuild."""
+    return codes.join(deleted.select(id_col), on=id_col, how="left_anti")
+
+
+def compact_index_cells(spark, path: str, deleted: DataFrame, *,
+                        id_col: str = "vec_id") -> list:
+    """PHYSICAL compaction of tombstoned deletes: rewrite ONLY the cell
+    partitions that contain deleted ids (dynamic partition overwrite
+    through a staging dir — Spark refuses a direct self-overwrite of a
+    path being read), leaving every untouched cell's files byte-
+    identical.  At 100 TB a 0.1% delete rewrites ~0.1% of the index,
+    not the index.  Cells emptied entirely are removed explicitly
+    (dynamic overwrite only replaces partitions PRESENT in the written
+    frame, so a fully-emptied cell would otherwise keep its stale
+    file).  Returns the sorted list of rewritten/removed cells."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    codes = spark.read.parquet(path)
+    touched = sorted(r.cell for r in
+                     codes.join(deleted.select(id_col), id_col)
+                     .select("cell").distinct().collect())
+    if not touched:
+        return []
+    remain = (codes.filter(F.col("cell").isin([int(c) for c in touched]))
+              .join(deleted.select(id_col), id_col, "left_anti"))
+    staging = tempfile.mkdtemp(prefix="ldb_idx_compact_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    remain.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    staged = spark.read.parquet(staging)
+    (staged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell").parquet(path))
+    present = {r.cell for r in staged.select("cell").distinct().collect()}
+    for c in set(touched) - present:
+        shutil.rmtree(os.path.join(path, f"cell={c}"),
+                      ignore_errors=True)
+    return touched
+
+
 def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
                dim: int, n_cells: int = 16, n_probe: int = 4,
                m: int = 16, n_codes: int = 32, rerank: int = 64,

@@ -153,6 +153,9 @@ NEW_THIS_ROUND: list[str] = [
     # numpy PCM16 resample), oracle-predicted from the deterministic
     # fixture arithmetic.
     "multimodal_wav_meta", "multimodal_wav_resample",
+    # r13: the delete half of at-rest index maintenance (tombstone
+    # anti-join; physical cell compaction pinned in pytest).
+    "ann_topk_ivfpq_deleted",
 ]
 
 STALE_ROTATION: list[str] = [
@@ -179,7 +182,6 @@ STALE_ROTATION: list[str] = [
     "agg_distinct_multi", "agg_minmax", "agg_stats_var",
     "collectionjoin_list", "const_relation_values",
     "cte_top_nations", "decimal_mul_sum", "groupjoin_fused",
-    "join_fullouter",
 ]
 
 ATTEST_PRIORITY: list[str] = [

@@ -789,6 +789,52 @@ def ann_topk_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "rank")
 
 
+@register("ann_topk_ivfpq_deleted", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id >= 5 AND vec_id % 2 = 1),
+scored AS (
+  SELECT q.q_id, base.vec_id,
+         CAST(list_cosine_similarity(base.embedding, q.q_vec) AS DOUBLE)
+           AS cos_raw
+  FROM base, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def ann_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE, the delete half (r13; append landed r11):
+    the at-rest IVF-PQ index is built over the whole corpus, the EVEN
+    ids are tombstone-deleted (ops.index_delete — a broadcast anti
+    join on the read-back codes, zero index files touched), and the
+    queries run over the surviving codes under exhaustive knobs — so
+    the result is EXACT and value-checked against brute force over the
+    remaining (odd) corpus: a deleted vector can never surface, with
+    no rebuild and no loss of the cell partition pruning.  Physical
+    compaction of the touched cells (ops.compact_index_cells — dynamic
+    partition overwrite, untouched cells byte-identical) is pinned in
+    tests/test_pipeline.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
+                                          m=16, n_codes=32)
+    path = _index_dir("ldb_ivfpq_didx_") + "/ivfpq"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    deleted = base.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    live = ops.index_delete(spark.read.parquet(path), deleted)
+    out = ops.ivfpq_topk(base, _query_vectors(emb), k=10, dim=64,
+                         n_cells=16, n_probe=16, m=16, n_codes=32,
+                         rerank=1_000_000, index=(cents, books, live))
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"),
+                   "rank"),
+        "q_id", "rank")
+
+
 @register("ann_topk_ivfpq_filtered", """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id < 5),

@@ -776,3 +776,79 @@ def test_decontaminate_flags_containment_not_jaccard(spark):
     assert set(out) == {1}
     assert out[1].example_eval_id == 100 and out[1].n_eval_docs == 1
     assert out[1].n_collisions == 4  # 8-token sentence -> 4 distinct 5-grams
+
+
+def test_index_delete_and_cell_compaction(spark, tmp_path):
+    """r13, the delete half of index maintenance.  Tombstone delete
+    (index_delete): deleted ids never surface and exhaustive knobs
+    equal brute force over the remainder, zero files touched.
+    Physical compaction (compact_index_cells): ONLY the cells holding
+    deleted ids are rewritten — untouched cells' files stay
+    byte-identical — a fully-emptied cell's directory is removed, and
+    the compacted index answers exactly like the tombstoned one."""
+    import hashlib
+    from pathlib import Path
+
+    base, q = _emb_and_queries(spark)
+    cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=8,
+                                          m=16, n_codes=32)
+    path = str(tmp_path / "ivfpq")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    def _cell_digests():
+        out = {}
+        for d in Path(path).glob("cell=*"):
+            h = hashlib.sha256()
+            for f in sorted(p for p in d.rglob("*") if p.is_file()):
+                h.update(f.name.encode())
+                h.update(f.read_bytes())
+            out[d.name] = h.hexdigest()
+        return out
+
+    # delete: every id of ONE cell (empties it) + a few from another
+    rows = spark.read.parquet(path).select("vec_id", "cell").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    cells = sorted(by_cell, key=lambda c: len(by_cell[c]))
+    victim_all, victim_part = cells[0], cells[-1]
+    del_ids = by_cell[victim_all] + by_cell[victim_part][:3]
+    deleted = spark.createDataFrame([(i,) for i in del_ids],
+                                    "vec_id long")
+    live_ids = {r.vec_id for r in rows} - set(del_ids)
+
+    # tombstone read path: exact vs brute force over the remainder
+    live = ops.index_delete(spark.read.parquet(path), deleted)
+    remainder = base.join(deleted, "vec_id", "left_anti")
+    brute = [(r.q_id, r.vec_id, r.rank) for r in
+             ops.brute_force_topk(remainder, q, k=10)
+             .orderBy("q_id", "rank").collect()]
+    tomb = [(r.q_id, r.vec_id, r.rank) for r in
+            ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=8, n_probe=8,
+                           m=16, n_codes=32, rerank=1_000_000,
+                           index=(cents, books, live))
+            .orderBy("q_id", "rank").collect()]
+    assert brute == tomb
+    assert not {v for _, v, _ in tomb} & set(del_ids)
+
+    before = _cell_digests()
+    touched = ops.compact_index_cells(spark, path, deleted)
+    assert touched == sorted([victim_all, victim_part])
+    after = _cell_digests()
+    # untouched cells byte-identical
+    for name, dig in after.items():
+        cell_id = int(name.split("=")[1])
+        if cell_id not in touched:
+            assert dig == before[name], f"{name} was rewritten"
+    # the fully-emptied cell's directory is gone
+    assert f"cell={victim_all}" not in after
+    # compacted files hold exactly the live ids, and answer identically
+    left = spark.read.parquet(path)
+    assert {r.vec_id for r in left.select("vec_id").collect()} == live_ids
+    compacted = [(r.q_id, r.vec_id, r.rank) for r in
+                 ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=8,
+                                n_probe=8, m=16, n_codes=32,
+                                rerank=1_000_000,
+                                index=(cents, books, left))
+                 .orderBy("q_id", "rank").collect()]
+    assert compacted == tomb
