@@ -142,6 +142,10 @@ CHANGED_SINCE_LAST_ATTEST: list[str] = [
     # q17 integer-form window threshold + micro-unit revenue; q20
     # integer HAVING over spec-integral quantity).
     "tpch_q15", "tpch_q17", "tpch_q20",
+    # (r13 also touched verbatim_anchors._export_fixtures — an atexit
+    # cleanup registration only, provably result-inert, so the five
+    # sql_*_verbatim anchors are NOT re-listed; they stay on their
+    # stale-rotation cadence.)
 ]
 
 NEW_THIS_ROUND: list[str] = [
