@@ -160,6 +160,10 @@ NEW_THIS_ROUND: list[str] = [
     # r13: the delete half of at-rest index maintenance (tombstone
     # anti-join; physical cell compaction pinned in pytest).
     "ann_topk_ivfpq_deleted",
+    # r13: NOT IN through the door's scale rewrite under declared
+    # non-null columns (rewrite-fired asserted, so the driver value-
+    # checks the rewritten plan).
+    "notin_membership_nonnull",
 ]
 
 STALE_ROTATION: list[str] = [
@@ -185,7 +189,7 @@ STALE_ROTATION: list[str] = [
     # the rest rotate in r14) ---
     "agg_distinct_multi", "agg_minmax", "agg_stats_var",
     "collectionjoin_list", "const_relation_values",
-    "cte_top_nations", "decimal_mul_sum", "groupjoin_fused",
+    "cte_top_nations", "decimal_mul_sum",
 ]
 
 ATTEST_PRIORITY: list[str] = [

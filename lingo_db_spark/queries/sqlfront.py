@@ -427,6 +427,61 @@ def in_membership_priority_repeat(spark: SparkSession,
     return df
 
 
+_NOTIN_MEMBERSHIP_ORACLE = """
+SELECT o1.o_orderpriority, COUNT(*) AS unique_priority_orders
+FROM orders o1
+WHERE o1.o_orderpriority NOT IN (
+  SELECT o2.o_orderpriority FROM orders o2
+  WHERE o2.o_custkey = o1.o_custkey
+    AND o2.o_orderkey <> o1.o_orderkey)
+GROUP BY o1.o_orderpriority
+ORDER BY o1.o_orderpriority
+"""
+
+
+@register("notin_membership_nonnull", _NOTIN_MEMBERSHIP_ORACLE)
+def notin_membership_nonnull(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """`NOT IN (correlated subquery)` through the SQL door under
+    catalog-PROVED non-null columns (r13): orders whose priority the
+    same customer used on NO other order.  The journey loads orders
+    into a DECLARED table (CREATE TABLE ... NOT NULL through
+    sql_stmt — the metadata the reference's InferNotNullConditions.cpp
+    reads), so the door's scale rewrite may collapse NOT IN to NOT
+    EXISTS (a per-key aggregate) instead of Catalyst's null-aware anti
+    join; the rewrite is ASSERTED fired, so the driver value-checks
+    the REWRITTEN plan.  Refusal without the proof is pinned in
+    tests/test_ddl.py::test_door_not_in_rewrite_requires_declared_notnull;
+    NULL-semantics equivalence arms live in
+    tests/test_exists_rewrite_property.py."""
+    from lingo_db_spark.connection import Connection
+
+    register_views(spark, sf_dir, ("orders",))
+    con = Connection(spark)
+    con.sql_stmt("CREATE TABLE orders_nn ("
+                 "o_orderkey BIGINT NOT NULL, "
+                 "o_custkey BIGINT NOT NULL, "
+                 "o_orderpriority VARCHAR(15) NOT NULL)")
+    con.sql_stmt("INSERT INTO orders_nn "
+                 "SELECT o_orderkey, o_custkey, o_orderpriority "
+                 "FROM orders")
+    con.last_rewritten_sql = None
+    df = con.sql("""
+SELECT o1.o_orderpriority, COUNT(*) AS unique_priority_orders
+FROM orders_nn o1
+WHERE o1.o_orderpriority NOT IN (
+  SELECT o2.o_orderpriority FROM orders_nn o2
+  WHERE o2.o_custkey = o1.o_custkey
+    AND o2.o_orderkey <> o1.o_orderkey)
+GROUP BY o1.o_orderpriority
+ORDER BY o1.o_orderpriority
+""")
+    rw = con.last_rewritten_sql
+    assert rw is not None and "not in" not in rw.lower(), \
+        "NOT IN rewrite did not fire"
+    return df
+
+
 @register("sql_tpch11_verbatim", _tpch11_oracle())
 def sql_tpch11_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's resources/sql/tpch/11.sql byte-for-byte through
