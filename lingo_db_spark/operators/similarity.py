@@ -804,7 +804,8 @@ def index_delete(codes: DataFrame, deleted: DataFrame, *,
     codes scan keeps its cell partition pruning.  Reference analogue:
     logical deletion against the persisted LingoDBHashIndex before a
     rebuild."""
-    return codes.join(deleted.select(id_col), on=id_col, how="left_anti")
+    return codes.join(F.broadcast(deleted.select(id_col)),
+                      on=id_col, how="left_anti")
 
 
 def compact_index_cells(spark, path: str, deleted: DataFrame, *,
@@ -829,7 +830,16 @@ def compact_index_cells(spark, path: str, deleted: DataFrame, *,
     if not touched:
         return []
     remain = (codes.filter(F.col("cell").isin([int(c) for c in touched]))
-              .join(deleted.select(id_col), id_col, "left_anti"))
+              .join(F.broadcast(deleted.select(id_col)), id_col,
+                    "left_anti"))
+    if remain.isEmpty():
+        # Every touched cell emptied: nothing to stage (an all-empty
+        # partitioned write leaves no schema to read back) — just drop
+        # the emptied cell directories.
+        for c in touched:
+            shutil.rmtree(os.path.join(path, f"cell={c}"),
+                          ignore_errors=True)
+        return touched
     staging = tempfile.mkdtemp(prefix="ldb_idx_compact_")
     atexit.register(shutil.rmtree, staging, ignore_errors=True)
     remain.write.mode("overwrite").partitionBy("cell").parquet(staging)

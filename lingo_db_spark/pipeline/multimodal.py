@@ -143,14 +143,18 @@ def _wav_info(b: bytes):
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
-            data = (pos + 8, clen)
+            # Truncated blobs (declared length past EOF) must not
+            # inflate n_frames or crash downstream frombuffer/reshape:
+            # clamp to the bytes actually present.
+            data = (pos + 8, min(clen, len(b) - (pos + 8)))
         pos += 8 + clen + (clen & 1)        # chunks are word-aligned
     if fmt is None or data is None:
         return None
     _audio_fmt, channels, rate, _bps, block, bits = fmt
     if block == 0:
         return None
-    return (rate, channels, bits, data[1] // block, data[0], data[1])
+    n_frames = data[1] // block
+    return (rate, channels, bits, n_frames, data[0], n_frames * block)
 
 
 def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -227,7 +231,9 @@ def resample_wav(media: DataFrame, target_hz: int,
                     rows.append((int(doc_id), None))
                     continue
                 rate, ch, _bits, nf, off, dlen = info
-                pcm = np.frombuffer(b[off:off + dlen], dtype="<i2")
+                buf = b[off:off + dlen]
+                buf = buf[:(len(buf) // (ch * 2)) * (ch * 2)]
+                pcm = np.frombuffer(buf, dtype="<i2")
                 pcm = pcm[:nf * ch].reshape(nf, ch) if nf else \
                     pcm.reshape(0, max(ch, 1))
                 n_out = nf * target_hz // rate

@@ -138,6 +138,39 @@ def test_wav_codec_is_real_stdlib_crosscheck(spark):
     assert _wav_info(extra)[:4] == _wav_info(src)[:4]
 
 
+def test_wav_truncated_blob_clamps_not_crashes(spark):
+    """r14 (ADVICE r13): a blob cut mid-data-chunk must not inflate
+    n_samples from the DECLARED chunk length, and resample must not
+    crash on the odd tail — the dirty-corpus posture is clamp/NULL,
+    never a job kill."""
+    import struct as _s
+
+    from lingo_db_spark.pipeline.multimodal import (
+        _wav_info,
+        decode_wav_meta,
+        resample_wav,
+        wav_pack_pcm16,
+    )
+
+    ramp = b"".join(_s.pack("<h", v) for v in range(1000))
+    src = wav_pack_pcm16(8000, 2, ramp)              # 500 stereo frames
+    cut = src[:len(src) - 403]                        # odd truncation
+    avail = len(cut) - 44                             # bytes of PCM left
+    info = _wav_info(cut)
+    assert info is not None
+    assert info[3] == avail // 4                      # whole frames only
+    assert info[5] == info[3] * 4                     # dlen re-derived
+    media = spark.createDataFrame(
+        [(1, cut), (2, src)], "doc_id long, media binary")
+    metas = {r.doc_id: r for r in decode_wav_meta(media).collect()}
+    assert metas[1].n_samples == avail // 4           # not the declared 500
+    assert metas[2].n_samples == 500
+    out = {r.doc_id: r.media for r in
+           resample_wav(media, target_hz=4000).collect()}
+    assert _wav_info(bytes(out[1]))[3] == (avail // 4) * 4000 // 8000
+    assert _wav_info(bytes(out[2]))[3] == 250
+
+
 def test_frame_sampling(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(10)
     meta = decode_media_meta(synth_media(docs))

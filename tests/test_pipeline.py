@@ -852,3 +852,46 @@ def test_index_delete_and_cell_compaction(spark, tmp_path):
                                 index=(cents, books, left))
                  .orderBy("q_id", "rank").collect()]
     assert compacted == tomb
+
+
+def test_index_delete_broadcasts_tombstones(spark):
+    """r14 (ADVICE r13): the tombstone set must be the broadcast side of
+    the anti join — a shuffled anti join would reshuffle the whole codes
+    scan at 100 TB just to subtract a tiny delete set."""
+    base, _ = _emb_and_queries(spark)
+    _, _, codes = ops.ivfpq_build(base, dim=64, n_cells=8, m=16,
+                                  n_codes=32)
+    deleted = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    plan = (ops.index_delete(codes, deleted)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_all_touched_cells_emptied(spark, tmp_path):
+    """r14 (ADVICE r13): deleting EVERY id in every touched cell used to
+    crash compaction (empty staging write -> unreadable schema).  Now it
+    short-circuits: emptied cell dirs removed, other cells untouched."""
+    from pathlib import Path
+
+    base, q = _emb_and_queries(spark)
+    cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=8,
+                                          m=16, n_codes=32)
+    path = str(tmp_path / "ivfpq_all_empty")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    rows = spark.read.parquet(path).select("vec_id", "cell").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    victims = sorted(by_cell)[:2]
+    del_ids = [i for c in victims for i in by_cell[c]]
+    deleted = spark.createDataFrame([(i,) for i in del_ids],
+                                    "vec_id long")
+    touched = ops.compact_index_cells(spark, path, deleted)
+    assert touched == victims
+    names = {d.name for d in Path(path).glob("cell=*")}
+    assert names == {f"cell={c}" for c in sorted(by_cell) if
+                     c not in victims}
+    left = spark.read.parquet(path)
+    assert {r.vec_id for r in left.select("vec_id").collect()} == \
+        {r.vec_id for r in rows} - set(del_ids)
