@@ -128,68 +128,51 @@ def register(name: str, oracle: str | None, *,
 # not break the gate).
 
 CHANGED_SINCE_LAST_ATTEST: list[str] = [
-    # r13: the ANN at-rest index queries moved their scratch parquet
-    # to the shared atexit-cleaned _index_dir (ADVICE tempdir leak),
-    # and the door's scale rewrite changed twice (main-statement-
-    # keyword DML gate; IN select-item allowlist) — re-attest the
-    # registered journey that asserts the rewrite fires.  The r12
-    # CHANGED names (ann max_queries family, tpch_q18/q11) all
-    # dropped off green in CORRECTNESS_r12.
-    "ann_topk_ivf_indexed", "ann_topk_ivfpq_indexed",
-    "ann_topk_ivfpq_filtered", "in_membership_priority_repeat",
-    # r13: the last three decimal-buffer aggregates converted to exact
-    # int64 accumulation (q15 micro-unit totals + integer MAX-equality;
-    # q17 integer-form window threshold + micro-unit revenue; q20
-    # integer HAVING over spec-integral quantity).
-    "tpch_q15", "tpch_q17", "tpch_q20",
-    # (r13 also touched verbatim_anchors._export_fixtures — an atexit
-    # cleanup registration only, provably result-inert, so the five
-    # sql_*_verbatim anchors are NOT re-listed; they stay on their
-    # stale-rotation cadence.)
+    # r14: the WAV codec clamps truncated data chunks (ADVICE r13) —
+    # decode/resample code paths changed.
+    "multimodal_wav_meta", "multimodal_wav_resample",
+    # r14: index_delete now broadcasts the tombstone set explicitly
+    # (ADVICE r13).
+    "ann_topk_ivfpq_deleted",
+    # r14: the door's scale rewrite widened to ANSI INNER-JOIN-syntax
+    # EXISTS/IN bodies (sqlrewrite _split_body/_parse_in_body changed)
+    # — re-attest the journeys that assert the rewrite fires.  The r13
+    # CHANGED names (ann *_indexed/_filtered, tpch_q15/q17/q20) all
+    # dropped off green in CORRECTNESS_r13.
+    "in_membership_priority_repeat", "notin_membership_nonnull",
 ]
 
 NEW_THIS_ROUND: list[str] = [
-    # r13: the amortized build-once/query-many at-rest ANN journey
-    # (first call builds+writes the partitioned index, later calls
-    # only probe it — the bench-visible steady state).
-    "ann_topk_ivfpq_query_only",
-    # r13: the REAL WAV/PCM codec journeys (RIFF chunk-walk decode;
-    # numpy PCM16 resample), oracle-predicted from the deterministic
-    # fixture arithmetic.
-    "multimodal_wav_meta", "multimodal_wav_resample",
-    # r13: the delete half of at-rest index maintenance (tombstone
-    # anti-join; physical cell compaction pinned in pytest).
-    "ann_topk_ivfpq_deleted",
-    # r13: NOT IN through the door's scale rewrite under declared
-    # non-null columns (rewrite-fired asserted, so the driver value-
-    # checks the rewritten plan).
-    "notin_membership_nonnull",
+    # r14: EXISTS over an ANSI JOIN-syntax body through the door
+    # (rewrite-fired asserted — the r13 verdict's top item).
+    "exists_join_syntax",
+    # r14: physical cell compaction journey (delete -> compact ->
+    # query == tombstoned answers; completes the maintenance record).
+    "ann_topk_ivfpq_compacted",
+    # r14: the image half of the real-codec seam (PPM decode/resize,
+    # mirroring the WAV precedent).
+    "multimodal_ppm_meta", "multimodal_ppm_resize",
 ]
 
 STALE_ROTATION: list[str] = [
-    # --- all 33 rows whose latest green is r7 (the freshness tail the
-    # r12 verdict scheduled for r13; computed from CORRECTNESS_r1-r12
-    # latest-green rounds) ---
-    "events_asof_join", "events_salted_agg",
-    "events_session_range_join", "iter_kmeans",
-    "pipeline_decontaminate", "pipeline_dedup_exact",
-    "pipeline_embed_neardup", "pipeline_lm_likelihood",
-    "pipeline_neardup_clusters", "probe_dec17_6_transport",
-    "probe_dec26_14_transport", "probe_dec31_21_transport",
-    "probe_dec38_19_transport", "probe_dec_trailing_zero",
-    "scalars_erf", "sql_corr_having_pin", "sql_corr_on_condition",
-    "sql_corr_select_list", "sql_corr_two_level",
-    "sql_ddl_script_journey", "sql_tpch11_verbatim",
-    "text_quality_stats", "tpch_q1", "tpch_q10", "tpch_q13",
-    "tpch_q14", "tpch_q22", "tpch_q3", "tpch_q6",
-    "udf_sql_create_python",
-    # (tpch_q15/q17/q20 are r7-stale too, but sit in CHANGED above
-    # after the r13 int64-accumulation conversions)
-    # --- fill to 50 with the alphabetically-first r8 rows (48 remain;
-    # the rest rotate in r14) ---
-    "agg_distinct_multi", "agg_minmax", "agg_stats_var",
-    "collectionjoin_list", "const_relation_values",
-    "cte_top_nations", "decimal_mul_sum",
+    # --- all 41 rows whose latest green is r8 (the freshness tail the
+    # r13 verdict scheduled for r14; computed from CORRECTNESS_r1-r13
+    # latest-green rounds).  The driver window cuts at 50, so the
+    # alphabetical tail past slot 50 rotates in r15. ---
+    "groupjoin_fused", "join_fullouter", "join_mark_notin",
+    "join_nullsafe", "join_single_scalar", "join_theta",
+    "limit_offset", "pipeline_dedup_fingerprint",
+    "pipeline_token_budget", "projection_distinct", "rollup_grouping",
+    "scalars_condexpr", "scalars_datetime", "scalars_hash_distinct",
+    "scalars_math", "scalars_string", "setop_except_all",
+    "setop_except_distinct", "setop_intersect_all", "setop_union_all",
+    "setop_union_distinct", "sql_clickbench_q21_verbatim",
+    "sql_job_1a_verbatim", "sql_ssb_q21_verbatim",
+    "sql_tpcds_q3_verbatim", "sql_tpcxbb_q22_verbatim",
+    "subquery_all", "tmp_shared_subtree", "tpch_q12", "tpch_q19",
+    "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "window_default_frame", "window_frame_bounded", "window_rank",
+    "window_row_number", "window_sum_frame", "window_whole_partition",
 ]
 
 ATTEST_PRIORITY: list[str] = [

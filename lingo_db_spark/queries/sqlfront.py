@@ -482,6 +482,46 @@ ORDER BY o1.o_orderpriority
     return df
 
 
+_EXISTS_JOIN_SQL = """
+SELECT c.c_mktsegment, COUNT(*) AS cust_with_urgent_line
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    AND l.l_quantity > 25)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("exists_join_syntax", _EXISTS_JOIN_SQL)
+def exists_join_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS over an ANSI INNER-JOIN-syntax body through the SQL door
+    (r14): customers with an urgent order carrying a >25-quantity line
+    — the way most users actually spell the TPC-DS q10/q35 multi-table
+    EXISTS shape.  The r13 parser refused any body containing `join`;
+    the widened parse merges the ON conjuncts into the predicate list
+    (WHERE-equivalent for INNER JOIN) and re-emits the comma FROM the
+    r12 multi-table scale path already handles, so the fact-side hash
+    build Catalyst would plan becomes a per-key scalar aggregate
+    (reference analogue: Unnesting.cpp decorrelates arbitrary inner
+    trees).  The rewrite is ASSERTED fired, so the driver value-checks
+    the REWRITTEN plan; refusal cases (outer joins, USING, derived
+    tables) are pinned in
+    tests/test_sqlrewrite.py::test_join_syntax_bails_outside_the_class
+    and NULL-semantics arms in tests/test_exists_rewrite_property.py."""
+    from lingo_db_spark.connection import Connection
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    con = Connection(spark)
+    con.last_rewritten_sql = None
+    df = con.sql(_EXISTS_JOIN_SQL)
+    rw = con.last_rewritten_sql
+    assert rw is not None and "exists" not in rw.lower(), \
+        "JOIN-syntax EXISTS rewrite did not fire"
+    return df
+
+
 @register("sql_tpch11_verbatim", _tpch11_oracle())
 def sql_tpch11_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's resources/sql/tpch/11.sql byte-for-byte through

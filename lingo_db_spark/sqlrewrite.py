@@ -1297,19 +1297,24 @@ def _split_cmp(c: str) -> tuple[str, str, str] | None:
 
 def _split_body(body: str):
     """(select_seg, from_seg, preds) of a single-scope body split at
-    its depth-0 FROM and WHERE — exactly one of each, WHERE after FROM
-    — else None.  Keyword matches in _blank_parens(_blank_strings(..))
-    output are depth-0 outside literals by construction."""
+    its depth-0 FROM and WHERE — exactly one FROM, at most one WHERE
+    after it (preds is "" when absent: a JOIN body may carry all its
+    predicates in ON clauses) — else None.  Keyword matches in
+    _blank_parens(_blank_strings(..)) output are depth-0 outside
+    literals by construction."""
     blanked = _blank_parens(_blank_strings(body))
     m = re.match(r"\s*select\b", blanked, re.IGNORECASE)
     if not m:
         return None
     froms = list(re.finditer(r"\bfrom\b", blanked, re.IGNORECASE))
     wheres = list(re.finditer(r"\bwhere\b", blanked, re.IGNORECASE))
-    if len(froms) != 1 or len(wheres) != 1:
+    if len(froms) != 1 or len(wheres) > 1:
         return None
-    if wheres[0].start() < froms[0].end():
+    if wheres and wheres[0].start() < froms[0].end():
         return None
+    if not wheres:
+        return (body[m.end():froms[0].start()],
+                body[froms[0].end():], "")
     return (body[m.end():froms[0].start()],
             body[froms[0].end():wheres[0].start()],
             body[wheres[0].end():])
@@ -1334,30 +1339,109 @@ def _parse_from_list(seg: str):
     return tables
 
 
+def _parse_ansi_join_from(seg: str):
+    """([(table, alias)], [on_cond, ...]) from an ANSI INNER-JOIN
+    chain `t1 [a1] JOIN t2 [a2] ON c2 [JOIN t3 [a3] ON c3 ...]` —
+    None on anything else (outer/cross/natural joins, USING, LATERAL,
+    derived tables/parens, comma mixes, repeated tables).  Only INNER
+    joins qualify: their ON conditions are WHERE-equivalent, so the
+    caller splices them into the predicate list and re-emits a plain
+    comma FROM — the widening the reference gets for free from
+    Unnesting.cpp's arbitrary inner trees (r14; r13 refused any body
+    containing `join`)."""
+    blanked = _blank_strings(seg)
+    if not _balanced(blanked):
+        return None
+    # depth-0 scan: keywords/commas INSIDE parens belong to ON-clause
+    # expressions (coalesce(a,b), a parenthesized disjunction) and are
+    # someone else's problem — _parse_subquery refuses nested selects
+    # and classifies opaque paren groups conjunct-by-conjunct.  Parens
+    # are only refused where a FROM *item* would carry them (derived
+    # tables / lateral subqueries), via the item regex below.
+    pblanked = _blank_parens(blanked)
+    if re.search(r",|\b(left|right|full|outer|cross|natural|semi"
+                 r"|anti|lateral|using|group|having|order|limit"
+                 r"|offset|window|qualify|union|intersect|except"
+                 r"|fetch)\b", pblanked, re.IGNORECASE):
+        return None
+    matches = list(re.finditer(r"\b(?:inner\s+)?join\b", pblanked,
+                               re.IGNORECASE))
+    if not matches:
+        return None
+    item_re = re.compile(r"^\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?"
+                         r"([A-Za-z_]\w*))?\s*$")
+    m0 = item_re.match(seg[:matches[0].start()])
+    if m0 is None:
+        return None
+    tables = [(m0.group(1), m0.group(2))]
+    ons: list[str] = []
+    for i, jm in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(seg)
+        chunk, bchunk = seg[jm.end():end], pblanked[jm.end():end]
+        om = re.search(r"\bon\b", bchunk, re.IGNORECASE)
+        if om is None:
+            return None                 # JOIN without ON (cross): refuse
+        mi = item_re.match(chunk[:om.start()])
+        cond = chunk[om.end():]
+        if mi is None or not cond.strip():
+            return None
+        tables.append((mi.group(1), mi.group(2)))
+        ons.append(cond.strip())
+    names = [(a or t).lower() for t, a in tables]
+    tbls = [t.lower() for t, _ in tables]
+    if len(set(names)) != len(names) or len(set(tbls)) != len(tbls):
+        return None                     # same rule as _parse_from_list
+    return tables, ons
+
+
+def _parse_joined_from(frm_seg: str, preds: str, columns_of):
+    """Shared multi-table dispatch for the EXISTS/IN body parsers:
+    comma-list FROM (needs a real WHERE — no predicates means no
+    correlation) or ANSI INNER-JOIN chain (ON conjuncts merge into the
+    predicate list RAW, so a depth-0 OR inside an ON cond lands at the
+    merged top level and _parse_subquery's OR bail refuses the body —
+    refusal, never a regrouped mis-rewrite).  Returns _parse_subquery's
+    result or None."""
+    tables = _parse_from_list(frm_seg)
+    if tables is not None:
+        if len(tables) < 2 or not preds.strip():
+            return None
+        return _parse_subquery(tables, preds, columns_of,
+                               frm_sql=frm_seg.strip())
+    joined = _parse_ansi_join_from(frm_seg)
+    if joined is None:
+        return None
+    tables, ons = joined
+    merged = " and ".join(ons + ([preds] if preds.strip() else []))
+    frm_sql = ", ".join(f"{t} {a}" if a else t for t, a in tables)
+    return _parse_subquery(tables, merged, columns_of, frm_sql=frm_sql)
+
+
 def _parse_exists_body(body: str, columns_of):
     """Parse one EXISTS body into (table, alias, corr_conjuncts,
     inner_preds, extract, multi) — or None when the body is outside
     the recognized class.  Single-table first; then the multi-table
-    comma-list FROM (r12: the TPC-DS q10/q35 shape — EXISTS over
-    fact, dim with the join condition in WHERE)."""
+    FROM — comma-list (r12: the TPC-DS q10/q35 shape) or ANSI
+    INNER-JOIN chain (r14: ON conjuncts are WHERE-equivalent for
+    inner joins)."""
     m = _EXISTS_BODY_RE.match(body)
     if m:
         head = body[:m.start(3)]
-        if re.search(r",|\bjoin\b|\bgroup\b|\bunion\b",
-                     _blank_parens(head), re.IGNORECASE):
+        blocked = re.search(r",|\bjoin\b|\bgroup\b|\bunion\b",
+                            _blank_parens(head), re.IGNORECASE)
+        if not blocked:
+            got = _parse_subquery([(m.group(1), m.group(2))],
+                                  m.group(3), columns_of)
+            return got[0] if got else None
+        if not re.search(r"\bjoin\b", _blank_parens(head),
+                         re.IGNORECASE):
             return None
-        got = _parse_subquery([(m.group(1), m.group(2))], m.group(3),
-                              columns_of)
-        return got[0] if got else None
+        # else: the depth-0 JOIN may be an ANSI chain — fall through
     parts = _split_body(body)
     if parts is None:
         return None
     _sel, frm_seg, preds = parts
-    tables = _parse_from_list(frm_seg)
-    if tables is None or len(tables) < 2:
-        return None
-    got = _parse_subquery(tables, preds, columns_of,
-                          frm_sql=frm_seg.strip())
+    got = _parse_joined_from(frm_seg, preds, columns_of)
     return got[0] if got else None
 
 
@@ -1374,24 +1458,25 @@ def _parse_in_body(body: str, outer_expr: str, columns_of):
     already handles it — the rewrite targets the correlated family
     Catalyst plans as fact-side hash builds."""
     m = _IN_BODY_RE.match(body)
+    got = None
     if m:
         y, table, alias, preds = m.groups()
         head = body[:m.start(4)]
-        if re.search(r",|\bjoin\b|\bgroup\b|\bunion\b",
-                     _blank_parens(head), re.IGNORECASE):
+        blocked = re.search(r",|\bjoin\b|\bgroup\b|\bunion\b",
+                            _blank_parens(head), re.IGNORECASE)
+        if blocked and not re.search(r"\bjoin\b", _blank_parens(head),
+                                     re.IGNORECASE):
             return None
-        got = _parse_subquery([(table, alias)], preds, columns_of)
-    else:
+        if not blocked:
+            got = _parse_subquery([(table, alias)], preds, columns_of)
+        # else: depth-0 JOIN in the head — retry as an ANSI chain below
+    if got is None:
         parts = _split_body(body)
         if parts is None:
             return None
         y, frm_seg, preds = parts
         y = re.sub(r"^\s*distinct\b", "", y, flags=re.IGNORECASE)
-        tables = _parse_from_list(frm_seg)
-        if tables is None or len(tables) < 2:
-            return None
-        got = _parse_subquery(tables, preds, columns_of,
-                              frm_sql=frm_seg.strip())
+        got = _parse_joined_from(frm_seg, preds, columns_of)
     if got is None:
         return None
     (table, alias, corr, inner_preds, extract, multi), kind = got

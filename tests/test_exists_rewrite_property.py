@@ -341,6 +341,89 @@ def test_multi_table_in_membership(t_rows, d_rows, o_rows):
 
 
 # ---------------------------------------------------------------------------
+# r14: ANSI INNER-JOIN-syntax subquery bodies (ON conds are
+# WHERE-equivalent, so the parse merges them into the predicate list)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("negate", [False, True])
+@settings(max_examples=50, deadline=None)
+@given(t_rows=inner_rows, d_rows=d_rows_st, o_rows=outer_rows)
+def test_join_syntax_exists_body(negate, t_rows, d_rows, o_rows):
+    """r14: the comma-FROM arm above re-spelled the way users actually
+    write it — `FROM t JOIN d ON ...` with the correlation in WHERE.
+    Same witness semantics as the comma twin."""
+    q = (f"select o.k, o.e from o where {'not ' if negate else ''}exists "
+         "(select * from t join d on t.a = d.a "
+         "where t.k = o.k and d.b > 0)")
+    got = _run_rewritten3(t_rows, d_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if negate != any(
+            _key_eq(tk, ok) and ta is not None and da is not None
+            and ta == da and db is not None and db > 0
+            for tk, ta in t_rows for da, db in d_rows)]
+    _check(got, expected)
+
+
+@pytest.mark.parametrize("negate", [False, True])
+@settings(max_examples=50, deadline=None)
+@given(t_rows=inner_rows, d_rows=d_rows_st, o_rows=outer_rows)
+def test_join_syntax_on_clause_correlation(negate, t_rows, d_rows,
+                                           o_rows):
+    """r14: the correlation AND the dim filter live in the ON clause,
+    and the body has NO WHERE at all — legal SQL (ON may reference the
+    outer scope), and for INNER JOIN exactly equivalent to the WHERE
+    spelling."""
+    q = (f"select o.k, o.e from o where {'not ' if negate else ''}exists "
+         "(select 1 from t join d on t.a = d.a and t.k = o.k "
+         "and d.b > 0)")
+    got = _run_rewritten3(t_rows, d_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if negate != any(
+            _key_eq(tk, ok) and ta is not None and da is not None
+            and ta == da and db is not None and db > 0
+            for tk, ta in t_rows for da, db in d_rows)]
+    _check(got, expected)
+
+
+@settings(max_examples=50, deadline=None)
+@given(t_rows=inner_rows, d_rows=d_rows_st, o_rows=outer_rows)
+def test_join_syntax_in_membership(t_rows, d_rows, o_rows):
+    """r14: correlated IN whose subquery is an ANSI JOIN chain."""
+    q = ("select o.k, o.e from o where o.e in "
+         "(select t.a from t join d on t.a = d.a where t.k = o.k)")
+    got = _run_rewritten3(t_rows, d_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if any(_key_eq(tk, ok) and ta is not None and oe is not None
+               and ta == oe and da is not None and ta == da
+               for tk, ta in t_rows for da, _db in d_rows)]
+    _check(got, expected)
+
+
+@pytest.mark.parametrize("negate", [False, True])
+@settings(max_examples=50, deadline=None)
+@given(t_rows=inner_rows, d_rows=d_rows_st, o_rows=outer_rows)
+def test_join_syntax_monotone_extract_in_on(negate, t_rows, d_rows,
+                                            o_rows):
+    """r14: the single monotone outer comparison sits in the ON clause
+    — it must become the min/max extraction exactly as if written in
+    WHERE (NULL on either side is never a witness)."""
+    q = (f"select o.k, o.e from o where {'not ' if negate else ''}exists "
+         "(select 1 from t join d on t.a = d.a and t.a > o.e "
+         "where t.k = o.k)")
+    got = _run_rewritten3(t_rows, d_rows, o_rows, q)
+    expected = [
+        (ok, oe) for ok, oe in o_rows
+        if negate != any(
+            _key_eq(tk, ok) and ta is not None and da is not None
+            and ta == da and _cmp(ta, ">", oe)
+            for tk, ta in t_rows for da, _db in d_rows)]
+    _check(got, expected)
+
+
+# ---------------------------------------------------------------------------
 # r13: NOT IN with catalog-provable non-null columns -> NOT EXISTS
 # ---------------------------------------------------------------------------
 

@@ -505,3 +505,143 @@ def test_in_with_aggregate_select_item_bails():
         q = (f"select o.k from o where o.e in (select {y} from t "
              "where t.k = o.k)")
         assert exists_to_aggregate(q, _to_cols) == q, y
+
+
+# ---------------------------------------------------------------------------
+# r14: ANSI INNER-JOIN-syntax subquery bodies
+# ---------------------------------------------------------------------------
+
+_JOIN_COLS = {
+    "lineitem": ["l_orderkey", "l_suppkey", "l_quantity"],
+    "orders": ["o_orderkey", "o_orderdate", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+}
+
+
+def _join_cols(t):
+    return _JOIN_COLS.get(t)
+
+
+def test_join_syntax_exists_rewrites_to_comma_from():
+    """`EXISTS (SELECT ... FROM a JOIN b ON ...)` parses into the
+    multi-table path: ON conjuncts merge into WHERE and the FROM
+    re-emits as a comma list — WHERE-equivalent for INNER JOIN."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from customer where exists (select 1 from orders o "
+           "join lineitem l on o.o_orderkey = l.l_orderkey "
+           "where o.o_custkey = c_custkey)")
+    out = exists_to_aggregate(sql, _join_cols)
+    assert "exists" not in out.lower()
+    assert "from orders o, lineitem l" in out
+    assert "(o.o_orderkey = l.l_orderkey)" in out
+    assert "count(1)" in out and "coalesce" in out
+
+
+def test_join_syntax_correlation_in_on_clause_no_where():
+    """Correlation living in the ON clause with NO WHERE at all still
+    rewrites (ON may reference the outer scope)."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from customer where exists (select 1 from orders o "
+           "inner join lineitem l on o.o_orderkey = l.l_orderkey "
+           "and o.o_custkey = c_custkey)")
+    out = exists_to_aggregate(sql, _join_cols)
+    assert "exists" not in out.lower()
+    assert "(o.o_custkey = c_custkey)" in out
+
+
+def test_join_syntax_three_table_chain_and_extract():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from customer c2 where exists (select 1 from "
+           "orders o join lineitem l on o.o_orderkey = l.l_orderkey "
+           "join customer c on c.c_custkey = o.o_custkey "
+           "where o.o_custkey = c2.c_custkey)")
+    out = exists_to_aggregate(sql, _join_cols)
+    assert "from orders o, lineitem l, customer c " in out
+    # monotone extract written in ON becomes the min/max form
+    sql2 = ("select 1 from customer where exists (select 1 from orders o "
+            "join lineitem l on o.o_orderkey = l.l_orderkey "
+            "and l.l_quantity > c_nationkey "
+            "where o.o_custkey = c_custkey)")
+    out2 = exists_to_aggregate(sql2, _join_cols)
+    assert "max(l.l_quantity)" in out2
+
+
+def test_join_syntax_in_membership_body():
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from customer where c_custkey in (select "
+           "o.o_custkey from orders o join lineitem l on "
+           "o.o_orderkey = l.l_orderkey where o.o_orderdate = "
+           "c_nationkey)")
+    out = exists_to_aggregate(sql, _join_cols)
+    assert "exists" not in out.lower() and " in " not in out.lower()
+    assert "(o.o_custkey = c_custkey)" in out
+
+
+def test_join_syntax_bails_outside_the_class():
+    """Outer/cross/natural joins, USING, join-without-ON, derived
+    tables, depth-0 OR in an ON cond, comma+JOIN mixes, repeated
+    tables, and nested subqueries in ON must all refuse."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    bails = [
+        # LEFT JOIN: the null-extended side breaks WHERE-equivalence
+        "select 1 from customer where exists (select 1 from orders o "
+        "left join lineitem l on o.o_orderkey = l.l_orderkey "
+        "where o.o_custkey = c_custkey)",
+        "select 1 from customer where exists (select 1 from orders o "
+        "right outer join lineitem l on o.o_orderkey = l.l_orderkey "
+        "where o.o_custkey = c_custkey)",
+        "select 1 from customer where exists (select 1 from orders o "
+        "full join lineitem l on o.o_orderkey = l.l_orderkey "
+        "where o.o_custkey = c_custkey)",
+        "select 1 from customer where exists (select 1 from orders o "
+        "cross join lineitem l where o.o_custkey = c_custkey)",
+        "select 1 from customer where exists (select 1 from orders o "
+        "natural join lineitem l where o.o_custkey = c_custkey)",
+        "select 1 from customer where exists (select 1 from orders o "
+        "join lineitem l using (l_orderkey) "
+        "where o.o_custkey = c_custkey)",
+        # JOIN without ON (implicit cross)
+        "select 1 from customer where exists (select 1 from orders o "
+        "join lineitem l where o.o_orderkey = l.l_orderkey "
+        "and o.o_custkey = c_custkey)",
+        # derived table as a join item
+        "select 1 from customer where exists (select 1 from "
+        "(select * from orders) o join lineitem l on "
+        "o.o_orderkey = l.l_orderkey where o.o_custkey = c_custkey)",
+        # depth-0 OR inside an ON cond: raw merge would regroup it
+        "select 1 from customer where exists (select 1 from orders o "
+        "join lineitem l on o.o_orderkey = l.l_orderkey or "
+        "l.l_quantity > 5 where o.o_custkey = c_custkey)",
+        # comma + JOIN mix
+        "select 1 from customer where exists (select 1 from customer c3"
+        ", orders o join lineitem l on o.o_orderkey = l.l_orderkey "
+        "where o.o_custkey = c_custkey)",
+        # repeated table
+        "select 1 from customer where exists (select 1 from orders o "
+        "join orders o2 on o.o_orderkey = o2.o_orderkey "
+        "where o.o_custkey = c_custkey)",
+        # nested subquery inside ON
+        "select 1 from customer where exists (select 1 from orders o "
+        "join lineitem l on o.o_orderkey = (select 1) "
+        "where o.o_custkey = c_custkey)",
+    ]
+    for sql in bails:
+        assert exists_to_aggregate(sql, _join_cols) == sql, sql
+
+
+def test_join_syntax_opaque_paren_groups_in_on_are_kept():
+    """Parenthesized disjunctions and function calls INSIDE an ON cond
+    are legal opaque inner conjuncts — parens are only refused in FROM
+    *item* position (derived tables)."""
+    from lingo_db_spark.sqlrewrite import exists_to_aggregate
+    sql = ("select 1 from customer where exists (select 1 from orders o "
+           "join lineitem l on o.o_orderkey = l.l_orderkey and "
+           "(l.l_quantity > 5 or l.l_quantity < 1) "
+           "where o.o_custkey = c_custkey)")
+    out = exists_to_aggregate(sql, _join_cols)
+    assert "((l.l_quantity > 5 or l.l_quantity < 1))" in out
+    sql2 = ("select 1 from customer where exists (select 1 from orders "
+            "o join lineitem l on o.o_orderkey = coalesce(l.l_orderkey,"
+            " 0) where o.o_custkey = c_custkey)")
+    out2 = exists_to_aggregate(sql2, _join_cols)
+    assert "coalesce(l.l_orderkey, 0)" in out2

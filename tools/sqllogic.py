@@ -657,6 +657,7 @@ def main() -> int:
     stride = 1
     offset = 0
     limit = None
+    fail_on_fallbacks = False
     files: list[Path] = []
     it = iter(args)
     for a in it:
@@ -666,6 +667,12 @@ def main() -> int:
             offset = int(next(it))
         elif a == "--limit":
             limit = int(next(it))
+        elif a == "--fail-on-fallbacks":
+            # Certification mode (r14, VERDICT r13 item 7): a rewrite
+            # that fails at runtime and silently retries the original
+            # plan keeps the sweep green, but a CERT run must refuse
+            # it — nonzero fallbacks exit 1 even at failed 0.
+            fail_on_fallbacks = True
         else:
             files.append(Path(a))
     if not files:
@@ -695,6 +702,10 @@ def main() -> int:
     print(f"TOTAL: ran {tot[0]} passed {tot[1]} failed {tot[2]}"
           f" dialect-skipped {tot[3]} engine-unsupported {tot[4]}"
           f" rewrite-fallbacks {REWRITE_FALLBACKS}")
+    if fail_on_fallbacks and REWRITE_FALLBACKS:
+        print(f"CERT-FAIL: {REWRITE_FALLBACKS} rewrite fallback(s) "
+              "in a --fail-on-fallbacks run", file=sys.stderr)
+        return 1
     return 1 if tot[2] else 0
 
 
