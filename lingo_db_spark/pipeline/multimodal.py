@@ -77,14 +77,21 @@ def decode_media_meta(media: DataFrame, binary_col: str = "media",
                 b = bytes(blob)
                 if real_codec:
                     info = _wav_info(b)
-                    if info is None:
-                        raise ValueError(
-                            "real_codec: only WAV/PCM is decodable in "
-                            "this container (blob is not RIFF/WAVE); "
-                            "JPEG/video need PIL/av — wire them here")
-                    rate, ch, _bits, nf, _off, _dlen = info
-                    metas.append((int(doc_id), rate, ch, nf,
-                                  len(b)))
+                    if info is not None:
+                        rate, ch, _bits, nf, _off, _dlen = info
+                        metas.append((int(doc_id), rate, ch, nf,
+                                      len(b)))
+                        continue
+                    pinfo = _ppm_info(b)
+                    if pinfo is not None:   # raster tier (r14): one
+                        w, h, _maxval, _off, dlen = pinfo  # still image
+                        metas.append((int(doc_id), w, h, 1, dlen))
+                        continue
+                    raise ValueError(
+                        "real_codec: only WAV/PCM and PPM(P6) are "
+                        "decodable in this container (blob is "
+                        "neither); JPEG/video need PIL/av — wire "
+                        "them here")
                 elif len(b) >= _HEADER_SIZE and b[:4] == _MAGIC:
                     _, w, h, nf = struct.unpack(_HEADER_FMT, b[:_HEADER_SIZE])
                     metas.append((int(doc_id), w, h, nf,
@@ -208,6 +215,28 @@ def decode_wav_meta(media: DataFrame,
     return media.mapInPandas(_decode, WAV_META_SCHEMA)
 
 
+def _resample_wav_blob(b: bytes, target_hz: int) -> bytes | None:
+    """Per-blob core of resample_wav (shared with the real_codec
+    dispatch in resize_media): PCM16 WAVE bytes -> WAVE bytes at
+    target_hz, or None for non-WAV / non-16-bit blobs."""
+    import numpy as np
+    info = _wav_info(b)
+    if info is None or info[2] != 16:
+        return None
+    rate, ch, _bits, nf, off, dlen = info
+    buf = b[off:off + dlen]
+    buf = buf[:(len(buf) // (ch * 2)) * (ch * 2)]
+    pcm = np.frombuffer(buf, dtype="<i2")
+    pcm = pcm[:nf * ch].reshape(nf, ch) if nf else \
+        pcm.reshape(0, max(ch, 1))
+    n_out = nf * target_hz // rate
+    idx = (np.arange(n_out, dtype="int64") * rate
+           // target_hz).clip(0, max(nf - 1, 0))
+    out_pcm = pcm[idx] if nf else pcm[:0]
+    return wav_pack_pcm16(target_hz, ch,
+                          out_pcm.astype("<i2").tobytes())
+
+
 def resample_wav(media: DataFrame, target_hz: int,
                  binary_col: str = "media") -> DataFrame:
     """REAL PCM16 resample (nearest-sample index mapping, vectorized
@@ -215,7 +244,6 @@ def resample_wav(media: DataFrame, target_hz: int,
     out.  Output frame count is the exact integer
     floor(n_in * target_hz / rate_in), so tests and SQL oracles can pin
     it.  Non-WAV blobs pass through as NULL."""
-    import numpy as np
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
         T.StructField(binary_col, T.BinaryType(), True),
@@ -223,27 +251,186 @@ def resample_wav(media: DataFrame, target_hz: int,
 
     def _res(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
-                b = bytes(blob)
-                info = _wav_info(b)
-                if info is None or info[2] != 16:
-                    rows.append((int(doc_id), None))
-                    continue
-                rate, ch, _bits, nf, off, dlen = info
-                buf = b[off:off + dlen]
-                buf = buf[:(len(buf) // (ch * 2)) * (ch * 2)]
-                pcm = np.frombuffer(buf, dtype="<i2")
-                pcm = pcm[:nf * ch].reshape(nf, ch) if nf else \
-                    pcm.reshape(0, max(ch, 1))
-                n_out = nf * target_hz // rate
-                idx = (np.arange(n_out, dtype="int64") * rate
-                       // target_hz).clip(0, max(nf - 1, 0))
-                out_pcm = pcm[idx] if nf else pcm[:0]
-                rows.append((int(doc_id), wav_pack_pcm16(
-                    target_hz, ch, out_pcm.astype("<i2").tobytes())))
+            rows = [(int(d), _resample_wav_blob(bytes(b), target_hz))
+                    for d, b in zip(pdf["doc_id"], pdf[binary_col])]
             yield pd.DataFrame(rows, columns=["doc_id", binary_col])
     return media.mapInPandas(_res, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6): a REAL raster image codec, from the Netpbm spec,
+# stdlib+numpy-only (r14 — the image half of the codec seam, mirroring
+# the WAV precedent).  Reference parity: the reference models media as
+# opaque blobs with typed accessors; this implements the raster tier
+# end-to-end.  Formats needing PIL/av keep refusing loudly.
+# ---------------------------------------------------------------------------
+
+PPM_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("maxval", T.IntegerType(), True),
+    T.StructField("n_pixels", T.IntegerType(), True),
+])
+
+
+def ppm_pack_p6(width: int, height: int, rgb: bytes,
+                maxval: int = 255) -> bytes:
+    """Minimal canonical binary PPM: `P6\\n<w> <h>\\n<maxval>\\n` +
+    raw RGB triplets (the exact layout every Netpbm writer emits;
+    cross-checked in tests by an independent header parser)."""
+    return (f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + rgb)
+
+
+def _ppm_info(b: bytes):
+    """Parse a binary-PPM header: (width, height, maxval, data_offset,
+    data_len) or None when the blob is not P6 / is malformed.  Handles
+    arbitrary whitespace runs and `#` comments between header tokens —
+    a real parser, not a fixed-offset read.  Like _wav_info, data_len
+    is clamped to the WHOLE PIXELS actually present, so a truncated
+    blob reports honest n_pixels instead of the header's promise."""
+    if len(b) < 2 or b[:2] != b"P6":
+        return None
+    i, n = 2, len(b)
+    vals: list[int] = []
+    while len(vals) < 3 and i < n:
+        c = b[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            j = b.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c.isdigit():
+            j = i
+            while j < n and b[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    # exactly ONE whitespace byte separates maxval from the raster
+    if len(vals) < 3 or i >= n or not b[i:i + 1].isspace():
+        return None
+    i += 1
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        return None
+    bpp = 3 if maxval < 256 else 6      # 2-byte samples above 255
+    n_pixels = min(w * h, (n - i) // bpp)
+    return (w, h, maxval, i, n_pixels * bpp)
+
+
+def synth_ppm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 fixtures derived from doc_id arithmetic
+    (width/height pure doc_id functions, pixels a fixed byte ramp), so
+    an exact SQL oracle can PREDICT what the real parser must decode —
+    the Spark side still round-trips through genuine Netpbm bytes.
+    Stands in for binaryFile ingest of an image corpus."""
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 12 + 1, i % 8 + 1
+            rgb = bytes((i + k) % 256 for k in range(w * h * 3))
+            out.append(ppm_pack_p6(w, h, rgb))
+        return pd.Series(out)
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       _pack(F.col(id_col)).alias("media"))
+
+
+def decode_ppm_meta(media: DataFrame,
+                    binary_col: str = "media") -> DataFrame:
+    """REAL image decode: Netpbm header parse per blob via Arrow-batched
+    mapInPandas -> (width, height, maxval, n_pixels).  Non-PPM blobs
+    yield NULL metadata (the dirty-corpus posture: one bad object must
+    not kill a 100 TB scan)."""
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                info = _ppm_info(bytes(blob))
+                if info is None:
+                    rows.append((int(doc_id),) + (None,) * 4)
+                    continue
+                w, h, maxval, _off, dlen = info
+                bpp = 3 if maxval < 256 else 6
+                rows.append((int(doc_id), w, h, maxval, dlen // bpp))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              PPM_META_SCHEMA.fields])
+    return media.mapInPandas(_decode, PPM_META_SCHEMA)
+
+
+def resize_ppm(media: DataFrame, target_w: int, target_h: int,
+               binary_col: str = "media") -> DataFrame:
+    """REAL raster resize (nearest-neighbor index mapping, vectorized
+    numpy per Arrow batch): binary P6 in -> binary P6 at
+    (target_w, target_h) out.  Source pixel for output (x, y) is
+    (x * w_in // target_w, y * h_in // target_h) — all integer
+    arithmetic, so tests and SQL oracles can pin exact bytes.  Non-PPM,
+    truncated (fewer raster bytes than the header promises), and
+    16-bit-sample blobs yield NULL."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField(binary_col, T.BinaryType(), True),
+    ])
+
+    def _res(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(d),
+                     _resize_ppm_blob(bytes(b), target_w, target_h))
+                    for d, b in zip(pdf["doc_id"], pdf[binary_col])]
+            yield pd.DataFrame(rows, columns=["doc_id", binary_col])
+    return media.mapInPandas(_res, out_schema)
+
+
+def _resize_ppm_blob(b: bytes, target_w: int,
+                     target_h: int) -> bytes | None:
+    """Per-blob core of resize_ppm (shared with the real_codec dispatch
+    in resize_media): P6 bytes -> P6 bytes at (target_w, target_h), or
+    None for non-PPM / truncated / 16-bit-sample blobs."""
+    import numpy as np
+    info = _ppm_info(b)
+    if info is None or info[2] >= 256 \
+            or info[4] < info[0] * info[1] * 3:
+        return None
+    w, h, maxval, off, dlen = info
+    px = np.frombuffer(b[off:off + dlen],
+                       dtype=np.uint8).reshape(h, w, 3)
+    ix = np.arange(target_w, dtype="int64") * w // target_w
+    iy = np.arange(target_h, dtype="int64") * h // target_h
+    out_px = px[iy][:, ix]
+    return ppm_pack_p6(target_w, target_h, out_px.tobytes(), maxval)
+
+
+def ppm_byte_sum(media: DataFrame,
+                 binary_col: str = "media") -> DataFrame:
+    """Checksum feature over a P6 raster: (doc_id, byte_sum) where
+    byte_sum totals every raster byte (numpy sum per Arrow batch).
+    Exists so SQL oracles can value-check a resize's ENTIRE output
+    raster — the nearest-neighbor source index is integer arithmetic,
+    so the expected sum is computable in SQL.  Non-PPM blobs yield
+    NULL."""
+    import numpy as np
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), True),
+    ])
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                b = bytes(blob) if blob is not None else None
+                info = _ppm_info(b) if b is not None else None
+                if info is None:
+                    rows.append((int(doc_id), None))
+                    continue
+                _w, _h, _mx, off, dlen = info
+                rows.append((int(doc_id), int(np.frombuffer(
+                    b[off:off + dlen], dtype=np.uint8).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "byte_sum"])
+    return media.mapInPandas(_sum, out_schema)
 
 
 def byte_histogram_features(media: DataFrame, binary_col: str = "media",
@@ -280,14 +467,31 @@ def resize_media(media: DataFrame, target_w: int, target_h: int,
     "resize" rewrites the header to the target dims and scales the
     payload length proportionally to the pixel-count ratio —
     deterministic, so tests can pin exact output sizes.  real_codec=True
-    resizes REAL media: for RIFF/WAVE blobs the temporal axis is the
-    resolution, so target_w is the target sample rate and the blob is
-    genuinely resampled (resample_wav); non-WAV blobs yield NULL
-    (dirty-corpus row-level posture — the decode_media_meta seam is
-    the one that refuses loudly when a format needs PIL/av)."""
+    resizes REAL media with a per-blob dispatch (r14): RIFF/WAVE blobs
+    treat the temporal axis as the resolution — target_w is the target
+    sample rate and the blob is genuinely resampled — while PPM(P6)
+    blobs get a real nearest-neighbor raster resize to
+    (target_w, target_h); anything else yields NULL (dirty-corpus
+    row-level posture — the decode_media_meta seam is the one that
+    refuses loudly when a format needs PIL/av)."""
     if real_codec:
-        return resample_wav(media, target_hz=target_w,
-                            binary_col=binary_col)
+        rc_schema = T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField(binary_col, T.BinaryType(), True),
+        ])
+
+        def _dispatch(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                    b = bytes(blob)
+                    out = (_resample_wav_blob(b, target_w)
+                           if b[:4] == b"RIFF" else
+                           _resize_ppm_blob(b, target_w, target_h))
+                    rows.append((int(doc_id), out))
+                yield pd.DataFrame(rows, columns=["doc_id", binary_col])
+        return media.mapInPandas(_dispatch, rc_schema)
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
         T.StructField(binary_col, T.BinaryType(), True),

@@ -835,6 +835,56 @@ def ann_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "rank")
 
 
+@register("ann_topk_ivfpq_compacted", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id >= 5 AND vec_id % 2 = 1),
+scored AS (
+  SELECT q.q_id, base.vec_id,
+         CAST(list_cosine_similarity(base.embedding, q.q_vec) AS DOUBLE)
+           AS cos_raw
+  FROM base, q)
+SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def ann_topk_ivfpq_compacted(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """INDEX MAINTENANCE, the compaction half (r14; tombstones landed
+    r13): after the even ids are deleted, ops.compact_index_cells
+    physically rewrites ONLY the cell partitions holding deleted ids
+    (dynamic partition overwrite through staging; untouched cells stay
+    byte-identical — the 1M-vector probe measured a 0.07 % delete
+    rewriting 1.78 % of index bytes, tools/ann_delete_probe.py), and
+    the queries here run over the COMPACTED at-rest files with NO
+    tombstone join at all — the steady state after maintenance.
+    Exhaustive knobs make the result EXACT vs brute force over the
+    remaining (odd) corpus: identical oracle to ann_topk_ivfpq_deleted,
+    so the driver record proves tombstone view == compacted files.
+    Byte-identity of untouched cells is pinned in
+    tests/test_pipeline.py::test_index_delete_and_cell_compaction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
+                                          m=16, n_codes=32)
+    path = _index_dir("ldb_ivfpq_cidx_") + "/ivfpq"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    deleted = base.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    ops.compact_index_cells(spark, path, deleted)
+    compacted = spark.read.parquet(path)
+    out = ops.ivfpq_topk(base, _query_vectors(emb), k=10, dim=64,
+                         n_cells=16, n_probe=16, m=16, n_codes=32,
+                         rerank=1_000_000, index=(cents, books, compacted))
+    return sorted_result(
+        out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"),
+                   "rank"),
+        "q_id", "rank")
+
+
 @register("ann_topk_ivfpq_filtered", """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id < 5),
