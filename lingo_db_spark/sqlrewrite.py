@@ -1826,18 +1826,45 @@ def _notin_nullfree(sql: str, probe: str, body: str,
         return {c.lower() for c in (got or ())}
 
     m = _IN_BODY_RE.match(body)
-    if m is None:
-        return False                # multi-table NOT IN body: refuse
-    y, table, alias, _preds = m.groups()
+    if m is not None and not re.search(
+            r",|\bjoin\b", _blank_parens(body[:m.start(4)]),
+            re.IGNORECASE):
+        y, table, alias, _preds = m.groups()
+        inner_tables = [(table, alias)]
+    else:
+        # multi-table body (r14): comma-list or ANSI INNER-JOIN chain —
+        # member values over INNER-join rows come from their base
+        # table, so a base-table NOT NULL declaration still proves the
+        # member never NULL.  Outer joins / derived tables refuse in
+        # the FROM parsers.
+        parts = _split_body(body)
+        if parts is None:
+            return False
+        y, frm_seg, _preds = parts
+        y = re.sub(r"^\s*distinct\b", "", y, flags=re.IGNORECASE)
+        inner_tables = _parse_from_list(frm_seg)
+        if inner_tables is None:
+            joined = _parse_ansi_join_from(frm_seg)
+            if joined is None:
+                return False
+            inner_tables = joined[0]
     ym = re.fullmatch(r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)",
                       y.strip())
     if ym is None:
         return False                # arithmetic member: keep it simple
     yq, yc = ym.groups()
-    inner = (alias or table).lower()
-    if yq is not None and yq.lower() != inner:
-        return False                # member references the outer scope
-    if yc.lower() not in _nn(table):
+    if yq is not None:
+        cands_in = [t for t, a in inner_tables
+                    if (a or t).lower() == yq.lower()]
+    elif columns_of is None:
+        return False
+    else:
+        cands_in = [t for t, _a in inner_tables
+                    if yc.lower() in {str(c).lower()
+                                      for c in (columns_of(t) or ())}]
+    if len(cands_in) != 1:
+        return False                # outer-scope / ambiguous member
+    if yc.lower() not in _nn(cands_in[0]):
         return False
     pm = re.fullmatch(r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)",
                       probe.strip())

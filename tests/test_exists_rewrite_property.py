@@ -508,6 +508,63 @@ def test_not_in_proof_requires_resolvable_unique_probe():
     assert exists_to_aggregate(q_m, cols, notnull_of=nn) == q_m
 
 
+_NN3 = {"t": {"k", "a"}, "o": {"k", "e"}, "d": {"a", "b"}}.get
+nn_d_rows = st.lists(
+    st.tuples(nonnull_small_int, nonnull_small_int), max_size=10)
+
+
+@pytest.mark.parametrize("frm", [
+    "t, d where t.a = d.a and t.k = o.k",                 # comma form
+    "t join d on t.a = d.a where t.k = o.k",              # ANSI JOIN
+    "t join d on t.a = d.a and t.k = o.k",                # corr in ON
+])
+@settings(max_examples=40, deadline=None)
+@given(t_rows=nn_inner_rows, d_rows=nn_d_rows, o_rows=nn_outer_rows)
+def test_not_in_multi_table_body_when_provably_nonnull(frm, t_rows,
+                                                       d_rows, o_rows):
+    """r14: the non-null gate now covers MULTI-TABLE NOT IN bodies —
+    member values over INNER-join rows come from their base table, so
+    a base-table NOT NULL declaration still proves the member never
+    NULL.  All three spellings must rewrite and match DuckDB on the
+    original text (non-null data => its NOT IN is a safe oracle)."""
+    q = f"select o.k, o.e from o where o.e not in (select t.a from {frm})"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER NOT NULL, a INTEGER NOT NULL)")
+    con.execute("CREATE TABLE d (a INTEGER NOT NULL, b INTEGER NOT NULL)")
+    con.execute("CREATE TABLE o (k INTEGER NOT NULL, e INTEGER NOT NULL)")
+    if t_rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", t_rows)
+    if d_rows:
+        con.executemany("INSERT INTO d VALUES (?, ?)", d_rows)
+    if o_rows:
+        con.executemany("INSERT INTO o VALUES (?, ?)", o_rows)
+    rewritten = exists_to_aggregate(q, _COLS3.get, notnull_of=_NN3)
+    assert rewritten != q, "multi-table NOT IN rewrite did not apply"
+    assert "not in" not in rewritten.lower()
+    _check(con.execute(rewritten).fetchall(), con.execute(q).fetchall())
+
+
+def test_not_in_multi_table_refusals():
+    """r14 refusal pins for the widened gate: member column nullable in
+    its base table, member ambiguous across inner tables, and outer
+    joins in the body must all keep Catalyst's null-aware anti join."""
+    cols = {"t": ["k", "a"], "o": ["k", "e"], "d": ["a", "b"]}.get
+    # member's base table (t) lacks the declaration
+    nn_no_t = {"t": {"k"}, "o": {"k", "e"}, "d": {"a", "b"}}.get
+    q = ("select o.k, o.e from o where o.e not in "
+         "(select t.a from t join d on t.k = d.b where t.k = o.k)")
+    assert exists_to_aggregate(q, cols, notnull_of=nn_no_t) == q
+    # unqualified member `a` lives in BOTH t and d: ambiguous, refuse
+    q_amb = ("select o.k, o.e from o where o.e not in "
+             "(select a from t, d where t.k = o.k and t.k = d.b)")
+    assert exists_to_aggregate(q_amb, cols, notnull_of=_NN3) == q_amb
+    # outer join in the body: the null-extended side breaks the proof
+    q_lj = ("select o.k, o.e from o where o.e not in "
+            "(select t.a from t left join d on t.a = d.a "
+            "where t.k = o.k)")
+    assert exists_to_aggregate(q_lj, cols, notnull_of=_NN3) == q_lj
+
+
 @settings(max_examples=60, deadline=None)
 @given(t_rows=nn_inner_rows, o_rows=nn_outer_rows)
 def test_not_in_fuses_with_exists_on_shared_correlation(t_rows, o_rows):
