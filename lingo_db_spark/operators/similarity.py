@@ -25,11 +25,14 @@ pass per batch, never row-at-a-time Python); the JVM expression form
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                               StructType)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -163,21 +166,119 @@ def _two_level_cut(df: DataFrame, q_col: str, id_col: str,
     Returns the survivors with their global rank in `__rank`.  The
     fan-in is static (no df.rdd.getNumPartitions() probe: under AQE
     that materializes query stages, turning a lazy builder into an
-    eager execution)."""
+    eager execution).
+
+    r14 (opt round): level 1 is a PARTITION-LOCAL Arrow cut
+    (mapInPandas), not a Window over (q, spark_partition_id()) — the
+    survivors are identical (same per-(query, input-partition)
+    top-limit, same tie-break), but the window form hash-SHUFFLED the
+    entire scored corpus to sort it, the only corpus-sized exchange in
+    the ANN read path; the local form cuts each partition in place and
+    only the <= n_partitions x limit survivors ever reach an exchange
+    (interleaved A/B in OPTIMIZATION_r14.md).  Memory bound: each
+    batch is cut to limit-per-query before accumulating, so the local
+    cut holds <= n_batches x limit x n_queries skinny rows, never the
+    partition.  The hot scoring paths go one step further and fuse the
+    scoring itself into the same pass (_fused_cosine_topk /
+    _fused_adc_topk below) so scored rows never round-trip through the
+    JVM at all; this function remains the generic cut for pre-scored
+    frames.  LDB_ANN_CUT=window restores the pre-r14 windowed level 1
+    (A/B control arm / escape hatch)."""
     order = (F.desc(score_col), F.asc(id_col))
-    part = df.withColumn("__p", F.spark_partition_id())
-    w1 = Window.partitionBy(q_col, "__p").orderBy(*order)
-    l2 = (part.withColumn("__r", F.row_number().over(w1))
-          .filter(F.col("__r") <= limit).drop("__r"))
+    if _os.environ.get("LDB_ANN_CUT", "fused") == "window":
+        part = df.withColumn("__p", F.spark_partition_id())
+        w1 = Window.partitionBy(q_col, "__p").orderBy(*order)
+        l2 = (part.withColumn("__r", F.row_number().over(w1))
+              .filter(F.col("__r") <= limit).drop("__r", "__p"))
+    else:
+        schema = df.schema
+        cols = [f.name for f in schema.fields]
+
+        def _local_cut(batches):
+            acc = [_pd_topk(b, q_col, id_col, score_col, limit)[cols]
+                   for b in batches if len(b)]
+            if not acc:
+                return
+            allb = pd.concat(acc) if len(acc) > 1 else acc[0]
+            yield _pd_topk(allb, q_col, id_col, score_col, limit)
+
+        l2 = df.mapInPandas(_local_cut, schema)
+    return _fold_rank_tail(l2, q_col, id_col, score_col, limit)
+
+
+def _pd_topk(b: pd.DataFrame, q_col: str, id_col: str, score_col: str,
+             limit: int) -> pd.DataFrame:
+    """Pandas top-limit per q: (q asc, score desc, id asc) mergesort —
+    stable, reproducing the window row_number order exactly, so
+    head(limit) keeps the same survivor rows the windowed form kept."""
+    b = b.sort_values([q_col, score_col, id_col],
+                      ascending=[True, False, True], kind="mergesort")
+    return b.groupby(q_col, sort=False).head(limit)
+
+
+def _fold_rank_tail(l2: DataFrame, q_col: str, id_col: str,
+                    score_col: str, limit: int) -> DataFrame:
+    """Levels 2+3 of the cut over already-level-1-cut survivors: the
+    gated fold window (bounding the final reducer independent of input
+    partition count — grouped by a deterministic fold of the ID hash,
+    schedule-independent) and the final per-query rank."""
+    order = (F.desc(score_col), F.asc(id_col))
     if limit > _CUT_FANIN_GATE:
         w2 = Window.partitionBy(
-            q_col, F.pmod(F.col("__p"), F.lit(_CUT_FANIN))).orderBy(*order)
+            q_col, F.pmod(F.xxhash64(F.col(id_col)),
+                          F.lit(_CUT_FANIN))).orderBy(*order)
         l2 = (l2.withColumn("__r", F.row_number().over(w2))
-              .filter(F.col("__r") <= limit))
-    l2 = l2.drop("__r", "__p")
+              .filter(F.col("__r") <= limit).drop("__r"))
     w = Window.partitionBy(q_col).orderBy(*order)
     return (l2.withColumn("__rank", F.row_number().over(w))
             .filter(F.col("__rank") <= limit))
+
+
+def _cosine_np(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """The cosine_batch arithmetic, shared so the fused path produces
+    BIT-IDENTICAL doubles to the expression path (the rescore_exact
+    invariant compares them with strict float equality)."""
+    num = (A * B).sum(axis=1)
+    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(den > 0, num / den, 0.0)
+
+
+def _fused_cosine_topk(joined: DataFrame, q_col: str, id_col: str,
+                       vec_col: str, q_vec_col: str, k: int) -> DataFrame:
+    """Fused score+cut for the cosine paths (guide §4: one Python pass,
+    skinny rows out): scores each (vec, q_vec) batch with the
+    cosine_batch arithmetic and keeps the running per-(partition,
+    query) top-k in the SAME mapInPandas — the corpus-sized scored
+    rows never return to the JVM (<= n_batches x k x n_queries
+    survivors per partition do), where the unfused form materialized
+    every scored row JVM-side and then shuffled it into the cut
+    window.  Survivors then ride the shared fold/rank tail, so the
+    result is row-identical to cosine_batch + _two_level_cut (same
+    float math, same tie-breaks)."""
+    schema = StructType([joined.schema[q_col], joined.schema[id_col],
+                         StructField("cos", DoubleType(), False)])
+
+    def run(batches):
+        acc = []
+        for b in batches:
+            if not len(b):
+                continue
+            cos = _cosine_np(np.stack(b[vec_col].to_numpy()),
+                             np.stack(b[q_vec_col].to_numpy()))
+            sb = pd.DataFrame({q_col: b[q_col].to_numpy(),
+                               id_col: b[id_col].to_numpy(), "cos": cos})
+            acc.append(_pd_topk(sb, q_col, id_col, "cos", k))
+        if not acc:
+            return
+        allb = pd.concat(acc) if len(acc) > 1 else acc[0]
+        yield _pd_topk(allb, q_col, id_col, "cos", k)
+
+    cut = (joined.select(q_col, id_col, vec_col, q_vec_col)
+           .mapInPandas(run, schema))
+    return (_fold_rank_tail(cut, q_col, id_col, "cos", k)
+            .withColumn("rank", F.col("__rank").cast("long"))
+            .drop("__rank"))
 
 
 def _topk_per_query(scored: DataFrame, q_col: str, id_col: str,
@@ -217,13 +318,18 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      ) -> DataFrame:
     """Exact top-k: broadcast the (small) query set against every vector.
     Returns (q_id, vec_id, cos, rank) with deterministic tie-break on
-    vec_id.  The cut is the two-level exact top-k (_topk_per_query), so
-    the reduce side is bounded even though the scan is the full corpus."""
+    vec_id.  Scoring and the level-1 cut are FUSED in one Arrow pass
+    (_fused_cosine_topk) so only per-partition survivors reach the JVM;
+    the fold/rank tail bounds the reduce side even though the scan is
+    the full corpus."""
     joined = emb.join(F.broadcast(queries))
-    scored = joined.select(
-        F.col(q_id_col), F.col(id_col),
-        cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
-    return _topk_per_query(scored, q_id_col, id_col, k)
+    if _os.environ.get("LDB_ANN_CUT", "fused") != "fused":
+        scored = joined.select(
+            F.col(q_id_col), F.col(id_col),
+            cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+        return _topk_per_query(scored, q_id_col, id_col, k)
+    return _fused_cosine_topk(joined, q_id_col, id_col, vec_col,
+                              q_vec_col, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
@@ -415,10 +521,13 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         q_id_col, q_vec_col,
         F.explode(_cell_udf(cents, n_probe)(F.col(q_vec_col))).alias("cell"))
     cands = base.join(F.broadcast(probes), "cell")
-    scored = cands.select(
-        F.col(q_id_col), F.col(id_col),
-        cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
-    return _topk_per_query(scored, q_id_col, id_col, k)
+    if _os.environ.get("LDB_ANN_CUT", "fused") != "fused":
+        scored = cands.select(
+            F.col(q_id_col), F.col(id_col),
+            cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+        return _topk_per_query(scored, q_id_col, id_col, k)
+    return _fused_cosine_topk(cands, q_id_col, id_col, vec_col,
+                              q_vec_col, k)
 
 
 def lsh_build(emb: DataFrame, *, dim: int, n_planes: int = 4,
@@ -494,14 +603,17 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     cands = (e_b.join(F.broadcast(q_b), ["table_id", "bucket"])
              .select(q_id_col, id_col)
              .dropDuplicates([q_id_col, id_col]))
-    scored = (cands
+    paired = (cands
               .join(emb.select(id_col, vec_col), id_col)
               .join(F.broadcast(queries.select(q_id_col, q_vec_col)),
-                    q_id_col)
-              .select(F.col(q_id_col), F.col(id_col),
-                      cosine_batch(F.col(vec_col),
-                                   F.col(q_vec_col)).alias("cos")))
-    return _topk_per_query(scored, q_id_col, id_col, k)
+                    q_id_col))
+    if _os.environ.get("LDB_ANN_CUT", "fused") != "fused":
+        scored = paired.select(
+            F.col(q_id_col), F.col(id_col),
+            cosine_batch(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
+        return _topk_per_query(scored, q_id_col, id_col, k)
+    return _fused_cosine_topk(paired, q_id_col, id_col, vec_col,
+                              q_vec_col, k)
 
 
 def _pq_train(X: np.ndarray, m: int, n_codes: int,
@@ -566,6 +678,100 @@ def _pq_adc_udf(lut: np.ndarray):
         return pd.Series(list(scores))
 
     return _adc
+
+
+def _fused_adc_topk(codes: DataFrame, lut: np.ndarray, id_col: str,
+                    rerank: int) -> DataFrame:
+    """Fused ADC scan + level-1 cut for pq_topk (guide §4): one
+    mapInPandas computes every (vector, query) ADC score (identical
+    float accumulation to _pq_adc_udf) and keeps the per-(partition,
+    query) top-rerank — the unfused form materialized an array<double>
+    per row JVM-side, POSEXPLODED it to n_rows x n_queries rows, and
+    shuffled them into the cut window; here only <= n_batches x rerank
+    x n_queries survivors per partition ever reach the JVM.  Returns
+    the (__qi, id) candidate pairs after the shared fold/rank tail —
+    row-identical to the unfused path (same math, same tie-breaks)."""
+    L = lut.astype(float)
+    nq, m, _ = L.shape
+    schema = StructType([codes.schema[id_col],
+                         StructField("__qi", IntegerType(), False),
+                         StructField("__adc", DoubleType(), False)])
+
+    def run(batches):
+        ids_acc, qi_acc, sc_acc = [], [], []
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.stack(b["pq_codes"].to_numpy()).astype(np.int64)
+            ids = b[id_col].to_numpy()
+            scores = np.zeros((len(C), nq))
+            for s in range(m):
+                scores += L[:, s, C[:, s]].T
+            for qi in range(nq):
+                # lexsort: primary -score (i.e. score desc), tie id asc
+                # — the window's (desc __adc, asc id) order exactly.
+                o = np.lexsort((ids, -scores[:, qi]))[:rerank]
+                ids_acc.append(ids[o])
+                sc_acc.append(scores[o, qi])
+                qi_acc.append(np.full(len(o), qi, dtype=np.int32))
+        if not ids_acc:
+            return
+        ids = np.concatenate(ids_acc)
+        qis = np.concatenate(qi_acc)
+        scs = np.concatenate(sc_acc)
+        keep_i, keep_q, keep_s = [], [], []
+        for qi in range(nq):
+            msk = qis == qi
+            o = np.lexsort((ids[msk], -scs[msk]))[:rerank]
+            keep_i.append(ids[msk][o])
+            keep_s.append(scs[msk][o])
+            keep_q.append(np.full(len(o), qi, dtype=np.int32))
+        yield pd.DataFrame({id_col: np.concatenate(keep_i),
+                            "__qi": np.concatenate(keep_q),
+                            "__adc": np.concatenate(keep_s)})
+
+    cut = codes.select(id_col, "pq_codes").mapInPandas(run, schema)
+    return (_fold_rank_tail(cut, "__qi", id_col, "__adc", rerank)
+            .select("__qi", id_col))
+
+
+def _fused_adc_pair_topk(pairs: DataFrame, lut: np.ndarray,
+                         qdotc: np.ndarray, id_col: str,
+                         rerank: int) -> DataFrame:
+    """Fused residual-ADC scoring + level-1 cut for the IVF-PQ
+    pre-paired shape (same fusion rationale as _fused_adc_topk; same
+    float accumulation as _pq_adc_pair_udf).  Returns the (__qi, id)
+    candidate pairs after the shared fold/rank tail."""
+    L = lut.astype(float)
+    m = L.shape[1]
+    QC = qdotc.astype(float)
+    schema = StructType([pairs.schema[id_col],
+                         StructField("__qi", IntegerType(), False),
+                         StructField("__adc", DoubleType(), False)])
+
+    def run(batches):
+        acc = []
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.stack(b["pq_codes"].to_numpy()).astype(np.int64)
+            Q = b["__qi"].to_numpy().astype(np.int64)
+            s = QC[Q, b["cell"].to_numpy().astype(np.int64)].copy()
+            for sp in range(m):
+                s += L[Q, sp, C[:, sp]]
+            sb = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                               "__qi": b["__qi"].to_numpy(),
+                               "__adc": s})
+            acc.append(_pd_topk(sb, "__qi", id_col, "__adc", rerank))
+        if not acc:
+            return
+        allb = pd.concat(acc) if len(acc) > 1 else acc[0]
+        yield _pd_topk(allb, "__qi", id_col, "__adc", rerank)
+
+    cut = (pairs.select(id_col, "__qi", "cell", "pq_codes")
+           .mapInPandas(run, schema))
+    return (_fold_rank_tail(cut, "__qi", id_col, "__adc", rerank)
+            .select("__qi", id_col))
 
 
 def pq_encode(emb: DataFrame, *, dim: int, m: int = 16, n_codes: int = 32,
@@ -640,11 +846,14 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     # lut[qi, s, c] = q_sub(s) . codebook[s, c]
     lut = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, sub), books)
 
-    adc = codes.select(
-        F.col(id_col),
-        F.posexplode(_pq_adc_udf(lut)(F.col("pq_codes")))
-         .alias("__qi", "__adc"))
-    cand = _two_level_topk(adc, id_col, rerank)
+    if _os.environ.get("LDB_ANN_CUT", "fused") != "fused":
+        adc = codes.select(
+            F.col(id_col),
+            F.posexplode(_pq_adc_udf(lut)(F.col("pq_codes")))
+             .alias("__qi", "__adc"))
+        cand = _two_level_topk(adc, id_col, rerank)
+    else:
+        cand = _fused_adc_topk(codes, lut, id_col, rerank)
     return _exact_rerank(cand, emb, queries, qrows, k, id_col=id_col,
                          vec_col=vec_col, q_id_col=q_id_col,
                          q_vec_col=q_vec_col)
@@ -927,13 +1136,16 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     # A broadcast join alone would not prune: DPP declines an unfiltered
     # local-relation build side, and static beats dynamic anyway.
     probed = sorted({int(c) for row in probe_cells for c in row})
-    adc = (codes.filter(F.col("cell").isin(probed))
-           .join(F.broadcast(probes), "cell")
-           .select(F.col(id_col), F.col("__qi"),
-                   _pq_adc_pair_udf(lut, qdotc)(
-                       F.col("pq_codes"), F.col("__qi"),
-                       F.col("cell")).alias("__adc")))
-    cand = _two_level_topk(adc, id_col, rerank)
+    pairs = (codes.filter(F.col("cell").isin(probed))
+             .join(F.broadcast(probes), "cell"))
+    if _os.environ.get("LDB_ANN_CUT", "fused") != "fused":
+        adc = pairs.select(F.col(id_col), F.col("__qi"),
+                           _pq_adc_pair_udf(lut, qdotc)(
+                               F.col("pq_codes"), F.col("__qi"),
+                               F.col("cell")).alias("__adc"))
+        cand = _two_level_topk(adc, id_col, rerank)
+    else:
+        cand = _fused_adc_pair_topk(pairs, lut, qdotc, id_col, rerank)
     return _exact_rerank(cand, emb, queries, qrows, k, id_col=id_col,
                          vec_col=vec_col, q_id_col=q_id_col,
                          q_vec_col=q_vec_col)

@@ -138,6 +138,14 @@ def build_session(app_name: str = "lingo_db_spark", master: str | None = None,
     if (shuffle_dir and effective_master.startswith("local")
             and not (extra_confs or {}).get("spark.local.dir")):
         builder = builder.config("spark.local.dir", shuffle_dir)
+    # Deployment/experiment overrides (highest precedence below explicit
+    # extra_confs): SPARK_GRAFT_EXTRA_CONFS="key=value;key2=value2".
+    # Keeps scale-dependent settings parameterisable without code edits —
+    # the bench A/B harness and a real cluster profile both ride this.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
