@@ -28,8 +28,20 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # LingoDB casts are permissive (no runtime errors on overflow); match.
     "spark.sql.ansi.enabled": "false",
-    # Broadcast threshold: dims like region/nation/customer always broadcast.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Broadcast threshold: 8 MB (r14 opt round; was 64 MB).  The
+    # threshold compares the planner's SIZE ESTIMATE, and for raw-file
+    # sources (the DDL door's CSV COPY tables) that estimate is the
+    # file size while the built hash relation is ~8x larger in memory —
+    # 64 MB effectively meant "broadcast up to ~0.5 GB", and a deep
+    # join chain building several such relations concurrently stalled
+    # the driver for seconds (sql_job_29a_verbatim: 8.2 s -> ~2 s at
+    # 8 MB, interleaved A/B in OPTIMIZATION_r14.md; full TPC-H flat-to-
+    # better at sf0.1 and sf1).  Known-small dimensions keep their
+    # explicit F.broadcast hints in the hand-built queries — the
+    # guide-recommended posture when estimates can't be trusted.  At
+    # 100 TB the conservative default is also the safe one: every
+    # executor holds every broadcast relation.
+    "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     # Prefer shuffled-hash over sort-merge when no side broadcasts: the
     # reference's execution model is hash-join-everywhere (SURVEY §4.2,
