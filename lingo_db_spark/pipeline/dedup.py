@@ -119,16 +119,24 @@ def _signature_udf(num_hashes: int):
         # One flat computation for the whole Arrow batch (per-row numpy
         # calls cost ~ms each in overhead): concatenate all shingle
         # arrays, hash the flat vector, then minimum.reduceat at the
-        # per-document offsets.
+        # per-document offsets.  Hash functions are applied ONE AT A
+        # TIME over the flat 1-D vector (r14 opt round): the previous
+        # flat[:, None] * A broadcast materialized a total_shingles x
+        # num_hashes u64 matrix per batch and fed 2-D reduceat's slow
+        # non-contiguous path — the 1-D loop produces identical values
+        # 20x faster with a num_hashes-times smaller peak (micro-bench
+        # in OPTIMIZATION_r14.md).
         lens = shs.map(len).to_numpy()
         if len(lens) == 0 or lens.sum() == 0:
             return pd.Series([np.zeros(num_hashes, dtype=np.int64)] * len(shs))
         flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in shs])
         flat = flat.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            vals = flat[:, None] * A + B         # wraps mod 2^64 (intended)
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        mins = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
+        mins = np.empty((len(lens), num_hashes), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for h in range(num_hashes):          # wraps mod 2^64 (intended)
+                mins[:, h] = np.minimum.reduceat(flat * A[h] + B[h], offsets)
+        mins = mins.astype(np.int64)
         return pd.Series(list(mins))
 
     _SIG_UDFS[num_hashes] = _sig

@@ -315,11 +315,19 @@ def lm_likelihood(df: DataFrame, id_col: str = "doc_id",
                .select(id_col, "bg.w1", "bg.w2"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").alias("v"))
-    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # r14 opt round: the prefix counts are DERIVED from the bigram
+    # counts — c(w1) = sum_w2 c(w1, w2), an exact integer identity — so
+    # the model builds from the (vocab-sized) bi table instead of a
+    # second corpus-scale aggregation over every bigram occurrence, and
+    # the enriched model joins the occurrences ONCE on (w1, w2) instead
+    # of a second corpus-sized re-join on w1 (two corpus-scale
+    # exchanges removed; the (w1, w2) shuffle is shared between the bi
+    # aggregate and the join probe).
+    uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = bi.join(uni, "w1")
     scored = (bigrams
-              .join(bi, ["w1", "w2"])
-              .join(uni, "w1")
+              .join(model, ["w1", "w2"])
               .crossJoin(F.broadcast(vocab))   # 1-row corpus constant
               .select(id_col,
                       F.round((F.col("c2") + 1)
