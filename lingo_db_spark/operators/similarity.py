@@ -281,6 +281,78 @@ def _fused_cosine_topk(joined: DataFrame, q_col: str, id_col: str,
             .drop("__rank"))
 
 
+def _np_id_dtype(field: StructField):
+    """Numpy dtype for an integral Spark field (Arrow conversion needs
+    the exact width); None for non-integral id/query-id columns, which
+    then ride as object series of the original Python values."""
+    from pyspark.sql.types import IntegerType as _It, LongType as _Lt
+    if isinstance(field.dataType, _Lt):
+        return np.int64
+    if isinstance(field.dataType, _It):
+        return np.int32
+    return None
+
+
+def _fused_cosine_topk_local(emb: DataFrame, qrows: list, q_field,
+                             id_col: str, vec_col: str,
+                             k: int) -> DataFrame:
+    """Query-LOCAL fused score+cut (r14 opt round, guide §3.1/§4.2):
+    the bounded query set rides INTO the Arrow kernel as a closure
+    constant instead of being broadcast-cross-joined against the
+    corpus.  The joined form shipped every corpus vector through the
+    Python boundary once PER QUERY (n x q Arrow rows plus a
+    BroadcastExchange job per call); here the scan streams each vector
+    ONCE and the kernel scores it against all q queries in numpy.
+
+    Bit-identical to the joined _fused_cosine_topk: the kernel calls
+    the SAME _cosine_np on the same dtypes (each query row is
+    broadcast to the batch's shape IN THE VECTOR COLUMN'S dtype — the
+    joined form's q_vec column had that dtype too, and the collected
+    Python floats round-trip exactly back to it), and the level-1 cut
+    is exact per (partition, query) regardless of batch boundaries —
+    so the survivor sets, and with them the fold/rank tail, are
+    row-identical and the rescore_exact strict-equality invariant is
+    preserved."""
+    qids = [r[0] for r in qrows]
+    qvecs = [r[1] for r in qrows]
+    nq = len(qids)
+    q_col = q_field.name
+    qdt = _np_id_dtype(q_field)
+    schema = StructType([q_field, emb.schema[id_col],
+                         StructField("cos", DoubleType(), False)])
+
+    def run(batches):
+        acc = []
+        Qm = None
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b[vec_col].to_numpy())
+            if Qm is None:
+                Qm = np.stack([np.asarray(q, dtype=V.dtype)
+                               for q in qvecs])
+            ids = b[id_col].to_numpy()
+            parts = []
+            for qi in range(nq):
+                cos = _cosine_np(V, np.broadcast_to(Qm[qi], V.shape))
+                qv = (np.full(len(ids), qids[qi], dtype=qdt)
+                      if qdt is not None else
+                      pd.Series([qids[qi]] * len(ids), dtype=object))
+                parts.append(pd.DataFrame(
+                    {q_col: qv, id_col: ids, "cos": cos}))
+            sb = pd.concat(parts) if len(parts) > 1 else parts[0]
+            acc.append(_pd_topk(sb, q_col, id_col, "cos", k))
+        if not acc:
+            return
+        allb = pd.concat(acc) if len(acc) > 1 else acc[0]
+        yield _pd_topk(allb, q_col, id_col, "cos", k)
+
+    cut = emb.select(id_col, vec_col).mapInPandas(run, schema)
+    return (_fold_rank_tail(cut, q_col, id_col, "cos", k)
+            .withColumn("rank", F.col("__rank").cast("long"))
+            .drop("__rank"))
+
+
 def _topk_per_query(scored: DataFrame, q_col: str, id_col: str,
                     k: int) -> DataFrame:
     """Final exact top-k over (q, id, cos) rows via _two_level_cut,
@@ -322,6 +394,15 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     (_fused_cosine_topk) so only per-partition survivors reach the JVM;
     the fold/rank tail bounds the reduce side even though the scan is
     the full corpus."""
+    if (_os.environ.get("LDB_ANN_CUT", "fused") == "fused"
+            and _os.environ.get("LDB_ANN_QPLAN", "local") == "local"):
+        try:
+            qrows = _collect_queries(queries, q_id_col, q_vec_col)
+        except ValueError:
+            qrows = None          # oversized query set: join path below
+        if qrows:                 # empty set: join path returns empty
+            return _fused_cosine_topk_local(
+                emb, qrows, queries.schema[q_id_col], id_col, vec_col, k)
     joined = emb.join(F.broadcast(queries))
     if _os.environ.get("LDB_ANN_CUT", "fused") != "fused":
         scored = joined.select(
@@ -774,6 +855,67 @@ def _fused_adc_pair_topk(pairs: DataFrame, lut: np.ndarray,
             .select("__qi", id_col))
 
 
+def _fused_adc_probe_topk(codes: DataFrame, lut: np.ndarray,
+                          qdotc: np.ndarray, cell_qis: dict,
+                          id_col: str, rerank: int) -> DataFrame:
+    """Probe-routed fused ADC scan (r14 opt round): the (query, cell)
+    probe routing rides into the Arrow kernel as a closure map instead
+    of a createDataFrame + BroadcastHashJoin — the joined form paid a
+    Python-RDD local-relation broadcast job per call AND expanded every
+    code row into one Arrow row per probing query before the kernel;
+    here the cell-pruned codes stream through ONCE and the kernel
+    expands per batch in numpy.  Per (vector, query) the residual-ADC
+    accumulation (QC constant + m table lookups, in subspace order) is
+    the identical float sequence of _fused_adc_pair_topk, and the
+    level-1 cut is exact per (partition, query) regardless of batch or
+    expansion layout, so survivors — and the fold/rank tail — are
+    row-identical to the joined form."""
+    L = lut.astype(float)
+    m = L.shape[1]
+    QC = qdotc.astype(float)
+    cq = {int(c): np.asarray(sorted(qs), dtype=np.int64)
+          for c, qs in cell_qis.items()}
+    schema = StructType([codes.schema[id_col],
+                         StructField("__qi", IntegerType(), False),
+                         StructField("__adc", DoubleType(), False)])
+
+    def run(batches):
+        acc = []
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.stack(b["pq_codes"].to_numpy()).astype(np.int64)
+            ids = b[id_col].to_numpy()
+            cells = b["cell"].to_numpy().astype(np.int64)
+            parts = []
+            for cell in np.unique(cells):
+                qis = cq.get(int(cell))
+                if qis is None or not len(qis):
+                    continue
+                msk = cells == cell
+                Cm, im = C[msk], ids[msk]
+                for qi in qis:
+                    s = np.full(len(im), QC[qi, cell])
+                    for sp in range(m):
+                        s += L[qi, sp, Cm[:, sp]]
+                    parts.append(pd.DataFrame(
+                        {id_col: im,
+                         "__qi": np.full(len(im), qi, dtype=np.int32),
+                         "__adc": s}))
+            if not parts:
+                continue
+            sb = pd.concat(parts) if len(parts) > 1 else parts[0]
+            acc.append(_pd_topk(sb, "__qi", id_col, "__adc", rerank))
+        if not acc:
+            return
+        allb = pd.concat(acc) if len(acc) > 1 else acc[0]
+        yield _pd_topk(allb, "__qi", id_col, "__adc", rerank)
+
+    cut = codes.select(id_col, "cell", "pq_codes").mapInPandas(run, schema)
+    return (_fold_rank_tail(cut, "__qi", id_col, "__adc", rerank)
+            .select("__qi", id_col))
+
+
 def pq_encode(emb: DataFrame, *, dim: int, m: int = 16, n_codes: int = 32,
               train_sample: int = 2048, id_col: str = "vec_id",
               vec_col: str = "embedding", seed: int = 42,
@@ -871,19 +1013,48 @@ def _exact_rerank(cand: DataFrame, emb: DataFrame, queries: DataFrame,
                   q_id_col: str, q_vec_col: str) -> DataFrame:
     """Map (__qi, id) candidates back to query ids, fetch the candidates'
     full vectors (rerank x n_queries rows — the only vector I/O after the
-    compressed scan), exact cosine re-rank, top-k per query."""
+    compressed scan), exact cosine re-rank, top-k per query.
+
+    r14 opt round: the __qi -> (q_id, q_vec) mapping is driver-local
+    (qrows IS the collected query set), so for bounded query sets it
+    rides as element_at() LITERAL arrays instead of two broadcast
+    joins — the q_lookup local relation cost a Python-RDD broadcast
+    job per call, and the queries build side a third scan of the
+    query frame.  Literals are cast to the source columns' exact
+    types (collected floats round-trip exactly), so cosine_batch sees
+    identical values and the rescore_exact strict-equality invariant
+    is preserved.  LDB_ANN_QPLAN=join restores the joined form (also
+    the fallback for oversized query sets, where a literal plan would
+    bloat)."""
     spark = emb.sparkSession
-    q_lookup = spark.createDataFrame(
-        [(i, r[0]) for i, r in enumerate(qrows)],
-        StructType([StructField("__qi", IntegerType(), False),
-                    queries.schema[q_id_col]]))
-    scored = (cand.join(F.broadcast(q_lookup), "__qi")
-              .join(emb.select(id_col, vec_col), id_col)
-              .join(F.broadcast(queries.select(q_id_col, q_vec_col)),
-                    q_id_col)
-              .select(F.col(q_id_col), F.col(id_col),
-                      cosine_batch(F.col(vec_col),
-                                   F.col(q_vec_col)).alias("cos")))
+    literal_ok = (len(qrows) > 0 and len(qrows) <= 256
+                  and _os.environ.get("LDB_ANN_QPLAN", "local") == "local")
+    if literal_ok:
+        qid_t = queries.schema[q_id_col].dataType
+        qvec_t = queries.schema[q_vec_col].dataType
+        qid_arr = F.array(*[F.lit(r[0]).cast(qid_t) for r in qrows])
+        qvec_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in r[1]]).cast(qvec_t)
+            for r in qrows])
+        idx = F.col("__qi") + 1
+        scored = (cand.join(emb.select(id_col, vec_col), id_col)
+                  .select(F.element_at(qid_arr, idx).alias(q_id_col),
+                          F.col(id_col),
+                          cosine_batch(F.col(vec_col),
+                                       F.element_at(qvec_arr, idx))
+                          .alias("cos")))
+    else:
+        q_lookup = spark.createDataFrame(
+            [(i, r[0]) for i, r in enumerate(qrows)],
+            StructType([StructField("__qi", IntegerType(), False),
+                        queries.schema[q_id_col]]))
+        scored = (cand.join(F.broadcast(q_lookup), "__qi")
+                  .join(emb.select(id_col, vec_col), id_col)
+                  .join(F.broadcast(queries.select(q_id_col, q_vec_col)),
+                        q_id_col)
+                  .select(F.col(q_id_col), F.col(id_col),
+                          cosine_batch(F.col(vec_col),
+                                       F.col(q_vec_col)).alias("cos")))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
@@ -1124,9 +1295,6 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     probe_cells = np.argsort(
         -(qdotc - 0.5 * (cents * cents).sum(axis=1)), axis=1)[:, :n_probe]
     spark = emb.sparkSession
-    probes = spark.createDataFrame(
-        [(qi, int(c)) for qi in range(len(qrows)) for c in probe_cells[qi]],
-        "`__qi` INT, `cell` INT")
 
     # STATIC partition pruning: the probed cells are driver-side
     # literals, so filter the codes scan on them directly — when the
@@ -1136,16 +1304,32 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     # A broadcast join alone would not prune: DPP declines an unfiltered
     # local-relation build side, and static beats dynamic anyway.
     probed = sorted({int(c) for row in probe_cells for c in row})
-    pairs = (codes.filter(F.col("cell").isin(probed))
-             .join(F.broadcast(probes), "cell"))
-    if _os.environ.get("LDB_ANN_CUT", "fused") != "fused":
-        adc = pairs.select(F.col(id_col), F.col("__qi"),
-                           _pq_adc_pair_udf(lut, qdotc)(
-                               F.col("pq_codes"), F.col("__qi"),
-                               F.col("cell")).alias("__adc"))
-        cand = _two_level_topk(adc, id_col, rerank)
+    pruned = codes.filter(F.col("cell").isin(probed))
+    fused = _os.environ.get("LDB_ANN_CUT", "fused") == "fused"
+    if fused and _os.environ.get("LDB_ANN_QPLAN", "local") == "local":
+        # Probe routing as a kernel closure (no local-relation
+        # broadcast, no pre-kernel row expansion — see
+        # _fused_adc_probe_topk).
+        cell_qis: dict = {}
+        for qi in range(len(qrows)):
+            for c in probe_cells[qi]:
+                cell_qis.setdefault(int(c), []).append(qi)
+        cand = _fused_adc_probe_topk(pruned, lut, qdotc, cell_qis,
+                                     id_col, rerank)
     else:
-        cand = _fused_adc_pair_topk(pairs, lut, qdotc, id_col, rerank)
+        probes = spark.createDataFrame(
+            [(qi, int(c)) for qi in range(len(qrows))
+             for c in probe_cells[qi]],
+            "`__qi` INT, `cell` INT")
+        pairs = pruned.join(F.broadcast(probes), "cell")
+        if not fused:
+            adc = pairs.select(F.col(id_col), F.col("__qi"),
+                               _pq_adc_pair_udf(lut, qdotc)(
+                                   F.col("pq_codes"), F.col("__qi"),
+                                   F.col("cell")).alias("__adc"))
+            cand = _two_level_topk(adc, id_col, rerank)
+        else:
+            cand = _fused_adc_pair_topk(pairs, lut, qdotc, id_col, rerank)
     return _exact_rerank(cand, emb, queries, qrows, k, id_col=id_col,
                          vec_col=vec_col, q_id_col=q_id_col,
                          q_vec_col=q_vec_col)

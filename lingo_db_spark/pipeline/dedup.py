@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import os as _os
 import sys as _sys
 
 import numpy as np
@@ -620,7 +621,8 @@ def decontaminate(train: DataFrame, evalset: DataFrame, id_col: str,
 # ---------------------------------------------------------------------------
 
 def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
-                          min_len: int = 30) -> DataFrame:
+                          min_len: int = 30,
+                          dup_mode: str = "agg") -> DataFrame:
     """Maximal duplicated character spans: every position whose
     `min_len`-gram occurs >1 time in the corpus (any doc, any offset) is
     duplicated; overlapping/adjacent duplicated windows merge into
@@ -662,8 +664,17 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
                 f"transform(sequence(1, length({text_col}) - {L} + 1), "
                 f"i -> xxhash64(substring({text_col}, i, {L})))"
             )).alias("__p0", "__h"))
-        .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h"))
+    # Duplicate-cut plan choice (r14 opt round, measured interleaved at
+    # sf0.1): "agg" (groupBy+join per cut, corpus persists) wins on the
+    # FULL-corpus pass; "window" (count() over a hash-partition window
+    # per cut — one exchange, no persist) wins 35% on the prefiltered
+    # composition, whose candidate-sized input makes the stage count,
+    # not bytes, the cost.  Callers pick per call site; LDB_SPANS_DUP
+    # is the A/B override (tools/spans_mode_ab_probe.py).
+    if _os.environ.get("LDB_SPANS_DUP", dup_mode) == "window":
+        return _spans_window_mode(texts, hashed, id_col, text_col, L)
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     # Every join below is pinned to a SHUFFLE strategy: the build sides
     # (duplicated hashes, duplicated gram texts, the document texts)
     # all GROW WITH DUPLICATION, so an estimate-driven broadcast is a
@@ -702,6 +713,13 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
                      eager=True)
     hashed.unpersist()
     cand_g.unpersist()
+    return _spans_islands(marked, id_col, L)
+
+
+def _spans_islands(marked: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Span merge (step 4): per-document gaps-and-islands window over
+    the verified duplicate positions — partitioned by doc, never a
+    global sort."""
     w = Window.partitionBy(id_col).orderBy("__pos")
     prev_max = F.max("__pos").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -715,6 +733,35 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
             .select(id_col,
                     F.col("span_start").cast("long").alias("span_start"),
                     F.col("span_end").cast("long").alias("span_end")))
+
+
+def _spans_window_mode(texts: DataFrame, hashed: DataFrame, id_col: str,
+                       text_col: str, L: int) -> DataFrame:
+    """Stage-fused dup detection (r14 opt round, guide §2.3): both
+    duplicate cuts (hash level and exact-text level) as WINDOW counts
+    instead of agg + shuffle-join pairs.  Each cut becomes ONE hash
+    exchange + per-partition sort of the stream it filters, where the
+    agg form shuffled the same stream twice (once into the partial
+    aggregate, once into the join probe) and had to PERSIST it to
+    avoid recomputation — window mode reads every frame once, so the
+    two corpus-sized persists (and the eager barrier that existed only
+    to release them) disappear with the extra exchanges.  The kept
+    rows are identical (count > 1 per key either way), so spans are
+    row-identical to agg mode.  Join-strategy hazard note: the only
+    join left is the candidate-text regeneration join, which keeps the
+    shuffle pin (both sides grow with duplication — see the agg-mode
+    comment)."""
+    wh = Window.partitionBy("__h")
+    cand = (hashed.withColumn("__n", F.count(F.lit(1)).over(wh))
+            .filter(F.col("__n") > 1).select(id_col, "__pos"))
+    cand_g = (cand.join(texts.hint("shuffle_hash"), id_col)
+              .select(id_col, "__pos",
+                      F.expr(f"substring({text_col}, __pos, {L})")
+                      .alias("__g")))
+    wg = Window.partitionBy("__g")
+    marked = (cand_g.withColumn("__n", F.count(F.lit(1)).over(wg))
+              .filter(F.col("__n") > 1).select(id_col, "__pos"))
+    return _spans_islands(marked, id_col, L)
 
 
 def exact_substring_spans_prefiltered(
@@ -755,7 +802,8 @@ def exact_substring_spans_prefiltered(
     # per read, measured 3x)
     cand_ids = barrier(fps.join(shared, "fp").select(id_col).distinct())
     return exact_substring_spans(
-        df.join(cand_ids, id_col), id_col, text_col, min_len)
+        df.join(cand_ids, id_col), id_col, text_col, min_len,
+        dup_mode="window")
 
 
 def substring_dup_stats(df: DataFrame, id_col: str, text_col: str,

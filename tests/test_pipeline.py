@@ -979,3 +979,42 @@ def test_compaction_all_touched_cells_emptied(spark, tmp_path):
     left = spark.read.parquet(path)
     assert {r.vec_id for r in left.select("vec_id").collect()} == \
         {r.vec_id for r in rows} - set(del_ids)
+
+
+# --- r14 plan-variant equivalence -----------------------------------------
+
+def test_ann_qplan_local_rows_identical_to_join(spark, monkeypatch):
+    """The query-local ANN kernels (query set as a closure constant /
+    element_at literals, LDB_ANN_QPLAN=local — the default) must be
+    ROW-IDENTICAL to the joined plans they replaced: same ids, same
+    ranks, and STRICT-float-equal cosines (the rescore_exact
+    invariant compares scores with ==, so bit-identity is load-bearing,
+    not cosmetic)."""
+    base, q = _emb_and_queries(spark)
+    for fn in (lambda: ops.brute_force_topk(base, q, k=10),
+               lambda: ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=16,
+                                      n_probe=6, m=16, n_codes=32,
+                                      rerank=64)):
+        monkeypatch.setenv("LDB_ANN_QPLAN", "join")
+        joined = sorted(map(tuple, fn().collect()))
+        monkeypatch.setenv("LDB_ANN_QPLAN", "local")
+        local = sorted(map(tuple, fn().collect()))
+        assert joined and joined == local
+
+
+def test_spans_window_dup_mode_rows_identical_to_agg(spark):
+    """The window-count duplicate cut (dup_mode="window", the default
+    inside exact_substring_spans_prefiltered) must produce exactly the
+    agg-mode spans: both keep hash/text keys with count > 1, so the
+    marked positions — and the merged islands — are row-identical."""
+    base = [(i, f"unique prefix number {i} with distinct words "
+                f"{i * 7919 % 104729} {i * 104729 % 7919} end")
+            for i in range(8)]
+    plant = " SHARED BOILERPLATE SENTENCE THAT IS WELL OVER THIRTY CHARS"
+    rows = [(i, t + plant) if i % 2 == 0 else (i, t) for i, t in base]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    agg = sorted(map(tuple, pl.exact_substring_spans(
+        df, "doc_id", "text", min_len=30, dup_mode="agg").collect()))
+    win = sorted(map(tuple, pl.exact_substring_spans(
+        df, "doc_id", "text", min_len=30, dup_mode="window").collect()))
+    assert agg and agg == win
