@@ -18,6 +18,50 @@ from lingo_db_spark import catalog
 from lingo_db_spark.session import build_session
 
 
+# Lazy-PLAN caches for the initialize.sql loading journey (r14 opt
+# round, guide §5: the driver should do almost no per-call work).  The
+# verbatim anchors re-run the same script per timed run, and steady
+# state was ~1.3 s of pure driver/py4j churn per call: ~40 ms per
+# CREATE TABLE (createDataFrame([], schema) builds an empty RDD) and
+# ~22 ms per COPY (DataFrameReader resolution + file listing), for
+# identical inputs every time.  Both caches hold LAZY DataFrames only
+# — an empty local relation (data-independent by construction) and an
+# unmaterialized CSV scan keyed on (path, mtime, size, schema, opts)
+# so a rewritten file can never serve a stale plan; no persist/cache
+# is ever called, so every action still computes from the files.
+_EMPTY_DF_CACHE: dict[tuple, DataFrame] = {}
+_CSV_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_PLAN_CACHE_MAX = 512
+
+
+def _empty_df(spark: SparkSession, schema: Any) -> DataFrame:
+    key = (id(spark), schema.json())
+    df = _EMPTY_DF_CACHE.get(key)
+    if df is None:
+        if len(_EMPTY_DF_CACHE) >= _PLAN_CACHE_MAX:
+            _EMPTY_DF_CACHE.clear()
+        df = _EMPTY_DF_CACHE[key] = spark.createDataFrame([], schema)
+    return df
+
+
+def _csv_plan(spark: SparkSession, path: str, schema: Any,
+              opts: tuple) -> DataFrame:
+    import os
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None                    # let the reader raise its error
+    key = (id(spark), path, stamp, schema.json(), opts)
+    df = _CSV_PLAN_CACHE.get(key)
+    if df is None:
+        if len(_CSV_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _CSV_PLAN_CACHE.clear()
+        reader = spark.read.options(**dict(opts))
+        df = _CSV_PLAN_CACHE[key] = reader.schema(schema).csv(path)
+    return df
+
+
 class Connection:
     """A session bound to a directory of parquet tables."""
 
@@ -322,7 +366,7 @@ class Connection:
             name, schema, pk = ct
             self.declared[name] = schema
             self.primary_keys[name] = pk
-            empty = self.spark.createDataFrame([], schema)
+            empty = _empty_df(self.spark, schema)
             empty.createOrReplaceTempView(name)
             self.tables[name] = empty
             return
@@ -334,14 +378,14 @@ class Connection:
             schema = self.declared.get(name)
             if schema is None:
                 schema = self.spark.table(name).schema
-            reader = self.spark.read.options(
-                sep=opts["sep"], escape=opts["escape"],
-                header=str(opts["header"]).lower())
+            ropts = {"sep": opts["sep"], "escape": opts["escape"],
+                     "header": str(opts["header"]).lower()}
             if opts.get("nullValue") is not None:
-                reader = reader.option("nullValue", opts["nullValue"])
+                ropts["nullValue"] = opts["nullValue"]
             if opts.get("quote"):
-                reader = reader.option("quote", opts["quote"])
-            df = reader.schema(schema).csv(path)
+                ropts["quote"] = opts["quote"]
+            df = _csv_plan(self.spark, path, schema,
+                           tuple(sorted(ropts.items())))
             df.createOrReplaceTempView(name)
             self.tables[name] = df
             return

@@ -602,3 +602,36 @@ def test_main_statement_keyword_classifier():
     # malformed CTE shapes classify as '' (refused, never rewritten)
     assert k("with a select 1") == ""
     assert k("with a as (select 1") == ""
+
+
+def test_copy_plan_cache_never_serves_stale_file(spark, tmp_path):
+    """The r14 lazy-plan caches in connection.py must be invisible:
+    re-running the same CREATE+COPY script after the CSV file is
+    REWRITTEN must read the new contents (the cache key carries
+    mtime+size), and the cached empty CREATE relation must not leak
+    rows between connections."""
+    from lingo_db_spark.connection import Connection
+    p = tmp_path / "t.csv"
+    p.write_text("1|a\n2|b\n")
+    script = ("CREATE TABLE t (k INTEGER NOT NULL, v VARCHAR);"
+              "COPY t FROM 't.csv' DELIMITER '|';")
+    con = Connection(spark)
+    con.run_script(script, base_dir=str(tmp_path))
+    assert {r.k for r in con.table("t").collect()} == {1, 2}
+    # same size, different content+mtime; and a different size rewrite
+    import os
+    import time as _t
+    _t.sleep(0.01)
+    p.write_text("3|c\n4|d\n")
+    os.utime(p)
+    con2 = Connection(spark)
+    con2.run_script(script, base_dir=str(tmp_path))
+    assert {r.k for r in con2.table("t").collect()} == {3, 4}
+    p.write_text("5|e\n")
+    con3 = Connection(spark)
+    con3.run_script(script, base_dir=str(tmp_path))
+    assert {r.k for r in con3.table("t").collect()} == {5}
+    # CREATE without COPY on a fresh connection: still empty
+    con4 = Connection(spark)
+    con4.run_script("CREATE TABLE t (k INTEGER NOT NULL, v VARCHAR);")
+    assert con4.table("t").count() == 0
