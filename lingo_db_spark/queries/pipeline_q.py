@@ -502,6 +502,32 @@ def _index_dir(prefix: str) -> str:
     return _IDX_DIRS[prefix]
 
 
+def _write_index(frame: DataFrame, path: str, n_cells: int) -> None:
+    """Write an at-rest index tree with one TASK (and so one file) per
+    cell (r14 opt round, guide §6 file layout): the journeys' encode
+    input here is a single-row-group scan, so a direct partitionBy
+    write drives every cell's parquet writer from ONE serial task
+    (~40 ms of open/commit each — 0.65 s of the indexed journey's
+    wall); repartition(n_cells, "cell") first makes the writers
+    parallel AND pins the file count to one per non-empty cell at any
+    input parallelism — the standard repartition-before-partitionBy
+    file-sizing recipe.  The explicit numPartitions keeps AQE from
+    coalescing the tiny shuffle back to one task.  Quiet-phase A/B
+    (tools/ivfpq_write_ab_probe.py): 0.65–0.70 → 0.52–0.53 s per
+    write, row sets identical.  A hash repartition only MOVES rows,
+    and every downstream read is order-independent (top-k by
+    (score, id) with deterministic tie-breaks; the maintenance tests'
+    byte-identity pins compare files across operations on one written
+    tree, never across independent builds).  LDB_IDX_WRITE=direct
+    restores the serial write (A/B arm)."""
+    import os as _os
+    if _os.environ.get("LDB_IDX_WRITE", "repart") == "direct":
+        frame.write.mode("overwrite").partitionBy("cell").parquet(path)
+        return
+    (frame.repartition(n_cells, "cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
 @register("ann_topk_lsh", _ANN_INVARIANT_ORACLE)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (random-hyperplane buckets,
@@ -673,7 +699,7 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = _query_vectors(emb)
     cents, cells = ops.ivf_build(base, dim=64, n_cells=16)
     path = _index_dir("ldb_ivf_idx_") + "/ivf"
-    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index(cells, path, n_cells=16)
     out = ops.ivf_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
                        index=(cents, spark.read.parquet(path)))
     exact = ops.brute_force_topk(base, qs, k=10)
@@ -698,7 +724,7 @@ def ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
                                           m=16, n_codes=32)
     path = _index_dir("ldb_ivfpq_idx_") + "/ivfpq"
-    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index(codes, path, n_cells=16)
     out = ops.ivfpq_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
                          m=16, n_codes=32, rerank=64,
                          index=(cents, books, spark.read.parquet(path)))
@@ -735,7 +761,7 @@ def ann_topk_ivfpq_query_only(spark: SparkSession, sf_dir: str
         cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
                                               m=16, n_codes=32)
         path = _index_dir("ldb_ivfpq_qidx_") + "/ivfpq"
-        codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _write_index(codes, path, n_cells=16)
         got = _IVFPQ_PREBUILT[sf_dir] = (cents, books, path)
     cents, books, path = got
     out = ops.ivfpq_topk(base, qs, k=10, dim=64, n_cells=16, n_probe=6,
@@ -823,7 +849,7 @@ def ann_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
                                           m=16, n_codes=32)
     path = _index_dir("ldb_ivfpq_didx_") + "/ivfpq"
-    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index(codes, path, n_cells=16)
     deleted = base.filter(F.col("vec_id") % 2 == 0).select("vec_id")
     live = ops.index_delete(spark.read.parquet(path), deleted)
     out = ops.ivfpq_topk(base, _query_vectors(emb), k=10, dim=64,
@@ -872,7 +898,7 @@ def ann_topk_ivfpq_compacted(spark: SparkSession, sf_dir: str
     cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=16,
                                           m=16, n_codes=32)
     path = _index_dir("ldb_ivfpq_cidx_") + "/ivfpq"
-    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index(codes, path, n_cells=16)
     deleted = base.filter(F.col("vec_id") % 2 == 0).select("vec_id")
     ops.compact_index_cells(spark, path, deleted)
     compacted = spark.read.parquet(path)
@@ -921,7 +947,7 @@ def ann_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("vec_id", "embedding"), dim=64, n_cells=16,
         m=16, n_codes=32)
     path = _index_dir("ldb_ivfpq_fidx_") + "/ivfpq"
-    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index(codes, path, n_cells=16)
     allowed = base.filter(F.col("label") == 1).select("vec_id")
     filtered_codes = spark.read.parquet(path).join(allowed, "vec_id")
     out = ops.ivfpq_topk(base.select("vec_id", "embedding"),

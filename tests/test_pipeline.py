@@ -1018,3 +1018,35 @@ def test_spans_window_dup_mode_rows_identical_to_agg(spark):
     win = sorted(map(tuple, pl.exact_substring_spans(
         df, "doc_id", "text", min_len=30, dup_mode="window").collect()))
     assert agg and agg == win
+
+
+def test_index_write_repart_one_file_per_cell_rows_identical(spark,
+                                                             tmp_path):
+    """The journeys' parallel index write (_write_index: repartition
+    (n_cells, "cell") before partitionBy — r14 opt round) must keep the
+    at-rest tree's contract: exactly ONE parquet file per non-empty
+    cell directory, and the read-back row set identical to the serial
+    direct write's."""
+    from pathlib import Path
+
+    from lingo_db_spark.queries.pipeline_q import _write_index
+
+    base, _ = _emb_and_queries(spark)
+    cents, books, codes = ops.ivfpq_build(base, dim=64, n_cells=8,
+                                          m=16, n_codes=32)
+
+    def rows_at(p):
+        return sorted((r.vec_id, r.cell, tuple(r.pq_codes))
+                      for r in spark.read.parquet(p).collect())
+
+    direct = str(tmp_path / "direct")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(direct)
+    repart = str(tmp_path / "repart")
+    _write_index(codes, repart, n_cells=8)
+
+    assert rows_at(repart) == rows_at(direct)
+    cell_dirs = list(Path(repart).glob("cell=*"))
+    assert cell_dirs
+    for d in cell_dirs:
+        files = [f for f in d.rglob("*.parquet") if f.is_file()]
+        assert len(files) == 1, f"{d.name}: {len(files)} files"
