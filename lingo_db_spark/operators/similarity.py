@@ -78,6 +78,26 @@ def cosine_batch(a: Column, b: Column) -> Column:
     return _COSINE_UDF(a, b)
 
 
+_COSINE_UDF_1X = None
+
+
+def cosine_batch_single_eval(a: Column, b: Column) -> Column:
+    """cosine_batch, marked nondeterministic SOLELY to stop Catalyst
+    duplicating the UDF when a filter on its output is pushed through
+    the defining projection (r14 opt round, guide §4.1: embed_neardup's
+    plan carried TWO ArrowEvalPython passes over the scored pairs — one
+    materializing `cos`, one re-evaluating it inside the pushed-down
+    `cos >= threshold`).  The function is pure per-row (same floats,
+    same rows), so blocking the substitution changes plan shape only;
+    use where a predicate consumes the score column directly."""
+    global _COSINE_UDF_1X
+    if _COSINE_UDF_1X is None:
+        if _COSINE_UDF is None:
+            cosine_batch(F.lit(None), F.lit(None))   # build the base UDF
+        _COSINE_UDF_1X = _COSINE_UDF.asNondeterministic()
+    return _COSINE_UDF_1X(a, b)
+
+
 _QUANT_UDF = None
 _DEQUANT_UDF = None
 
@@ -477,11 +497,31 @@ def embed_neardup(df: DataFrame, *, dim: int, threshold: float = 0.99,
     b = (lsh_buckets(ids, vec_col, dim, n_planes, n_tables, seed)
          .select(id_col, "table_id", "bucket"))
     if max_bucket_size is not None:
-        counts = (b.groupBy("table_id", "bucket")
-                  .agg(F.count(F.lit(1)).alias("__bc"))
-                  .filter(F.col("__bc") <= max_bucket_size)
-                  .drop("__bc"))
-        b = b.join(F.broadcast(counts), ["table_id", "bucket"])
+        # Skew guard as a WINDOW count over (table_id, bucket) (r14 opt
+        # round, guide §2.3/§4.2): the one hash shuffle both computes
+        # the counts AND leaves the stream partitioned exactly as the
+        # candidate self-join needs it, so the a/c branches below REUSE
+        # a single bucketize pass (ArrowEvalPython) + exchange — the
+        # prior groupBy+broadcast-join guard replayed the scan +
+        # hyperplane UDF under the counts branch AND under each join
+        # side (3 Python passes over every vector; 12 ArrowEvalPython /
+        # 24 scans in the bench plan).  Kept rows are identical (count
+        # per bucket <= max either way).  The bounded-bucket-space
+        # broadcast argument only ever justified the side-table's
+        # size, not the triple recompute; at corpus scale the self-join
+        # shuffles both sides anyway, so one reused exchange is
+        # strictly fewer passes.  LDB_EMBED_GUARD=agg keeps the old
+        # form (A/B arm).
+        if _os.environ.get("LDB_EMBED_GUARD", "window") == "agg":
+            counts = (b.groupBy("table_id", "bucket")
+                      .agg(F.count(F.lit(1)).alias("__bc"))
+                      .filter(F.col("__bc") <= max_bucket_size)
+                      .drop("__bc"))
+            b = b.join(F.broadcast(counts), ["table_id", "bucket"])
+        else:
+            wcnt = Window.partitionBy("table_id", "bucket")
+            b = (b.withColumn("__bc", F.count(F.lit(1)).over(wcnt))
+                 .filter(F.col("__bc") <= max_bucket_size).drop("__bc"))
     a = b.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
     c = b.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
     pairs = (a.join(c, ["table_id", "bucket"])
@@ -492,7 +532,8 @@ def embed_neardup(df: DataFrame, *, dim: int, threshold: float = 0.99,
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (pairs.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
-                    cosine_batch(F.col("__va"), F.col("__vb")).alias("cos"))
+                    cosine_batch_single_eval(
+                        F.col("__va"), F.col("__vb")).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 

@@ -196,9 +196,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
         # exactly as the candidate self-join needs it (exchange reuse) —
         # a groupBy-count side table would have ~n*bands/width rows here
         # (band_hash cardinality grows with n), far too big to broadcast
-        # at scale.  Contrast operators/similarity.embed_neardup, whose
-        # bucket space is bounded, where groupBy+broadcast IS the right
-        # guard.
+        # at scale.  operators/similarity.embed_neardup now uses the
+        # same window form (r14 opt round): even with its bounded
+        # bucket space, the groupBy+broadcast guard replayed the
+        # bucketize UDF under the counts branch and both join sides —
+        # one reused exchange is strictly fewer passes.
         wcnt = Window.partitionBy("band_id", "band_hash")
         banded = (banded.withColumn("__bc", F.count(F.lit(1)).over(wcnt))
                   .filter(F.col("__bc") <= max_bucket_size).drop("__bc"))

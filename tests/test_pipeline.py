@@ -1050,3 +1050,26 @@ def test_index_write_repart_one_file_per_cell_rows_identical(spark,
     for d in cell_dirs:
         files = [f for f in d.rglob("*.parquet") if f.is_file()]
         assert len(files) == 1, f"{d.name}: {len(files)} files"
+
+
+def test_embed_guard_window_rows_identical_to_agg(spark):
+    """The window-count bucket guard (LDB_EMBED_GUARD default, r14 opt
+    round) must keep exactly the agg+broadcast guard's rows: both drop
+    buckets with count > max_bucket_size, so candidates — and the
+    re-scored pairs — are row-identical."""
+    import os
+
+    base, _ = _emb_and_queries(spark)
+
+    def run():
+        return sorted(map(tuple, ops.embed_neardup(
+            base, dim=64, threshold=0.4, max_bucket_size=50).collect()))
+
+    os.environ["LDB_EMBED_GUARD"] = "agg"
+    try:
+        agg = run()
+        os.environ["LDB_EMBED_GUARD"] = "window"
+        win = run()
+    finally:
+        os.environ.pop("LDB_EMBED_GUARD", None)
+    assert agg and agg == win
