@@ -159,10 +159,12 @@ stats AS (
          CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(19,0)) AS sxx
   FROM obs GROUP BY event_type, day)
 SELECT event_type, day,
-       ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100, 4) AS mean_value,
-       ROUND((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 10000, 4)
+       CAST(FLOOR((CAST(sx AS DOUBLE) * 200 + CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 2)) AS DOUBLE) / 10000
+         AS mean_value,
+       CAST(FLOOR((CAST(n * sxx - sx * sx AS DOUBLE)
+                   + CAST(n * (n - 1) AS DOUBLE) / 2)
+                  / CAST(n * (n - 1) AS DOUBLE)) AS DOUBLE) / 10000
          AS var_value
 FROM stats
 WHERE n > 1 AND 4 * n * (n * sxx - sx * sx) > sx * sx * (n - 1)
@@ -179,5 +181,21 @@ ORDER BY event_type, day
     (19,0) x (19,0) = (38,0) is the widest product both engines accept;
     the band stays exact while Sxx < 1e19 — about 1e9 rows per (group,
     day) at cents <= 1e5; beyond that Spark nulls out visibly rather
-    than wrapping.  The presented mean/variance are single double
-    divisions of exact sums.""")
+    than wrapping.
+
+    The PRESENTED 4-decimal mean/variance are integer half-up, the
+    bb_rating_activity_scatter recipe: round(q, 4) with q = x/d becomes
+    floor((2*10^4*x + d) / (2d)) / 10^4 — here mean = Sx/(100n) gives
+    floor((200*Sx + n) / (2n)), and variance = (n*Sxx - Sx^2) /
+    (10^4 * n(n-1)) gives floor((num + n(n-1)/2) / (n(n-1))) with num =
+    n*Sxx - Sx^2 >= 0 (Cauchy-Schwarz; n(n-1) is even, so the half is
+    an exact integer).  ROUND(double, 4) was the r14-diagnosed
+    cross-engine trap: at sf0.001 two groups' exact quotients land
+    within one double ulp of a .00005 tie and Spark's HALF_UP-on-
+    BigDecimal and DuckDB's round() disagree by 1e-4 (sf0.01/sf0.1
+    never hit a tie — verified 0 changed rows there, so the integer
+    form alters nothing that was green).  FLOOR's double division is
+    exact while its numerator stays under 2^53 (~4.5e13 cents of
+    per-group sum, ~9e15 of num) — far past bench scale, and the
+    quotient is never closer than 1/(2d) to an integer except at exact
+    ties, where it IS an integer.""")

@@ -407,7 +407,10 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("streaming_outer_interval_join", """
-WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR - INTERVAL 30 MINUTE AS w
+WITH wm AS (SELECT date_trunc('milliseconds',
+                     least(max(ts) FILTER (WHERE event_type = 'purchase'),
+                           max(ts) FILTER (WHERE event_type = 'click')))
+                   - INTERVAL 2 HOUR AS w
             FROM events),
 l AS (SELECT event_id AS left_id, user_id, ts AS l_ts FROM events
       WHERE event_type = 'purchase'),
@@ -428,13 +431,26 @@ def streaming_outer_interval_join(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join: purchases null-padded
     when no click preceded them within 30 minutes.  The semantics
-    corner is WHEN the null rows appear: Structured Streaming emits an
-    unmatched left row only once the watermark passes l_ts + lookback
-    (state eviction with the join-delay adjustment), so unmatched
-    purchases younger than max(ts) - 2h - 30min are withheld at
-    end-of-stream.  The oracle pins that closed form exactly (matched
-    pairs unconditionally, null rows cut at the eviction watermark) —
-    probed: 1952 null + 23 matched rows at sf0.01, off-by-zero."""
+    corner is WHEN the null rows appear, and the oracle pins Structured
+    Streaming's ACTUAL closed form (r14 diagnosis, sf0.001 fixture):
+
+    - The global watermark is the MIN over the query's two watermark
+      nodes, each declared on its FILTERED side (purchases / clicks),
+      each tracking its own side's max event time in MILLISECONDS:
+      wm = floor_ms(least(max purchase ts, max click ts)) - delay.
+      max(ts) over all events is NOT observable by either node.
+    - Because matching rights satisfy r_ts <= l_ts, a left row can
+      match a late-arriving right no newer than itself, so state
+      eviction (and the null emission) happens at l_ts < wm — there is
+      NO extra lookback subtraction on the left cut.
+
+    The previous oracle (max over ALL event types, minus delay AND
+    lookback) agreed at sf0.01 by coincidence — both closed forms
+    bracket the same 1952 unmatched purchases there — and diverged at
+    sf0.001, where clicks stop 4 h before purchases and one unmatched
+    purchase (event 992) falls between the two cuts; the boundary
+    candidates were enumerated against the observed emission counts
+    at both SFs and only this form matches both (197 and 1952)."""
     out = st.run_stream_to_memory(
         st.stream_interval_join(st.stream_events(spark, sf_dir),
                                 how="left_outer"), "append")

@@ -62,3 +62,21 @@ def test_slope_n_days_covers_month(spark):
     assert {r.cat for r in rows} >= {"click", "purchase", "view"}
     for r in rows:
         assert 25 <= r.n_days <= 31, r
+
+
+def test_volatility_band_oracle_exact_at_sf0001(spark):
+    """r14: the default oracle gate runs at sf0.01, which never hits a
+    ROUND(double, 4) tie — sf0.001 does (two groups land within one
+    double ulp of a .00005 boundary and Spark/DuckDB round() disagreed
+    by 1e-4).  The presented mean/variance are now integer half-up, so
+    the SAME SQL must agree bit-exactly on both engines at the SF that
+    exposed the trap."""
+    import duckdb
+
+    spec = REG["bb_value_volatility_band"]
+    srows = sorted(tuple(r) for r in spec.spark_fn(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    drows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert srows == drows

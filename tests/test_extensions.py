@@ -813,3 +813,25 @@ where s.name like 'F%' and s.matrnr=h.matrnr and h.vorlnr=v.vorlnr
     out = con2.sql("select count(*) as c1, count(distinct col2) as c2 "
                    "from df where col1>2").toPandas()
     assert (out.c1[0], out.c2[0]) == (2, 1)
+
+
+def test_outer_interval_join_oracle_exact_at_sf0001(spark):
+    """r14: the left-outer interval join's null-row cut follows the
+    GLOBAL watermark = min over the two per-side (post-filter)
+    watermark nodes at ms precision, with NO lookback adjustment on
+    the left (matching rights satisfy r_ts <= l_ts).  sf0.001 is the
+    fixture that exposed the old max-over-all-events closed form
+    (clicks stop 4h before purchases; one unmatched purchase fell
+    between the two cuts), so pin oracle equality exactly here."""
+    import duckdb
+
+    from lingo_db_spark.queries import load_all
+
+    spec = load_all()["streaming_outer_interval_join"]
+    sf = "/root/testdata/sf0.001"
+    srows = sorted((r[0], r[1]) for r in spec.spark_fn(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    drows = sorted((r[0], r[1]) for r in con.execute(spec.oracle).fetchall())
+    assert srows == drows
