@@ -455,13 +455,18 @@ def _ann_invariants(approx: DataFrame, exact: DataFrame,
     - n_ret:         the approximate search returned exactly k rows;
     - recall_ok:     >= min_hits of them are true top-k members.
                      ENFORCED bounds: LSH min_hits=6, IVF(6/16
-                     probes) min_hits=4, PQ(rerank=64) min_hits=8,
+                     probes) min_hits=4, PQ(rerank=64) min_hits=6,
                      IVFPQ(6/16, rerank=64, residual) min_hits=4.
                      MEASURED worst-query at sf0.01: LSH 7, IVF 5,
                      PQ 9, IVFPQ 5 (pinned in tests/test_pipeline.py
                      test_ann_recall_margins) — each enforced bound
-                     sits one hit below measured so the driver gate
-                     has margin without being vacuous;
+                     sits one hit below measured AT THE WORST DRIVER
+                     SF so the gate has margin without being vacuous.
+                     PQ's binding scale is sf0.1 (worst query 7/10
+                     there, r14 full-gate sweep: the fixed rerank=64
+                     cut admits a smaller top-10 fraction as the
+                     corpus grows; pinned in
+                     test_pq_recall_margin_sf01);
     - rescore_exact: every returned pair that IS a true member carries
                      the SAME cosine as the brute-force path (the exact
                      re-score is exact, not approximate — strict float
@@ -646,9 +651,14 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-domain ANN path: at 100 TB the ADC scan reads ~6% of the
     embedding bytes, and composes with IVF's partition pruning
     (IVF-PQ).  Output is the per-query invariant form (_ann_invariants):
-    k rows, recall >= 8/10 (enforced; 9/10 measured at sf0.01 on the
-    worst query, margin pinned in tests/test_pipeline.py), exact
-    re-scoring.
+    k rows, recall >= 6/10 (enforced), exact re-scoring.  The enforced
+    bound sits one hit below the measured worst query at the WORST of
+    the three driver SFs (r14: sf0.001/sf0.01 worst 9, sf0.1 worst 7 —
+    PQ-only ranking must surface the true top-10 inside a fixed
+    rerank=64 ADC cut, so recall decays as the corpus grows past the
+    candidate budget; the r13 bound of 8 was margined against sf0.01
+    alone and an sf0.1 full-gate sweep caught queries 0/4 at 7/10).
+    Margins pinned at sf0.01 AND sf0.1 in tests/test_pipeline.py.
     Two-level candidate cut — no corpus-proportional reducer (see
     pq_topk's docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -656,7 +666,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = _query_vectors(emb)
     out = ops.pq_topk(base, qs, k=10, dim=64, m=16, n_codes=32, rerank=64)
     exact = ops.brute_force_topk(base, qs, k=10)
-    return sorted_result(_ann_invariants(out, exact, min_hits=8), "q_id")
+    return sorted_result(_ann_invariants(out, exact, min_hits=6), "q_id")
 
 
 @register("ann_topk_ivfpq", _ANN_INVARIANT_ORACLE)

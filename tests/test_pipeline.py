@@ -1073,3 +1073,29 @@ def test_embed_guard_window_rows_identical_to_agg(spark):
     finally:
         os.environ.pop("LDB_EMBED_GUARD", None)
     assert agg and agg == win
+
+
+def test_pq_recall_margin_sf01(spark):
+    """r14: PQ's recall-bound binding scale is sf0.1, not the sf0.01
+    driver-gate scale — the fixed rerank=64 ADC cut admits a smaller
+    fraction of the true top-10 as the corpus grows (measured worst
+    query 7/10 at sf0.1 vs 9/10 at sf0.01; an sf0.1 full-gate sweep
+    caught the old enforced bound of 8 failing there).  Pin the sf0.1
+    measured floor one hit above the enforced min_hits=6 so margin
+    erosion at the bench SF is caught before the gate flakes."""
+    from lingo_db_spark.queries.pipeline_q import _query_vectors
+    sf = "/root/testdata/sf0.1"
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qs = _query_vectors(emb)
+    k = 10
+    truth = {}
+    for r in ops.brute_force_topk(base, qs, k=k).collect():
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = {}
+    for r in ops.pq_topk(base, qs, k=k, dim=64, m=16, n_codes=32,
+                         rerank=64).collect():
+        hits[r.q_id] = hits.get(r.q_id, 0) + (
+            1 if r.vec_id in truth.get(r.q_id, set()) else 0)
+    assert set(hits) == set(truth)
+    assert min(hits.values()) >= 7, hits
