@@ -98,6 +98,23 @@ def cosine_batch_single_eval(a: Column, b: Column) -> Column:
     return _COSINE_UDF_1X(a, b)
 
 
+def _nondet(udf):
+    """Mark a corpus-pass encoder UDF nondeterministic SOLELY to stop
+    Catalyst duplicating it (r14 opt round, guide §4.4 — the
+    cosine_batch_single_eval precedent): the IVF cell assignment and the
+    IVF-PQ residual encoder each showed TWO full-corpus ArrowEvalPython
+    passes in the executed plan, because a downstream predicate on the
+    UDF-derived `cell` column (the probe pruning filter, or the
+    join-inferred IS NOT NULL constraint) is pushed through the defining
+    projection and re-evaluates the UDF under it.  The functions are
+    pure per-row (same floats, same rows), so blocking the substitution
+    changes plan shape only — one encode pass instead of two.
+    LDB_ANN_ENC_DEDUP=off restores the unmarked form (A/B arm)."""
+    if _os.environ.get("LDB_ANN_ENC_DEDUP", "nondet") == "off":
+        return udf
+    return udf.asNondeterministic()
+
+
 _QUANT_UDF = None
 _DEQUANT_UDF = None
 
@@ -1198,7 +1215,7 @@ def ivfpq_append(cents: np.ndarray, books: np.ndarray, new_emb: DataFrame,
     Exactness of the machinery is unaffected (the appended corpus under
     exhaustive knobs still equals brute force —
     test_ivfpq_append_exhaustive_equals_brute_force)."""
-    enc = _ivfpq_encode_udf(cents, books)(F.col(vec_col))
+    enc = _nondet(_ivfpq_encode_udf(cents, books))(F.col(vec_col))
     return new_emb.select(
         id_col, enc.getField("cell").alias("cell"),
         enc.getField("pq_codes").alias("pq_codes"))
@@ -1212,7 +1229,8 @@ def ivf_append(cents: np.ndarray, new_emb: DataFrame, *,
     contract as ivfpq_append."""
     return new_emb.select(
         id_col, vec_col,
-        _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("cell"))
+        _nondet(_cell_udf(cents, 1))(F.col(vec_col)).getItem(0)
+        .alias("cell"))
 
 
 def index_delete(codes: DataFrame, deleted: DataFrame, *,

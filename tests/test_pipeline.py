@@ -1002,6 +1002,34 @@ def test_ann_qplan_local_rows_identical_to_join(spark, monkeypatch):
         assert joined and joined == local
 
 
+def test_ann_enc_dedup_single_eval_and_rows_identical(spark, monkeypatch):
+    """The IVF cell-assign and IVF-PQ residual-encode UDFs are marked
+    nondeterministic (similarity._nondet, r14 opt round, guide §4.4)
+    SOLELY to stop Catalyst pushdown re-evaluating them under a
+    derived-column predicate: the default arm must plan exactly ONE
+    full-corpus encode pass where the unmarked arm plans two, and the
+    final rows must be identical (strict float equality — the encoders
+    are pure per-row, so only plan shape may change)."""
+    base, q = _emb_and_queries(spark)
+    for fn in (lambda: ops.ivf_topk(base, q, k=10, dim=64, n_cells=16,
+                                    n_probe=6),
+               lambda: ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=16,
+                                      n_probe=6, m=16, n_codes=32,
+                                      rerank=64)):
+        monkeypatch.setenv("LDB_ANN_ENC_DEDUP", "off")
+        dup = fn()
+        n_dup = dup._jdf.queryExecution().executedPlan().toString().count(
+            "ArrowEvalPython")
+        rows_dup = sorted(map(tuple, dup.collect()))
+        monkeypatch.setenv("LDB_ANN_ENC_DEDUP", "nondet")
+        one = fn()
+        n_one = one._jdf.queryExecution().executedPlan().toString().count(
+            "ArrowEvalPython")
+        rows_one = sorted(map(tuple, one.collect()))
+        assert rows_dup and rows_dup == rows_one
+        assert n_one == n_dup - 1
+
+
 def test_spans_window_dup_mode_rows_identical_to_agg(spark):
     """The window-count duplicate cut (dup_mode="window", the default
     inside exact_substring_spans_prefiltered) must produce exactly the
