@@ -656,6 +656,40 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         emb, dim=dim, n_cells=n_cells, train_sample=train_sample,
         id_col=id_col, vec_col=vec_col, seed=seed)
     n_probe = min(n_probe, cents.shape[0])   # index shape, not kwargs
+    if (index is None and _build_fused()
+            and _os.environ.get("LDB_ANN_CUT", "fused") == "fused"
+            and _os.environ.get("LDB_ANN_QPLAN", "local") == "local"):
+        # Fused assign+probe+score (continuation 3): the cell UDF pass
+        # and the probe join (which expanded every vector ~n_probe x
+        # n_queries / n_cells times through Arrow) collapse into one
+        # kernel.  Probe routing is computed driver-side with the
+        # SAME float ops _cell_udf runs (query vectors restored to
+        # their Arrow element dtype, so the matmul sees identical
+        # inputs); the in-kernel assignment replicates
+        # _cell_udf(cents, 1) exactly (argsort, not argmax, for
+        # bit-identical tie behavior).
+        try:
+            qrows = _collect_queries(queries, q_id_col, q_vec_col)
+        except ValueError:
+            qrows = None          # oversized query set: join path below
+        if qrows:
+            qdtype = _np_elem_dtype(queries.schema[q_vec_col])
+            Vq = np.stack([np.asarray(r[1], dtype=qdtype)
+                           for r in qrows])
+            Cc = cents.astype(float)
+            half = 0.5 * (Cc * Cc).sum(axis=1)
+            order = np.argsort(-(Vq @ Cc.T - half), axis=1)[:, :n_probe]
+            route = np.zeros((cents.shape[0], len(qrows)), dtype=bool)
+            for qi in range(len(qrows)):
+                route[order[qi], qi] = True
+
+            def pair_mask(V, _route=route, _C=Cc, _h=half):
+                cells = np.argsort(-(V @ _C.T - _h), axis=1)[:, :1][:, 0]
+                return _route[cells]
+
+            return _fused_cosine_route_topk(
+                emb, qrows, queries.schema[q_id_col], id_col, vec_col,
+                k, pair_mask)
     probes = queries.select(
         q_id_col, q_vec_col,
         F.explode(_cell_udf(cents, n_probe)(F.col(q_vec_col))).alias("cell"))
@@ -736,6 +770,42 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         else:
             e_b = index
         e_b = e_b.select(id_col, "table_id", "bucket")
+    if (index is None and _build_fused()
+            and _os.environ.get("LDB_ANN_CUT", "fused") == "fused"
+            and _os.environ.get("LDB_ANN_QPLAN", "local") == "local"):
+        # Fused bucketize+collide+score (continuation 3): the corpus
+        # bucketize pass, the collision join (which shipped ~n_collision
+        # copies of every candidate vector through Arrow), the
+        # corpus-sized dropDuplicates exchange, and the two re-attach
+        # joins collapse into one kernel.  Query buckets are computed
+        # driver-side with _bucket_udf's exact float ops (query vectors
+        # restored to their Arrow element dtype); a (vector, query)
+        # pair is a candidate iff ANY table bucket matches — the same
+        # set the join+dedup produced.
+        try:
+            qrows = _collect_queries(queries, q_id_col, q_vec_col)
+        except ValueError:
+            qrows = None          # oversized query set: join path below
+        if qrows:
+            planes = _hyperplanes(dim, n_planes, n_tables, seed)
+            flat = np.concatenate(planes, axis=0)
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            qdtype = _np_elem_dtype(queries.schema[q_vec_col])
+            Vq = np.stack([np.asarray(r[1], dtype=qdtype)
+                           for r in qrows])
+            qbits = ((Vq @ flat.T) > 0).reshape(len(qrows), n_tables,
+                                                n_planes)
+            QB = (qbits * weights).sum(axis=2)          # (nq, T)
+
+            def pair_mask(V, _flat=flat, _w=weights, _QB=QB):
+                bits = ((V @ _flat.T) > 0).reshape(len(V), n_tables,
+                                                   n_planes)
+                ids_ = (bits * _w).sum(axis=2)          # (rows, T)
+                return (ids_[:, None, :] == _QB[None, :, :]).any(axis=2)
+
+            return _fused_cosine_route_topk(
+                emb, qrows, queries.schema[q_id_col], id_col, vec_col,
+                k, pair_mask)
     q_b = (lsh_buckets(queries.select(q_id_col, q_vec_col), q_vec_col,
                        dim, n_planes, n_tables, seed)
            .select(q_id_col, "table_id", "bucket"))
@@ -974,6 +1044,232 @@ def _fused_adc_probe_topk(codes: DataFrame, lut: np.ndarray,
             .select("__qi", id_col))
 
 
+def _np_elem_dtype(arr_field: StructField):
+    """Numpy dtype of an array column's ELEMENT type — the dtype Arrow
+    hands the kernels for that column, so driver-side replicas of
+    kernel math (probe routing, query buckets) see bit-identical
+    inputs (collected Python floats round-trip exactly through the
+    narrower dtype)."""
+    from pyspark.sql.types import DoubleType as _Dt, FloatType as _Ft
+    el = arr_field.dataType.elementType
+    if isinstance(el, _Ft):
+        return np.float32
+    if isinstance(el, _Dt):
+        return np.float64
+    return np.float64
+
+
+def _build_fused() -> bool:
+    """True when the NON-INDEXED ANN paths fuse index-build scoring
+    (cell assign / PQ encode / LSH bucketize) into the scoring kernel
+    itself (r14 opt round continuation 3, guide §4.1/§2.4): the
+    two-pass forms ship every corpus vector through the Python
+    boundary once to build the index columns and AGAIN (ivf: ~2x, via
+    the probe-join expansion; lsh: ~3x, via the collision pairs) to
+    score them, plus (lsh) a corpus-sized dropDuplicates exchange.
+    The fused kernels stream each vector ONCE and reproduce the exact
+    float sequences of the split kernels, so results are row-identical
+    (pinned in tests).  LDB_ANN_BUILD_FUSE=split restores the two-pass
+    plans (A/B arm; also the only shape available for prebuilt
+    indexes, where the index columns come from parquet, not a UDF)."""
+    return _os.environ.get("LDB_ANN_BUILD_FUSE", "fused") == "fused"
+
+
+def _fused_cosine_route_topk(emb: DataFrame, qrows: list, q_field,
+                             id_col: str, vec_col: str, k: int,
+                             pair_mask) -> DataFrame:
+    """_fused_cosine_topk_local with a per-batch (row, query) routing
+    mask: pair_mask(V_raw) -> bool (rows, n_queries) decides which
+    pairs are scored (IVF cell-probe membership / LSH bucket
+    collision), replacing the join that attached queries to corpus
+    rows.  Scored pairs use the SAME _cosine_np on the same dtypes as
+    the joined kernel, and the level-1 cut stays exact per (partition,
+    query) with deterministic tie-breaks, so the final top-k is
+    row-identical to the joined plan (every level keeps all global
+    top-k members; the rank window's total order is unique)."""
+    qids = [r[0] for r in qrows]
+    qvecs = [r[1] for r in qrows]
+    nq = len(qids)
+    q_col = q_field.name
+    qdt = _np_id_dtype(q_field)
+    schema = StructType([q_field, emb.schema[id_col],
+                         StructField("cos", DoubleType(), False)])
+
+    def run(batches):
+        acc = []
+        Qm = None
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b[vec_col].to_numpy())
+            if Qm is None:
+                Qm = np.stack([np.asarray(q, dtype=V.dtype)
+                               for q in qvecs])
+            ids = b[id_col].to_numpy()
+            mask = pair_mask(V)
+            parts = []
+            for qi in range(nq):
+                msk = mask[:, qi]
+                if not msk.any():
+                    continue
+                Vm = V[msk]
+                im = ids[msk]
+                cos = _cosine_np(Vm, np.broadcast_to(Qm[qi], Vm.shape))
+                qv = (np.full(len(im), qids[qi], dtype=qdt)
+                      if qdt is not None else
+                      pd.Series([qids[qi]] * len(im), dtype=object))
+                parts.append(pd.DataFrame(
+                    {q_col: qv, id_col: im, "cos": cos}))
+            if not parts:
+                continue
+            sb = pd.concat(parts) if len(parts) > 1 else parts[0]
+            acc.append(_pd_topk(sb, q_col, id_col, "cos", k))
+        if not acc:
+            return
+        allb = pd.concat(acc) if len(acc) > 1 else acc[0]
+        yield _pd_topk(allb, q_col, id_col, "cos", k)
+
+    cut = emb.select(id_col, vec_col).mapInPandas(run, schema)
+    return (_fold_rank_tail(cut, q_col, id_col, "cos", k)
+            .withColumn("rank", F.col("__rank").cast("long"))
+            .drop("__rank"))
+
+
+def _fused_pq_enc_adc_topk(emb: DataFrame, books: np.ndarray,
+                           lut: np.ndarray, id_col: str, vec_col: str,
+                           rerank: int) -> DataFrame:
+    """Single-pass PQ encode + ADC + level-1 cut for the NON-INDEXED
+    pq path: the split form ran _pq_encode_udf over every vector,
+    round-tripped the codes through the JVM, and scanned them again in
+    _fused_adc_topk.  The kernel reproduces _pq_encode_udf's float
+    sequence (normalize, per-subspace argmax) and _fused_adc_topk's
+    accumulation/lexsort cut exactly, so survivors are row-identical."""
+    B = books.astype(float)
+    m, _, sub = B.shape
+    half = 0.5 * (B * B).sum(axis=2)
+    L = lut.astype(float)
+    nq = L.shape[0]
+    schema = StructType([emb.schema[id_col],
+                         StructField("__qi", IntegerType(), False),
+                         StructField("__adc", DoubleType(), False)])
+
+    def run(batches):
+        ids_acc, qi_acc, sc_acc = [], [], []
+        for b in batches:
+            if not len(b):
+                continue
+            # _pq_encode_udf's exact sequence
+            V = np.stack(b[vec_col].to_numpy()).astype(float)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                            1e-12)
+            C = np.empty((len(V), m), dtype=np.int64)
+            for s in range(m):
+                score = V[:, s * sub:(s + 1) * sub] @ B[s].T - half[s]
+                C[:, s] = score.argmax(axis=1).astype(np.int8)
+            # _fused_adc_topk's exact scan + per-batch cut
+            ids = b[id_col].to_numpy()
+            scores = np.zeros((len(C), nq))
+            for s in range(m):
+                scores += L[:, s, C[:, s]].T
+            for qi in range(nq):
+                o = np.lexsort((ids, -scores[:, qi]))[:rerank]
+                ids_acc.append(ids[o])
+                sc_acc.append(scores[o, qi])
+                qi_acc.append(np.full(len(o), qi, dtype=np.int32))
+        if not ids_acc:
+            return
+        ids = np.concatenate(ids_acc)
+        qis = np.concatenate(qi_acc)
+        scs = np.concatenate(sc_acc)
+        keep_i, keep_q, keep_s = [], [], []
+        for qi in range(nq):
+            msk = qis == qi
+            o = np.lexsort((ids[msk], -scs[msk]))[:rerank]
+            keep_i.append(ids[msk][o])
+            keep_s.append(scs[msk][o])
+            keep_q.append(np.full(len(o), qi, dtype=np.int32))
+        yield pd.DataFrame({id_col: np.concatenate(keep_i),
+                            "__qi": np.concatenate(keep_q),
+                            "__adc": np.concatenate(keep_s)})
+
+    cut = emb.select(id_col, vec_col).mapInPandas(run, schema)
+    return (_fold_rank_tail(cut, "__qi", id_col, "__adc", rerank)
+            .select("__qi", id_col))
+
+
+def _fused_ivfpq_enc_adc_topk(emb: DataFrame, cents: np.ndarray,
+                              books: np.ndarray, lut: np.ndarray,
+                              qdotc: np.ndarray, cell_qis: dict,
+                              id_col: str, vec_col: str,
+                              rerank: int) -> DataFrame:
+    """Single-pass residual encode + probe-routed ADC + level-1 cut for
+    the NON-INDEXED ivfpq path: the split form ran _ivfpq_encode_udf
+    over every vector, round-tripped (cell, codes) through the JVM,
+    filtered on the probed cells, and scanned the codes again in
+    _fused_adc_probe_topk.  The kernel reproduces _ivfpq_encode_udf's
+    float sequence (normalize, coarse argmax, residual, per-subspace
+    argmax) and _fused_adc_probe_topk's per-cell accumulation exactly;
+    unprobed cells fall out of the routing map just as they fell out of
+    the isin filter, so survivors are row-identical."""
+    Cc = cents.astype(float)
+    half_c = 0.5 * (Cc * Cc).sum(axis=1)
+    B = books.astype(float)
+    m, _, sub = B.shape
+    half_b = 0.5 * (B * B).sum(axis=2)
+    L = lut.astype(float)
+    QC = qdotc.astype(float)
+    cq = {int(c): np.asarray(sorted(qs), dtype=np.int64)
+          for c, qs in cell_qis.items()}
+    schema = StructType([emb.schema[id_col],
+                         StructField("__qi", IntegerType(), False),
+                         StructField("__adc", DoubleType(), False)])
+
+    def run(batches):
+        acc = []
+        for b in batches:
+            if not len(b):
+                continue
+            # _ivfpq_encode_udf's exact sequence
+            V = np.stack(b[vec_col].to_numpy()).astype(float)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                            1e-12)
+            cells = (V @ Cc.T - half_c).argmax(axis=1)
+            R = V - Cc[cells]
+            C = np.empty((len(V), m), dtype=np.int64)
+            for s in range(m):
+                score = R[:, s * sub:(s + 1) * sub] @ B[s].T - half_b[s]
+                C[:, s] = score.argmax(axis=1).astype(np.int8)
+            # _fused_adc_probe_topk's exact per-cell scan + cut
+            ids = b[id_col].to_numpy()
+            parts = []
+            for cell in np.unique(cells):
+                qis = cq.get(int(cell))
+                if qis is None or not len(qis):
+                    continue
+                msk = cells == cell
+                Cm, im = C[msk], ids[msk]
+                for qi in qis:
+                    s = np.full(len(im), QC[qi, cell])
+                    for sp in range(m):
+                        s += L[qi, sp, Cm[:, sp]]
+                    parts.append(pd.DataFrame(
+                        {id_col: im,
+                         "__qi": np.full(len(im), qi, dtype=np.int32),
+                         "__adc": s}))
+            if not parts:
+                continue
+            sb = pd.concat(parts) if len(parts) > 1 else parts[0]
+            acc.append(_pd_topk(sb, "__qi", id_col, "__adc", rerank))
+        if not acc:
+            return
+        allb = pd.concat(acc) if len(acc) > 1 else acc[0]
+        yield _pd_topk(allb, "__qi", id_col, "__adc", rerank)
+
+    cut = emb.select(id_col, vec_col).mapInPandas(run, schema)
+    return (_fold_rank_tail(cut, "__qi", id_col, "__adc", rerank)
+            .select("__qi", id_col))
+
+
 def pq_encode(emb: DataFrame, *, dim: int, m: int = 16, n_codes: int = 32,
               train_sample: int = 2048, id_col: str = "vec_id",
               vec_col: str = "embedding", seed: int = 42,
@@ -1052,6 +1348,12 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
             F.posexplode(_pq_adc_udf(lut)(F.col("pq_codes")))
              .alias("__qi", "__adc"))
         cand = _two_level_topk(adc, id_col, rerank)
+    elif index is None and _build_fused():
+        # Fused encode+ADC (continuation 3): the PQ-encode UDF pass and
+        # the codes round-trip through the JVM collapse into the ADC
+        # scan kernel.
+        cand = _fused_pq_enc_adc_topk(emb, books, lut, id_col, vec_col,
+                                      rerank)
     else:
         cand = _fused_adc_topk(codes, lut, id_col, rerank)
     return _exact_rerank(cand, emb, queries, qrows, k, id_col=id_col,
@@ -1373,8 +1675,18 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         for qi in range(len(qrows)):
             for c in probe_cells[qi]:
                 cell_qis.setdefault(int(c), []).append(qi)
-        cand = _fused_adc_probe_topk(pruned, lut, qdotc, cell_qis,
-                                     id_col, rerank)
+        if index is None and _build_fused():
+            # Fused encode+ADC (continuation 3): the residual-encode
+            # UDF pass and the codes round-trip through the JVM
+            # collapse into the probe-routed ADC kernel; unprobed
+            # cells fall out of the routing map exactly as they fell
+            # out of the isin filter.
+            cand = _fused_ivfpq_enc_adc_topk(emb, cents, books, lut,
+                                             qdotc, cell_qis, id_col,
+                                             vec_col, rerank)
+        else:
+            cand = _fused_adc_probe_topk(pruned, lut, qdotc, cell_qis,
+                                         id_col, rerank)
     else:
         probes = spark.createDataFrame(
             [(qi, int(c)) for qi in range(len(qrows))

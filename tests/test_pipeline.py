@@ -1009,8 +1009,13 @@ def test_ann_enc_dedup_single_eval_and_rows_identical(spark, monkeypatch):
     derived-column predicate: the default arm must plan exactly ONE
     full-corpus encode pass where the unmarked arm plans two, and the
     final rows must be identical (strict float equality — the encoders
-    are pure per-row, so only plan shape may change)."""
+    are pure per-row, so only plan shape may change).  Runs under
+    LDB_ANN_BUILD_FUSE=split: the fused-build default removes these
+    encode UDF nodes from the non-indexed plans entirely, so the split
+    arm is where the dedup marking is observable (it still protects
+    the append/build/write paths, which always run the UDFs)."""
     base, q = _emb_and_queries(spark)
+    monkeypatch.setenv("LDB_ANN_BUILD_FUSE", "split")
     for fn in (lambda: ops.ivf_topk(base, q, k=10, dim=64, n_cells=16,
                                     n_probe=6),
                lambda: ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=16,
@@ -1028,6 +1033,32 @@ def test_ann_enc_dedup_single_eval_and_rows_identical(spark, monkeypatch):
         rows_one = sorted(map(tuple, one.collect()))
         assert rows_dup and rows_dup == rows_one
         assert n_one == n_dup - 1
+
+
+def test_ann_build_fuse_rows_identical_to_split(spark, monkeypatch):
+    """The fused build+score kernels for the NON-INDEXED ANN paths
+    (LDB_ANN_BUILD_FUSE=fused, the default — r14 opt round
+    continuation 3) must be ROW-IDENTICAL to the two-pass plans they
+    replace, strict float equality included: the kernels reproduce the
+    split UDFs' exact float sequences (cell assign via argsort, PQ /
+    residual encode, bucketize sign bits, _cosine_np / ADC
+    accumulation), and the level-1 cut is exact per (partition, query)
+    with deterministic tie-breaks regardless of grouping."""
+    base, q = _emb_and_queries(spark)
+    for fn in (lambda: ops.ivf_topk(base, q, k=10, dim=64, n_cells=16,
+                                    n_probe=6),
+               lambda: ops.lsh_topk(base, q, k=10, dim=64, n_planes=4,
+                                    n_tables=16),
+               lambda: ops.pq_topk(base, q, k=10, dim=64, m=16,
+                                   n_codes=32, rerank=64),
+               lambda: ops.ivfpq_topk(base, q, k=10, dim=64, n_cells=16,
+                                      n_probe=6, m=16, n_codes=32,
+                                      rerank=64)):
+        monkeypatch.setenv("LDB_ANN_BUILD_FUSE", "split")
+        split = sorted(map(tuple, fn().collect()))
+        monkeypatch.setenv("LDB_ANN_BUILD_FUSE", "fused")
+        fused = sorted(map(tuple, fn().collect()))
+        assert split and split == fused
 
 
 def test_spans_window_dup_mode_rows_identical_to_agg(spark):
