@@ -119,33 +119,54 @@ _RAW_TYPE_ALTERNATES: dict[str, dict[str, tuple[str, ...]]] = {
 # mismatched file is an error, not a silent cast).
 _VALIDATED_PATHS: set[str] = set()
 
-# Resolved base relations, keyed by (session, application, path).  A
-# DataFrame is an immutable plan, so handing the same object to every query
-# is safe, and it skips the per-read footer fetch + file-index build
-# (~70 ms/table — a 6-table query pays ~0.4 s in pure re-resolution
-# otherwise).  Keyed on applicationId so relations never leak across JVM
-# restarts.  Each cached DataFrame pins its creating session alive, so
-# under per-query `spark.newSession()` churn an unbounded dict would leak
-# one session + N frames per query — bound the number of LIVE sessions
-# instead (a WeakKeyDictionary would not help: the value frames hold
-# strong refs back to their key session).
-_RELATION_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+def session_key(spark: SparkSession) -> str:
+    """Stable, never-reused identity token for a session (r15, verdict
+    item 7): ``id(spark)`` can be REUSED after a stopped session is
+    GC'd, so an id-keyed cache could serve a new session a DataFrame
+    bound to the dead one.  A uuid stamped ON the session object is
+    unique for the process lifetime and costs zero py4j round-trips
+    (``applicationId``, the old anti-restart component, was one JVM
+    call per lookup)."""
+    k = getattr(spark, "_ldb_session_key", None)
+    if k is None:
+        import uuid
+        k = "s" + uuid.uuid4().hex
+        try:
+            spark._ldb_session_key = k
+        except Exception:       # noqa: BLE001 — exotic session proxy
+            return f"id{id(spark)}"
+    return k
+
+
+# Resolved base relations, keyed by (session, path).  A DataFrame is an
+# immutable plan, so handing the same object to every query is safe, and
+# it skips the per-read footer fetch + file-index build (~70 ms/table —
+# a 6-table query pays ~0.4 s in pure re-resolution otherwise).  Keyed
+# on session_key (a per-session uuid: never reused, no py4j cost; a new
+# session after a JVM restart is a new object and so a new key).  Each
+# cached DataFrame pins its creating session alive, so under per-query
+# `spark.newSession()` churn an unbounded dict would leak one session +
+# N frames per query — bound the number of LIVE sessions instead (a
+# WeakKeyDictionary would not help: the value frames hold strong refs
+# back to their key session).
+_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CACHE_MAX_SESSIONS = 8
 
 
-def _evict_stale_sessions(new_session_key: tuple[int, str]) -> None:
+def _evict_stale_sessions(new_session_key: str) -> None:
     """Keep at most _CACHE_MAX_SESSIONS distinct sessions' entries
     (insertion-ordered: python dicts preserve it), evicting oldest-first
     so long-lived drivers that spin a session per query stay bounded."""
-    seen: list[tuple[int, str]] = []
-    for (sid, app, _p) in _RELATION_CACHE:
-        if (sid, app) not in seen:
-            seen.append((sid, app))
+    seen: list[str] = []
+    for (sid, _p) in _RELATION_CACHE:
+        if sid not in seen:
+            seen.append(sid)
     if new_session_key in seen or len(seen) < _CACHE_MAX_SESSIONS:
         return
     for victim in seen[: len(seen) - _CACHE_MAX_SESSIONS + 1]:
-        for k in [k for k in _RELATION_CACHE if (k[0], k[1]) == victim]:
+        for k in [k for k in _RELATION_CACHE if k[0] == victim]:
             del _RELATION_CACHE[k]
+        _VIEW_MEMO.pop(victim, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -161,15 +182,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # keyed by the SESSION, not the context: a DataFrame executes under
     # the SQLConf of the session that created it, so handing a cached
     # frame to a sibling `spark.newSession()` (per-query conf isolation)
-    # would silently pin the first session's confs.  id() is stable
-    # here because the cached DataFrame holds a strong ref to its
-    # session, so the session can never be collected while its entry
-    # lives.
-    cache_key = (id(spark), spark.sparkContext.applicationId, path)
+    # would silently pin the first session's confs.
+    cache_key = (session_key(spark), path)
     cached = _RELATION_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    _evict_stale_sessions((cache_key[0], cache_key[1]))
+    _evict_stale_sessions(cache_key[0])
     df = spark.read.parquet(path)
     alternates = _RAW_TYPE_ALTERNATES.get(name, {})
     if path not in _VALIDATED_PATHS:
@@ -199,13 +217,48 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+# Which catalog views each session currently has bound, and to which
+# sf_dir (r15 opt round, guide §5 driver work): the raw-SQL query
+# functions call register_views on EVERY invocation, and each
+# createOrReplaceTempView is a ~8 ms py4j/catalog round-trip — pure
+# per-call driver churn for identical inputs (measured: 54 ms of
+# job_ten_way_min_chain's 250 ms wall re-binding 7 unchanged views).
+# The memo skips the re-bind when THIS module already bound that view,
+# in this session, to the same sf_dir's relation.  Anything else that
+# (re)binds or drops a temp view must call note_view_bind() so the memo
+# forgets the name — all in-repo bind sites do (connection.py DDL door,
+# plans/cse.py, sources/, sqlfront's mapped relations).  No plan or
+# data is cached here: the view still resolves to the lazily-scanned
+# parquet relation, this only skips redundant catalog writes.
+_VIEW_MEMO: dict[str, dict[str, str]] = {}
+
+
+def note_view_bind(spark: SparkSession, name: str) -> None:
+    """Record that `name` was bound/dropped OUTSIDE register_views: the
+    next register_views must re-bind it (temp view names are
+    case-insensitive in Spark's catalog — normalize)."""
+    m = _VIEW_MEMO.get(session_key(spark))
+    if m:
+        m.pop(name.lower(), None)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
     """Register every table as a temp view so spark.sql() sees the same
-    catalog the DuckDB oracle does."""
+    catalog the DuckDB oracle does.  Idempotent calls (same session,
+    same sf_dir, view not rebound elsewhere since) skip the catalog
+    round-trip — see _VIEW_MEMO.  LDB_VIEW_MEMO=0 restores the
+    unconditional re-bind (A/B arm)."""
     dfs = load_tables(spark, sf_dir, names)
+    if os.environ.get("LDB_VIEW_MEMO", "1") != "1":
+        for n, df in dfs.items():
+            df.createOrReplaceTempView(n)
+        return dfs
+    memo = _VIEW_MEMO.setdefault(session_key(spark), {})
     for n, df in dfs.items():
-        df.createOrReplaceTempView(n)
+        if memo.get(n.lower()) != sf_dir:
+            df.createOrReplaceTempView(n)
+            memo[n.lower()] = sf_dir
     return dfs
 
 
